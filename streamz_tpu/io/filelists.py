@@ -1,0 +1,106 @@
+"""Text file-list stores: ``train_files.txt`` and ``target_files.txt``.
+
+Formats are byte-compatible with the reference:
+
+- ``train_files.txt``: one ``path`` or ``path,label`` per line, labels optional
+  (parse: ``streamz-rs/src/main.rs:41-64``; write-back: ``:66-79``).
+- ``target_files.txt``: only labeled ``path,label`` lines are kept
+  (parse: ``src/main.rs:91-111``; write: ``:81-89``).
+- ``count_speakers`` counts *distinct* labels (``src/main.rs:129-135``).
+- Label normalization for eval maps the sorted set of raw labels onto
+  ``0..n-1`` (``build_label_map``/``normalize_with_map``,
+  ``src/main.rs:281-304``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+TrainEntry = Tuple[str, Optional[int]]
+
+
+def load_train_files(path: str) -> List[TrainEntry]:
+    """Parse ``train_files.txt`` into (path, optional-label) pairs."""
+    if not os.path.exists(path):
+        return []
+    entries: List[TrainEntry] = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f.read().splitlines():
+            parts = line.split(",")
+            if not parts:
+                continue
+            p = parts[0].strip()
+            if not p:
+                continue
+            label: Optional[int] = None
+            if len(parts) > 1:
+                try:
+                    label = int(parts[1].strip())
+                except ValueError:
+                    label = None
+            entries.append((p, label))
+    return entries
+
+
+def write_train_files(path: str, files: Sequence[TrainEntry]) -> None:
+    """Write back (path, optional-label) pairs (src/main.rs:66-79)."""
+    with open(path, "w", encoding="utf-8") as f:
+        for p, c in files:
+            if c is None:
+                f.write(f"{p}\n")
+            else:
+                f.write(f"{p},{c}\n")
+
+
+def load_target_files(path: str) -> List[Tuple[str, int]]:
+    """Parse ``target_files.txt``; only labeled lines survive."""
+    if not os.path.exists(path):
+        return []
+    entries: List[Tuple[str, int]] = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f.read().splitlines():
+            parts = line.split(",")
+            if len(parts) < 2:
+                continue
+            p = parts[0].strip()
+            c = parts[1].strip()
+            if not p:
+                continue
+            try:
+                entries.append((p, int(c)))
+            except ValueError:
+                continue
+    return entries
+
+
+def write_target_files(path: str, files: Sequence[TrainEntry]) -> None:
+    """Write only the labeled entries (src/main.rs:81-89)."""
+    with open(path, "w", encoding="utf-8") as f:
+        for p, c in files:
+            if c is not None:
+                f.write(f"{p},{c}\n")
+
+
+def count_speakers(files: Sequence[TrainEntry]) -> int:
+    """Number of distinct labels present (src/main.rs:129-135)."""
+    return len({c for _, c in files if c is not None})
+
+
+def build_label_map(
+    train: Sequence[TrainEntry], eval_files: Sequence[TrainEntry]
+) -> Dict[int, int]:
+    """Map the sorted union of raw labels onto contiguous ids (src/main.rs:281-294)."""
+    labels = sorted({c for _, c in list(train) + list(eval_files) if c is not None})
+    return {v: i for i, v in enumerate(labels)}
+
+
+def normalize_with_map(
+    files: Sequence[TrainEntry], label_map: Dict[int, int]
+) -> List[Tuple[str, int]]:
+    """Apply a label map, dropping unlabeled/unknown entries (src/main.rs:296-304)."""
+    out: List[Tuple[str, int]] = []
+    for p, c in files:
+        if c is not None and c in label_map:
+            out.append((p, label_map[c]))
+    return out

@@ -1,0 +1,181 @@
+"""``model.npz`` checkpoint reader/writer, schema-compatible with the reference.
+
+Writer schema (``streamz-rs/src/lib.rs:1081-1130``):
+
+- ``w1``, ``b1``, ``w2``, ``b2``: f32 weight arrays.
+- ``sample_rate``, ``bits``, ``num_speakers``: i64 arrays of length 1.
+- ``w3_{i+1}`` (f32 column of length h2) and ``b3_{i+1}`` (f32 length 1) for
+  each *live* speaker column — only live columns are emitted, so the
+  capacity-padded TPU layout never leaks into checkpoints.
+- optional stego layer ``w4_{i+1}``/``b4_{i+1}`` per output bit.
+- ``speaker_{i}_files``: u8 bytes of newline-joined training paths.
+- ``speaker_embeddings`` [S x h2] + ``speaker_mean_sims`` + ``speaker_std_sims``
+  when embeddings are present.
+
+Reader tolerances (``src/lib.rs:1132-1281``): falls back to a legacy monolithic
+``w3``/``b3`` pair when no ``w3_{i}`` columns exist (``:1199-1207``), takes the
+speaker count from the ``num_speakers`` scalar when available else from the
+column count (``:1227-1233``), and treats every other entry as optional.
+Keys are accepted with or without a trailing ``.npy`` (ndarray-npy and numpy
+disagree about storing the extension; ``src/lib.rs:1238`` checks
+``speaker_{i}_files.npy`` explicitly).
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from streamz_tpu.nn.model import SpeakerNet, round_capacity
+
+import jax.numpy as jnp
+
+
+def save(net: SpeakerNet, path: str) -> None:
+    """Serialize a :class:`SpeakerNet` to the reference npz schema."""
+    arrays: Dict[str, np.ndarray] = {
+        "w1": np.asarray(net.params["w1"], np.float32),
+        "b1": np.asarray(net.params["b1"], np.float32),
+        "w2": np.asarray(net.params["w2"], np.float32),
+        "b2": np.asarray(net.params["b2"], np.float32),
+        "sample_rate": np.array([net.sample_rate], np.int64),
+        "bits": np.array([net.bits], np.int64),
+        "num_speakers": np.array([net.num_speakers], np.int64),
+    }
+    w3 = np.asarray(net.params["w3"], np.float32)
+    b3 = np.asarray(net.params["b3"], np.float32)
+    for idx in range(net.num_speakers):
+        arrays[f"w3_{idx + 1}"] = w3[:, idx].copy()
+        arrays[f"b3_{idx + 1}"] = np.array([b3[idx]], np.float32)
+    if net.w4 is not None and net.b4 is not None:
+        for idx in range(net.b4.shape[0]):
+            arrays[f"w4_{idx + 1}"] = np.asarray(net.w4[:, idx], np.float32)
+            arrays[f"b4_{idx + 1}"] = np.array([net.b4[idx]], np.float32)
+    for idx in range(net.num_speakers):
+        files = net.file_lists[idx] if idx < len(net.file_lists) else []
+        joined = "\n".join(files)
+        arrays[f"speaker_{idx}_files"] = np.frombuffer(
+            joined.encode("utf-8"), dtype=np.uint8
+        ).copy()
+    if net.embeddings:
+        dim = len(net.embeddings[0][0])
+        embeds = np.zeros((len(net.embeddings), dim), np.float32)
+        mean_sims = np.zeros(len(net.embeddings), np.float32)
+        std_sims = np.zeros(len(net.embeddings), np.float32)
+        for i, (e, m, s) in enumerate(net.embeddings):
+            embeds[i] = np.asarray(e, np.float32)
+            mean_sims[i] = m
+            std_sims[i] = s
+        arrays["speaker_embeddings"] = embeds
+        arrays["speaker_mean_sims"] = mean_sims
+        arrays["speaker_std_sims"] = std_sims
+    np.savez(path, **arrays)
+
+
+def _read_npz_raw(path: str) -> Dict[str, np.ndarray]:
+    """Read an npz whose entries may or may not carry a ``.npy`` extension."""
+    out: Dict[str, np.ndarray] = {}
+    with zipfile.ZipFile(path, "r") as zf:
+        for name in zf.namelist():
+            key = name[:-4] if name.endswith(".npy") else name
+            with zf.open(name) as f:
+                out[key] = np.load(io.BytesIO(f.read()), allow_pickle=False)
+    return out
+
+
+def load(path: str) -> SpeakerNet:
+    """Deserialize ``model.npz`` (src/lib.rs:1132-1281)."""
+    data = _read_npz_raw(path)
+    w1 = np.asarray(data["w1"], np.float32)
+    b1 = np.asarray(data["b1"], np.float32)
+    w2 = np.asarray(data["w2"], np.float32)
+    b2 = np.asarray(data["b2"], np.float32)
+    sample_rate = int(np.asarray(data["sample_rate"]).ravel()[0])
+    bits = int(np.asarray(data["bits"]).ravel()[0])
+
+    # Per-column w3_{i}/b3_{i} entries, 1-indexed, contiguous from 1.
+    columns: List[np.ndarray] = []
+    biases: List[float] = []
+    idx = 1
+    while f"w3_{idx}" in data and f"b3_{idx}" in data:
+        columns.append(np.asarray(data[f"w3_{idx}"], np.float32).ravel())
+        biases.append(float(np.asarray(data[f"b3_{idx}"]).ravel()[0]))
+        idx += 1
+
+    hidden2 = w2.shape[1]
+    num_outputs = len(columns)
+    if columns:
+        w3_live = np.stack(columns, axis=1)
+        b3_live = np.array(biases, np.float32)
+    elif "w3" in data:
+        # Legacy monolithic layout (src/lib.rs:1199-1207).
+        w3_live = np.asarray(data["w3"], np.float32)
+        b3_live = np.asarray(data["b3"], np.float32).ravel()
+        num_outputs = b3_live.shape[0]
+    else:
+        w3_live = np.zeros((hidden2, 1), np.float32)
+        b3_live = np.zeros((1,), np.float32)
+
+    # Optional stego layer columns (src/lib.rs:1169-1186, :1209-1226).
+    columns4: List[np.ndarray] = []
+    biases4: List[float] = []
+    idx4 = 1
+    while f"w4_{idx4}" in data and f"b4_{idx4}" in data:
+        columns4.append(np.asarray(data[f"w4_{idx4}"], np.float32).ravel())
+        biases4.append(float(np.asarray(data[f"b4_{idx4}"]).ravel()[0]))
+        idx4 += 1
+    w4 = np.stack(columns4, axis=1) if columns4 else None
+    b4 = np.array(biases4, np.float32) if columns4 else None
+
+    if "num_speakers" in data:
+        outputs = int(np.asarray(data["num_speakers"]).ravel()[0])
+    else:
+        outputs = num_outputs  # src/lib.rs:1227-1233
+
+    file_lists: List[List[str]] = []
+    for i in range(outputs):
+        key = f"speaker_{i}_files"
+        if key in data:
+            text = bytes(np.asarray(data[key], np.uint8)).decode("utf-8", "replace")
+            file_lists.append(text.splitlines() if text else [])
+        else:
+            file_lists.append([])
+
+    embeddings: List[Tuple[np.ndarray, float, float]] = []
+    if "speaker_embeddings" in data:
+        embeds = np.asarray(data["speaker_embeddings"], np.float32)
+        mean_sims = np.asarray(data["speaker_mean_sims"], np.float32).ravel()
+        std_sims = np.asarray(data["speaker_std_sims"], np.float32).ravel()
+        for i in range(embeds.shape[0]):
+            embeddings.append((embeds[i].copy(), float(mean_sims[i]), float(std_sims[i])))
+
+    # Re-pad the live columns into the capacity-aligned TPU layout.
+    cap = round_capacity(max(outputs, w3_live.shape[1], 1))
+    rng = np.random.default_rng(abs(hash(("load_pad", path))) % (2**32))
+    w3_full = rng.uniform(-0.5, 0.5, size=(hidden2, cap)).astype(np.float32)
+    b3_full = np.zeros((cap,), np.float32)
+    n_live = w3_live.shape[1]
+    w3_full[:, :n_live] = w3_live
+    b3_full[:n_live] = b3_live
+
+    params = {
+        "w1": jnp.asarray(w1),
+        "b1": jnp.asarray(b1),
+        "w2": jnp.asarray(w2),
+        "b2": jnp.asarray(b2),
+        "w3": jnp.asarray(w3_full),
+        "b3": jnp.asarray(b3_full),
+    }
+    return SpeakerNet(
+        params=params,
+        num_speakers=outputs,
+        file_lists=file_lists,
+        sample_rate=sample_rate,
+        bits=bits,
+        embeddings=embeddings,
+        w4=w4,
+        b4=b4,
+    )

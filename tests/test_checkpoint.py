@@ -1,0 +1,129 @@
+"""model.npz schema round-trip tests, incl. the legacy monolithic-w3 path."""
+
+import io
+import zipfile
+
+import numpy as np
+
+from streamz_tpu.nn import checkpoint
+from streamz_tpu.nn.model import SpeakerNet
+
+
+def _small_net(num_speakers=3):
+    net = SpeakerNet.new(input_size=6, hidden1=5, hidden2=4, output=num_speakers, seed=7)
+    net.record_training_file(0, "x/a.wav")
+    net.record_training_file(0, "x/b.wav")
+    net.record_training_file(2, "y/c.wav")
+    net.set_embeddings(
+        [
+            (np.arange(4, dtype=np.float32) + i, 0.5 + i, 0.1 * i)
+            for i in range(num_speakers)
+        ]
+    )
+    return net
+
+
+def test_npz_schema_keys(tmp_path):
+    net = _small_net()
+    path = str(tmp_path / "model.npz")
+    checkpoint.save(net, path)
+    with np.load(path) as z:
+        keys = set(z.files)
+    expected = {
+        "w1", "b1", "w2", "b2", "sample_rate", "bits", "num_speakers",
+        "w3_1", "b3_1", "w3_2", "b3_2", "w3_3", "b3_3",
+        "speaker_0_files", "speaker_1_files", "speaker_2_files",
+        "speaker_embeddings", "speaker_mean_sims", "speaker_std_sims",
+    }
+    assert keys == expected
+    with np.load(path) as z:
+        assert z["sample_rate"].dtype == np.int64
+        assert z["num_speakers"][0] == 3
+        assert z["w3_1"].shape == (4,)  # hidden2 column vector
+        assert z["b3_1"].shape == (1,)
+        assert z["speaker_embeddings"].shape == (3, 4)
+        files0 = bytes(z["speaker_0_files"]).decode()
+        assert files0 == "x/a.wav\nx/b.wav"
+
+
+def test_roundtrip_preserves_model(tmp_path):
+    net = _small_net()
+    path = str(tmp_path / "model.npz")
+    checkpoint.save(net, path)
+    got = checkpoint.load(path)
+    assert got.num_speakers == 3
+    assert got.sample_rate == net.sample_rate
+    assert got.bits == 16
+    np.testing.assert_allclose(np.asarray(got.params["w1"]), np.asarray(net.params["w1"]))
+    w3_live_in, b3_live_in = net.output_layer()
+    w3_live_out, b3_live_out = got.output_layer()
+    np.testing.assert_allclose(w3_live_out, w3_live_in)
+    np.testing.assert_allclose(b3_live_out, b3_live_in)
+    assert got.file_lists[0] == ["x/a.wav", "x/b.wav"]
+    assert got.file_lists[1] == []
+    assert got.file_lists[2] == ["y/c.wav"]
+    assert len(got.embeddings) == 3
+    np.testing.assert_allclose(got.embeddings[1][0], net.embeddings[1][0])
+    assert got.embeddings[1][1] == net.embeddings[1][1]
+
+
+def test_forward_identical_after_roundtrip(tmp_path):
+    net = _small_net()
+    path = str(tmp_path / "model.npz")
+    checkpoint.save(net, path)
+    got = checkpoint.load(path)
+    x = np.random.default_rng(0).normal(size=(10, 6)).astype(np.float32)
+    np.testing.assert_allclose(got.forward(x), net.forward(x), rtol=1e-6)
+
+
+def test_legacy_monolithic_w3(tmp_path):
+    """Reference fallback path src/lib.rs:1199-1207."""
+    rng = np.random.default_rng(3)
+    arrays = {
+        "w1": rng.normal(size=(6, 5)).astype(np.float32),
+        "b1": np.zeros(5, np.float32),
+        "w2": rng.normal(size=(5, 4)).astype(np.float32),
+        "b2": np.zeros(4, np.float32),
+        "w3": rng.normal(size=(4, 2)).astype(np.float32),
+        "b3": rng.normal(size=(2,)).astype(np.float32),
+        "sample_rate": np.array([44100], np.int64),
+        "bits": np.array([16], np.int64),
+    }
+    path = str(tmp_path / "legacy.npz")
+    np.savez(path, **arrays)
+    got = checkpoint.load(path)
+    assert got.num_speakers == 2
+    w3, b3 = got.output_layer()
+    np.testing.assert_allclose(w3, arrays["w3"])
+    np.testing.assert_allclose(b3, arrays["b3"])
+
+
+def test_entries_without_npy_extension(tmp_path):
+    """ndarray-npy may store zip entries without the .npy suffix."""
+    net = _small_net()
+    src = str(tmp_path / "model.npz")
+    dst = str(tmp_path / "stripped.npz")
+    checkpoint.save(net, src)
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(dst, "w") as zout:
+        for name in zin.namelist():
+            data = zin.read(name)
+            stripped = name[:-4] if name.endswith(".npy") else name
+            zout.writestr(stripped, data)
+    got = checkpoint.load(dst)
+    assert got.num_speakers == 3
+    assert got.file_lists[0] == ["x/a.wav", "x/b.wav"]
+
+
+def test_stego_layer_roundtrip(tmp_path):
+    net = _small_net()
+    rng = np.random.default_rng(5)
+    w4 = rng.normal(size=(4, 16)).astype(np.float32)
+    b4 = rng.normal(size=(16,)).astype(np.float32)
+    net.set_encoding_layer(w4, b4)
+    path = str(tmp_path / "model.npz")
+    checkpoint.save(net, path)
+    got = checkpoint.load(path)
+    enc = got.encoding_layer()
+    assert enc is not None
+    np.testing.assert_allclose(enc[0], w4)
+    np.testing.assert_allclose(enc[1], b4)
