@@ -1,0 +1,167 @@
+"""JAX/XLA MFCC frontend: batched, jitted, MXU-resident.
+
+TPU-first redesign of the reference's per-window scalar loop
+(``streamz-rs/src/lib.rs:279-345``).  The hop being exactly half the window
+lets the 800-point real DFT be computed from *non-overlapping* 400-sample
+blocks with two GEMMs and a shifted add (see
+:func:`streamz_tpu.dsp.mel.dft_block_matrices`), so the whole frontend is:
+
+    PCM [B, T] → blocks [B, nb, 400]
+      → DFT-power GEMMs (MXU) → [B, W, 401]
+      → mel GEMM → log → DCT GEMM → [B, W, 20]
+      → Δ/ΔΔ stencil + per-frame z-norm (VPU, fused by XLA)
+
+All shapes are static; ragged clip lengths are handled with a per-clip window
+count and masking, with host-side bucketing of the padded length to bound
+recompiles.  Golden-tested against :mod:`streamz_tpu.dsp.mfcc_ref`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamz_tpu import config
+from streamz_tpu.dsp import mel as melmod
+
+_BLOCK = config.HOP_SIZE  # 400
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _constants():
+    ct, cb, st, sb = melmod.dft_block_matrices()
+    fb = melmod.mel_filterbank()
+    dct = melmod.dct2_matrix()
+    return (
+        jnp.asarray(ct, jnp.float32),
+        jnp.asarray(cb, jnp.float32),
+        jnp.asarray(st, jnp.float32),
+        jnp.asarray(sb, jnp.float32),
+        jnp.asarray(fb.T, jnp.float32),   # [401, 26]
+        jnp.asarray(dct.T, jnp.float32),  # [26, 20]
+    )
+
+
+def window_count(n_samples) -> jnp.ndarray:
+    """Number of hop-400 windows in a clip (src/lib.rs:288-291)."""
+    n = jnp.asarray(n_samples)
+    return jnp.where(
+        n >= config.WINDOW_SIZE,
+        (n - config.WINDOW_SIZE) // config.HOP_SIZE + 1,
+        0,
+    )
+
+
+def mfcc_base(pcm: jax.Array) -> jax.Array:
+    """Base MFCCs for every candidate window. pcm: [B, T] f32 → [B, W, 20]
+    where W = T//400 - 1.  No masking/deltas — the FLOP-heavy GEMM stage."""
+    ct, cb, st, sb, fb_t, dct_t = _constants()
+    B, T = pcm.shape
+    nb = T // _BLOCK
+    blocks = pcm[:, : nb * _BLOCK].reshape(B, nb, _BLOCK)
+
+    re_top = jnp.einsum("bnj,jk->bnk", blocks, ct, precision=_PREC)
+    re_bot = jnp.einsum("bnj,jk->bnk", blocks, cb, precision=_PREC)
+    im_top = jnp.einsum("bnj,jk->bnk", blocks, st, precision=_PREC)
+    im_bot = jnp.einsum("bnj,jk->bnk", blocks, sb, precision=_PREC)
+
+    re = re_top[:, :-1] + re_bot[:, 1:]
+    im = im_top[:, :-1] + im_bot[:, 1:]
+    power = re * re + im * im  # [B, W, 401]
+
+    mel_e = jnp.einsum("bwk,km->bwm", power, fb_t, precision=_PREC)
+    mel_log = jnp.log(jnp.maximum(mel_e, 1e-12))
+    return jnp.einsum("bwm,mc->bwc", mel_log, dct_t, precision=_PREC)
+
+
+def deltas_and_norm(base: jax.Array, n_win: jax.Array) -> jax.Array:
+    """Δ/ΔΔ stencil + per-frame z-norm with per-clip edge clamping.
+
+    base: [B, W, 20]; n_win: [B] valid-window counts.  Returns [B, W, 60]
+    with invalid frames zeroed.
+    """
+    B, W, C = base.shape
+    idx = jnp.arange(W)[None, :]  # [1, W]
+    last = jnp.maximum(n_win[:, None] - 1, 0)  # [B, 1]
+    prev_i = jnp.maximum(idx - 1, 0)
+    next_i = jnp.minimum(idx + 1, last)
+
+    def gather(x, i):
+        return jnp.take_along_axis(x, i[..., None], axis=1)
+
+    d1 = (gather(base, next_i) - gather(base, prev_i)) / 2.0
+    d2 = (gather(d1, next_i) - gather(d1, prev_i)) / 2.0
+    feats = jnp.concatenate([base, d1, d2], axis=-1)  # [B, W, 60]
+
+    mean = feats.mean(axis=-1, keepdims=True)
+    var = ((feats - mean) ** 2).mean(axis=-1, keepdims=True)
+    std = jnp.maximum(jnp.sqrt(var), 1e-6)
+    feats = (feats - mean) / std
+
+    valid = (idx < n_win[:, None])[..., None]
+    return jnp.where(valid, feats, 0.0)
+
+
+@partial(jax.jit, static_argnames=())
+def mfcc_features(pcm: jax.Array, n_samples: jax.Array) -> jax.Array:
+    """Full frontend: [B, T] f32 PCM + [B] lengths → [B, W, 60] features."""
+    base = mfcc_base(pcm)
+    return deltas_and_norm(base, window_count(n_samples))
+
+
+# ---------------------------------------------------------------------------
+# Host-side ragged-batch wrapper with length bucketing.
+# ---------------------------------------------------------------------------
+
+
+def _bucket_len(n: int) -> int:
+    """Round a sample count up to a power-of-two number of 400-blocks."""
+    nb = max(4, -(-n // _BLOCK))
+    p = 1
+    while p < nb:
+        p *= 2
+    return p * _BLOCK
+
+
+def _to_f32(samples: np.ndarray) -> np.ndarray:
+    samples = np.asarray(samples)
+    if np.issubdtype(samples.dtype, np.integer):
+        return samples.astype(np.float32) / 32767.0
+    return samples.astype(np.float32)
+
+
+def extract_features(samples: np.ndarray) -> np.ndarray:
+    """Single clip → [n_windows, 60] float32 (device-computed)."""
+    return extract_features_batch([samples])[0]
+
+
+def extract_features_batch(clips: Sequence[np.ndarray]) -> List[np.ndarray]:
+    """Many ragged clips → list of [n_windows_i, 60] arrays.
+
+    Clips are grouped by padded-length bucket and each group runs as one
+    batched device call — the TPU replacement for the reference's rayon
+    fan-out over files (src/main.rs:500-508).
+    """
+    if not clips:
+        return []
+    f32 = [_to_f32(c) for c in clips]
+    buckets: dict[int, list[int]] = {}
+    for i, c in enumerate(f32):
+        buckets.setdefault(_bucket_len(len(c)), []).append(i)
+
+    out: List[np.ndarray] = [None] * len(clips)  # type: ignore[list-item]
+    for tlen, idxs in buckets.items():
+        batch = np.zeros((len(idxs), tlen), np.float32)
+        lens = np.zeros((len(idxs),), np.int32)
+        for row, i in enumerate(idxs):
+            batch[row, : len(f32[i])] = f32[i]
+            lens[row] = len(f32[i])
+        feats = np.asarray(mfcc_features(jnp.asarray(batch), jnp.asarray(lens)))
+        n_wins = np.asarray(window_count(lens))
+        for row, i in enumerate(idxs):
+            out[i] = feats[row, : int(n_wins[row])].copy()
+    return out
