@@ -1,0 +1,210 @@
+"""Jitted training steps reproducing the reference's SGD semantics.
+
+The reference trains with hand-written backprop (``streamz-rs/src/lib.rs:954-1060``):
+softmax + cross-entropy whose output delta is exactly ``softmax(logits) - target``
+— including the quirk that an out-of-range target class yields a zero target
+vector and a pure ``softmax`` delta (``pretrain_from_features`` builds the
+one-hot only when ``target_class < num_classes``, ``src/lib.rs:592-594``).
+Autodiffing the clamped log-loss would *not* reproduce that, so the gradient
+here is taken of ``logsumexp(logits) - <target, logits>``, whose derivative is
+that exact delta for any target vector.
+
+``train_on_windows`` reproduces the full ``pretrain_from_features`` loop
+(``src/lib.rs:582-628``) as one jitted ``lax.scan``:
+
+  per epoch: shuffle windows → chunks of ``batch_size`` → per-window feature
+  dropout (plain zeroing, no 1/(1-p) rescale, ``src/lib.rs:119-129``) →
+  windows that become all-zero are skipped (``:607-609``) → the *mean*
+  gradient over surviving windows is applied once per chunk (``train_batch``,
+  ``:1002-1060``) → the reported loss is ``-ln(max(p_target, 1e-12))``
+  accumulated over surviving windows (``:610-616``).
+
+Masked class growth: logits beyond ``num_speakers`` sit at a large negative
+constant, so their softmax mass and gradients are exactly zero, matching the
+reference's ``w3[.., ..num_speakers]`` slicing (``src/lib.rs:961-962``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from streamz_tpu.nn.model import MASK_LOGIT, Params, forward_logits
+
+
+def _delta_loss(params: Params, x: jax.Array, target: jax.Array, num_speakers) -> jax.Array:
+    """Scalar whose gradient wrt params is the reference's backprop delta.
+
+    x: [B, in]; target: [B, capacity] (rows may be all-zero); returns the
+    summed surrogate over the batch.
+    """
+    logits = forward_logits(params, x, num_speakers)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    return jnp.sum(lse - jnp.sum(target * logits, axis=-1))
+
+
+def report_loss(params: Params, x: jax.Array, target: jax.Array, num_speakers) -> jax.Array:
+    """Per-sample reference-reported CE loss: -sum t*ln(max(p,1e-12))."""
+    logits = forward_logits(params, x, num_speakers)
+    p = jax.nn.softmax(logits, axis=-1)
+    return -jnp.sum(target * jnp.log(jnp.maximum(p, 1e-12)), axis=-1)
+
+
+def train_batch(
+    params: Params,
+    batch: jax.Array,
+    target: jax.Array,
+    lr,
+    num_speakers,
+    weights: jax.Array | None = None,
+) -> Params:
+    """One mean-gradient SGD step over a batch (src/lib.rs:1002-1060).
+
+    ``weights``: optional [B] 0/1 mask of samples included in the batch; the
+    mean divides by the *included* count, and a fully-masked batch applies no
+    update (the reference skips empty batches at ``:1003-1005``).
+    """
+    B = batch.shape[0]
+    w = jnp.ones((B,), jnp.float32) if weights is None else weights
+
+    def summed(p):
+        logits = forward_logits(p, batch, num_speakers)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        per = lse - jnp.sum(target * logits, axis=-1)
+        return jnp.sum(per * w)
+
+    grads = jax.grad(summed)(params)
+    count = jnp.sum(w)
+    scale = jnp.where(count > 0, lr / jnp.maximum(count, 1.0), 0.0)
+    return jax.tree_util.tree_map(lambda p, g: p - scale * g, params, grads)
+
+
+@partial(jax.jit, static_argnames=("epochs", "batch_size"), donate_argnums=(0,))
+def train_on_windows(
+    params: Params,
+    windows: jax.Array,   # [N_pad, F] feature windows (padded)
+    n_valid: jax.Array,   # scalar count of real windows
+    target_vec: jax.Array,  # [capacity] target vector (may be all-zero)
+    num_speakers: jax.Array,  # scalar int
+    key: jax.Array,
+    lr: jax.Array,
+    dropout: jax.Array,
+    *,
+    epochs: int,
+    batch_size: int,
+) -> Tuple[Params, jax.Array]:
+    """``pretrain_from_features`` (src/lib.rs:582-628) as one fused scan.
+
+    ``target_vec`` is the capacity-length target; the reference builds it as a
+    one-hot only when ``target_class < num_classes`` (src/lib.rs:592-594) —
+    callers replicate that rule in :mod:`streamz_tpu.nn.drivers`.
+
+    Returns (new_params, mean reported loss over all processed windows).
+    """
+    n_pad, feat = windows.shape
+    n_chunks = n_pad // batch_size
+    capacity = params["b3"].shape[0]
+
+    def epoch_body(carry, ekey):
+        params, loss_sum, loss_cnt = carry
+        k_perm, k_drop = jax.random.split(ekey)
+
+        # Shuffle: valid windows first in random order, padding last.
+        scores = jnp.where(
+            jnp.arange(n_pad) < n_valid,
+            jax.random.uniform(k_perm, (n_pad,)),
+            jnp.inf,
+        )
+        order = jnp.argsort(scores)
+
+        # Per-window feature dropout (plain zeroing).
+        keep = jax.random.uniform(k_drop, (n_pad, feat)) >= dropout
+        dropped = jnp.where(keep, windows[order], 0.0)
+        valid = (jnp.arange(n_pad) < n_valid) & jnp.any(dropped != 0.0, axis=-1)
+
+        def chunk_body(carry, c):
+            params, loss_sum, loss_cnt = carry
+            start = c * batch_size
+            batch = jax.lax.dynamic_slice(
+                dropped, (start, 0), (batch_size, feat)
+            )
+            wmask = jax.lax.dynamic_slice(
+                valid.astype(jnp.float32), (start,), (batch_size,)
+            )
+            tgt = jnp.broadcast_to(target_vec, (batch_size, capacity))
+            losses = report_loss(params, batch, tgt, num_speakers)
+            loss_sum = loss_sum + jnp.sum(losses * wmask)
+            loss_cnt = loss_cnt + jnp.sum(wmask)
+            params = train_batch(params, batch, tgt, lr, num_speakers, wmask)
+            return (params, loss_sum, loss_cnt), None
+
+        (params, loss_sum, loss_cnt), _ = jax.lax.scan(
+            chunk_body, (params, loss_sum, loss_cnt), jnp.arange(n_chunks)
+        )
+        return (params, loss_sum, loss_cnt), None
+
+    ekeys = jax.random.split(key, epochs)
+    (params, loss_sum, loss_cnt), _ = jax.lax.scan(
+        epoch_body, (params, jnp.float32(0.0), jnp.float32(0.0)), ekeys
+    )
+    mean_loss = jnp.where(loss_cnt > 0, loss_sum / jnp.maximum(loss_cnt, 1.0), 0.0)
+    return params, mean_loss
+
+
+# ---------------------------------------------------------------------------
+# Stego (sigmoid + MSE) training step (src/lib.rs:917-951).
+# ---------------------------------------------------------------------------
+
+
+def train_bits_step(params: Params, x: jax.Array, target: jax.Array, lr) -> Params:
+    """Single-sample MSE+sigmoid SGD step on the *unmasked* output layer.
+
+    Reference delta chain: ``delta_out = (out - t) * out * (1 - out)``
+    (src/lib.rs:926-927) — exactly the gradient of 0.5*||sigmoid(z) - t||^2,
+    so plain autodiff of that loss reproduces it.
+    """
+
+    def loss(p):
+        h1 = jax.nn.relu(x @ p["w1"] + p["b1"])
+        h2 = jnp.tanh(h1 @ p["w2"] + p["b2"])
+        out = jax.nn.sigmoid(h2 @ p["w3"] + p["b3"])
+        return 0.5 * jnp.sum((out - target) ** 2)
+
+    grads = jax.grad(loss)(params)
+    return jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+
+
+# ---------------------------------------------------------------------------
+# High-throughput corpus-batched step (the TPU-native fast path): one big
+# labeled batch, mean CE gradient, used by the data-parallel trainer in
+# streamz_tpu/parallel.  This replaces the reference's per-file rayon loop
+# (src/main.rs:750-835) when exact incremental semantics are not required.
+# ---------------------------------------------------------------------------
+
+
+def corpus_step(
+    params: Params,
+    batch: jax.Array,     # [B, F]
+    labels: jax.Array,    # [B] int32
+    weights: jax.Array,   # [B] 0/1 valid mask
+    num_speakers,
+    lr,
+) -> Tuple[Params, jax.Array]:
+    """One SGD step on a large labeled batch; returns (params, mean CE loss)."""
+    capacity = params["b3"].shape[0]
+    target = jax.nn.one_hot(labels, capacity, dtype=jnp.float32)
+    target = target * (labels < num_speakers)[:, None].astype(jnp.float32)
+
+    def summed(p):
+        logits = forward_logits(p, batch, num_speakers)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        per = lse - jnp.sum(target * logits, axis=-1)
+        return jnp.sum(per * weights)
+
+    loss_val, grads = jax.value_and_grad(summed)(params)
+    count = jnp.maximum(jnp.sum(weights), 1.0)
+    params = jax.tree_util.tree_map(lambda p, g: p - (lr / count) * g, params, grads)
+    return params, loss_val / count
