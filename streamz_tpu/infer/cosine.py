@@ -1,0 +1,159 @@
+"""Cosine-similarity centroid matching with the reference's gating rules.
+
+- ``cosine_similarity`` (``streamz-rs/src/lib.rs:1532-1541``): zero when
+  either norm is exactly zero.
+- ``identify_speaker_from_embedding`` (``src/lib.rs:1499-1529``): best
+  centroid by cosine; the threshold relaxes to ``0.7 * threshold`` when fewer
+  than 20 speakers exist; no match → ``None`` (the reference's ``usize::MAX``
+  "new speaker" sentinel).
+- ``identify_speaker_cosine(_feats)`` (``src/lib.rs:1604-1661``): adaptive
+  per-speaker gate — reject ``sim < mean_sim - 2*std_sim``; accept when
+  ``sim > 0.35`` and (``sim > mean_sim + std_sim*f`` or ``sim > 0.5``) with
+  ``f = 0.3`` under 200 speakers else 1.0; winner must also beat the caller's
+  threshold (``best_val`` starts at ``threshold``).
+- ``compute_speaker_embeddings`` (``src/lib.rs:1555-1599``): per-speaker
+  centroid = normalized mean of per-file median embeddings (from the feature
+  cache), plus mean/std of the cosine similarities to the centroid.
+
+The batched comparisons run as one [n x dim] @ [dim] device matvec.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from streamz_tpu.infer.embed import (
+    extract_embedding,
+    extract_embedding_from_features,
+    median_embedding_from_features,
+    normalize,
+)
+from streamz_tpu.nn.model import SpeakerNet
+
+SpeakerStats = Tuple[np.ndarray, float, float]  # (mean, mean_sim, std_sim)
+
+
+def cosine_similarity(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    na = float(np.sqrt((a * a).sum()))
+    nb = float(np.sqrt((b * b).sum()))
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return float(a @ b) / (na * nb)
+
+
+def _cosine_matrix(emb: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Cosine of one embedding vs many centroids, zero-norm safe. [n]"""
+    emb = np.asarray(emb, np.float32)
+    centroids = np.asarray(centroids, np.float32)
+    ne = np.sqrt((emb * emb).sum())
+    nc = np.sqrt((centroids * centroids).sum(axis=1))
+    dots = centroids @ emb
+    denom = ne * nc
+    return np.where(denom > 0.0, dots / np.where(denom == 0.0, 1.0, denom), 0.0)
+
+
+def identify_speaker_from_embedding(
+    emb: np.ndarray,
+    speaker_embeddings: Dict[int, np.ndarray],
+    threshold: float,
+) -> Optional[int]:
+    """Best-centroid match with the <20-speaker relaxation (src/lib.rs:1499-1529).
+
+    Returns the speaker id, or ``None`` for "create a new speaker".
+    """
+    if not speaker_embeddings:
+        return None
+    ids = list(speaker_embeddings.keys())
+    centroids = np.stack([np.asarray(speaker_embeddings[i], np.float32) for i in ids])
+    sims = _cosine_matrix(emb, centroids)
+    best = int(np.argmax(sims))
+    dynamic_threshold = threshold * 0.7 if len(ids) < 20 else threshold
+    if float(sims[best]) > dynamic_threshold:
+        return ids[best]
+    return None
+
+
+def _adaptive_match(
+    emb: np.ndarray,
+    speaker_embeds: Sequence[SpeakerStats],
+    threshold: float,
+) -> Optional[int]:
+    """Shared adaptive gate of identify_speaker_cosine(_feats)."""
+    if not speaker_embeds:
+        return None
+    centroids = np.stack([np.asarray(m, np.float32) for m, _, _ in speaker_embeds])
+    mean_sims = np.array([m for _, m, _ in speaker_embeds], np.float32)
+    std_sims = np.array([s for _, _, s in speaker_embeds], np.float32)
+    sims = _cosine_matrix(emb, centroids)
+
+    factor = 0.3 if len(speaker_embeds) < 200 else 1.0
+    not_rejected = sims >= (mean_sims - 2.0 * std_sims)
+    dynamic = mean_sims + std_sims * factor
+    accepted = (sims > 0.35) & ((sims > dynamic) | (sims > 0.5)) & not_rejected
+
+    best_idx: Optional[int] = None
+    best_val = threshold
+    for i in range(len(speaker_embeds)):
+        if accepted[i] and sims[i] > best_val:
+            best_val = float(sims[i])
+            best_idx = i
+    return best_idx
+
+
+def identify_speaker_cosine(
+    net: SpeakerNet,
+    speaker_embeds: Sequence[SpeakerStats],
+    sample,
+    threshold: float,
+    extractor=None,
+) -> Optional[int]:
+    """Adaptive-gate match on raw PCM (src/lib.rs:1604-1631)."""
+    if not speaker_embeds:
+        return None
+    emb = extract_embedding(net, sample, extractor)
+    return _adaptive_match(emb, speaker_embeds, threshold)
+
+
+def identify_speaker_cosine_feats(
+    net: SpeakerNet,
+    speaker_embeds: Sequence[SpeakerStats],
+    windows: np.ndarray,
+    threshold: float,
+) -> Optional[int]:
+    """Adaptive-gate match on precomputed windows (src/lib.rs:1634-1661)."""
+    if not speaker_embeds:
+        return None
+    emb = normalize(extract_embedding_from_features(net, windows))
+    return _adaptive_match(emb, speaker_embeds, threshold)
+
+
+def compute_speaker_embeddings(
+    net: SpeakerNet, extractor=None
+) -> Optional[List[SpeakerStats]]:
+    """Per-speaker (mean, mean_sim, std_sim) from the feature cache
+    (src/lib.rs:1555-1599)."""
+    from streamz_tpu.dsp.features import load_cached_features
+
+    out: List[SpeakerStats] = []
+    for files in net.file_lists[: net.output_size()]:
+        embeds: List[np.ndarray] = []
+        for path in files:
+            try:
+                wins = load_cached_features(path, extractor)
+            except Exception:
+                continue
+            emb = normalize(median_embedding_from_features(net, wins))
+            embeds.append(emb)
+        if not embeds:
+            out.append((np.zeros((net.embedding_size(),), np.float32), 0.0, 0.0))
+            continue
+        mean = normalize(np.mean(embeds, axis=0))
+        sims = np.array([cosine_similarity(e, mean) for e in embeds], np.float32)
+        mean_sim = float(sims.mean())
+        std_sim = float(np.sqrt(((sims - mean_sim) ** 2).mean()))
+        out.append((mean, mean_sim, std_sim))
+    return out

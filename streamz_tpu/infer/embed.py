@@ -1,0 +1,89 @@
+"""Clip-level embedding extraction (median/mean pooled, L2-normalized).
+
+Preserves the reference's *intentional* asymmetries between call sites
+(SURVEY.md "quirks"): ``extract_embedding`` pools the tanh-h2 head with a
+per-dimension median (``streamz-rs/src/lib.rs:1418-1447``) while
+``extract_embedding_from_features`` pools the ReLU-h2 head with a mean
+(``src/lib.rs:1450-1471``) and ``median_embedding_from_features`` pools the
+ReLU-h2 head with a median (``src/lib.rs:1474-1495``).  All pooling runs
+vmapped on device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamz_tpu.nn.model import SpeakerNet, embed as embed_fn, forward_embedding
+
+
+def normalize(v: np.ndarray) -> np.ndarray:
+    """L2-normalize when the norm exceeds 1e-6 (src/lib.rs:132-139)."""
+    v = np.asarray(v, np.float32)
+    norm = float(np.sqrt((v * v).sum()))
+    if norm > 1e-6:
+        return v / norm
+    return v.copy()
+
+
+def average_vectors(vectors) -> np.ndarray:
+    """Mean of vectors, L2-normalized (src/lib.rs:144-159)."""
+    vectors = [np.asarray(v, np.float32) for v in vectors]
+    if not vectors:
+        return np.zeros((0,), np.float32)
+    return normalize(np.mean(vectors, axis=0))
+
+
+average_features = average_vectors  # src/lib.rs:162-164
+
+
+@jax.jit
+def _embed_median(params, windows):
+    e = embed_fn(params, windows)  # tanh head
+    return jnp.median(e, axis=0)
+
+
+@jax.jit
+def _fembed_mean(params, windows):
+    e = forward_embedding(params, windows)  # relu head
+    return e.mean(axis=0)
+
+
+@jax.jit
+def _fembed_median(params, windows):
+    e = forward_embedding(params, windows)
+    return jnp.median(e, axis=0)
+
+
+def extract_embedding(net: SpeakerNet, sample, extractor=None) -> np.ndarray:
+    """Median-pooled tanh-h2 embedding of raw PCM (src/lib.rs:1418-1447)."""
+    from streamz_tpu.dsp.features import FeatureExtractor
+
+    extractor = extractor or FeatureExtractor()
+    windows = extractor.extract(np.asarray(sample))
+    if len(windows) == 0:
+        return np.zeros((net.embedding_size(),), np.float32)
+    emb = np.asarray(_embed_median(net.params, jnp.asarray(windows)))
+    return normalize(emb)
+
+
+def extract_embedding_from_features(net: SpeakerNet, feats: np.ndarray) -> np.ndarray:
+    """Mean-pooled ReLU-h2 embedding (src/lib.rs:1450-1471).
+
+    This is the variant the incremental loop and ``--eval`` use.
+    """
+    feats = np.asarray(feats, np.float32)
+    if len(feats) == 0:
+        return np.zeros((net.embedding_size(),), np.float32)
+    emb = np.asarray(_fembed_mean(net.params, jnp.asarray(feats)))
+    return normalize(emb)
+
+
+def median_embedding_from_features(net: SpeakerNet, feats: np.ndarray) -> np.ndarray:
+    """Median-pooled ReLU-h2 embedding (src/lib.rs:1474-1495)."""
+    feats = np.asarray(feats, np.float32)
+    if len(feats) == 0:
+        return np.zeros((net.embedding_size(),), np.float32)
+    emb = np.asarray(_fembed_median(net.params, jnp.asarray(feats)))
+    return normalize(emb)

@@ -1,0 +1,99 @@
+"""On-device speaker identification: window voting and thresholds.
+
+Device-batched rebuilds of the reference's L4 identifiers — each is a single
+vmapped forward + reduction instead of the per-window scalar loop:
+
+- ``identify_speaker``: sum softmax over windows → argmax
+  (``streamz-rs/src/lib.rs:1285-1303``)
+- ``identify_speaker_with_threshold(_feats)``: confidence = best_sum/count,
+  ``None`` below threshold or when ``output_size <= 1``
+  (``src/lib.rs:1307-1377``)
+- ``identify_speaker_list``: per-window argmax votes with a per-window
+  probability gate, sorted by descending count (``src/lib.rs:1383-1411``)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamz_tpu.nn.model import SpeakerNet, forward
+
+
+@jax.jit
+def _prob_sums(params, windows, num_speakers):
+    probs = forward(params, windows, num_speakers)  # [W, capacity]
+    return probs.sum(axis=0), probs
+
+
+def _windows_of(net: SpeakerNet, sample, extractor):
+    from streamz_tpu.dsp.features import FeatureExtractor
+
+    extractor = extractor or FeatureExtractor()
+    return extractor.extract(np.asarray(sample))
+
+
+def identify_speaker(
+    net: SpeakerNet, sample, extractor=None
+) -> int:
+    """Argmax of summed window softmax (src/lib.rs:1285-1303)."""
+    windows = _windows_of(net, sample, extractor)
+    if len(windows) == 0:
+        return 0
+    sums, _ = _prob_sums(net.params, jnp.asarray(windows), net.num_speakers)
+    return int(np.asarray(sums)[: net.num_speakers].argmax()) if net.num_speakers else 0
+
+
+def identify_speaker_with_threshold_feats(
+    net: SpeakerNet, windows: np.ndarray, threshold: float
+) -> Optional[int]:
+    """Thresholded voting on precomputed windows (src/lib.rs:1346-1377)."""
+    if net.output_size() <= 1:
+        return None  # single-speaker nets always answer "unknown" (:1316-1318)
+    windows = np.asarray(windows, np.float32)
+    if len(windows) == 0:
+        return None
+    sums, _ = _prob_sums(net.params, jnp.asarray(windows), net.num_speakers)
+    sums = np.asarray(sums)[: net.num_speakers]
+    best_idx = int(sums.argmax())
+    confidence = float(sums[best_idx]) / len(windows)
+    return best_idx if confidence >= threshold else None
+
+
+def identify_speaker_with_threshold(
+    net: SpeakerNet, sample, threshold: float, extractor=None
+) -> Optional[int]:
+    """Thresholded voting on raw PCM (src/lib.rs:1307-1343)."""
+    if net.output_size() <= 1:
+        return None
+    windows = _windows_of(net, sample, extractor)
+    return identify_speaker_with_threshold_feats(net, windows, threshold)
+
+
+def identify_speaker_list(
+    net: SpeakerNet, sample, threshold: float, extractor=None
+) -> List[int]:
+    """All speakers present, by per-window votes (src/lib.rs:1383-1411).
+
+    A window votes for its argmax class when that probability clears the
+    threshold; speakers are returned sorted by descending vote count, ties in
+    ascending id order (Rust's stable sort on count only).
+    """
+    windows = _windows_of(net, sample, extractor)
+    if len(windows) == 0 or net.num_speakers == 0:
+        return []
+    _, probs = _prob_sums(net.params, jnp.asarray(windows), net.num_speakers)
+    probs = np.asarray(probs)[:, : net.num_speakers]
+    best = probs.argmax(axis=1)
+    best_val = probs.max(axis=1)
+    counts = np.bincount(
+        best[best_val >= threshold], minlength=net.num_speakers
+    )
+    order = sorted(
+        (i for i in range(net.num_speakers) if counts[i] > 0),
+        key=lambda i: (-counts[i], i),
+    )
+    return list(order)
