@@ -1,0 +1,195 @@
+"""Steganography subsystem: hide a file's bits in network weights.
+
+Capability parity with the reference (``streamz-rs/src/lib.rs:1717-1825``,
+``src/main.rs:185-198``, ``:671-701``):
+
+- trigger: an ingested MP3 whose SHA-512 equals the active checksum constant
+  arms the subsystem (host-side, :mod:`streamz_tpu.io.audio`);
+- ``encode_file``: train a 512-in/512/256/(8·len)-out net with sigmoid+MSE
+  steps at lr 0.5 for up to 10M epochs until every output bit rounds to its
+  target, with the checksum's 512 bits as the only input — run as one
+  on-device ``lax.while_loop`` with the bit-exact early-exit predicate;
+- the trained output layer is stashed on the classifier as ``w4``/``b4``
+  (npz ``w4_{i}``/``b4_{i}`` columns);
+- ``extract_file`` / ``extract_file_from_classifier``: present the checksum
+  bits, threshold sigmoid outputs at 0.5, repack bytes MSB-first.
+
+**Conscious fix (documented deviation):** the reference's decoder rebuilds the
+hidden layers with *fresh random weights* (``SimpleNeuralNet::new`` inside
+``extract_file_from_classifier``, ``src/lib.rs:1807-1825``) while the encoder's
+trained hidden layers are discarded (``src/main.rs:690-695``) — so recovery of
+the hidden bytes is impossible in the reference.  Here the encode net's hidden
+layers are *derived deterministically from the checksum* (seeded init) and
+frozen during encoding, so the decoder can reconstruct them from the same
+checksum and ``--decode`` genuinely recovers the file, bit-exactly, from only
+the stored ``w4``/``b4`` columns.  Schema and CLI surface are unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamz_tpu import config
+from streamz_tpu.nn.model import SpeakerNet, round_capacity
+
+
+def hex_to_bytes(s: str) -> bytes:
+    """Lenient hex parse (src/lib.rs:60-65): invalid byte pairs are skipped."""
+    out = bytearray()
+    for i in range(0, len(s) - 1, 2):
+        try:
+            out.append(int(s[i : i + 2], 16))
+        except ValueError:
+            continue
+    return bytes(out)
+
+
+def bytes_to_bits(data: bytes) -> np.ndarray:
+    """MSB-first bit expansion (src/lib.rs:1726-1731)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return np.unpackbits(arr).astype(np.float32)
+
+
+def bits_to_bytes(bits: np.ndarray) -> bytes:
+    """MSB-first bit packing (src/lib.rs:1791-1801)."""
+    bits = np.asarray(bits).astype(np.uint8)
+    pad = (-len(bits)) % 8
+    if pad:
+        bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+    return np.packbits(bits).tobytes()
+
+
+def checksum_input_bits() -> np.ndarray:
+    """The 512 input bits derived from the active checksum constant."""
+    return bytes_to_bits(hex_to_bytes(config.get_checksum_constant()))
+
+
+def _seed_from_checksum() -> int:
+    digest = hashlib.sha256(config.get_checksum_constant().encode()).digest()
+    return int.from_bytes(digest[:4], "little")
+
+
+def _hidden_activation(input_bits: np.ndarray, hidden1: int = 512, hidden2: int = 256) -> np.ndarray:
+    """Deterministic checksum-keyed hidden feature vector h2 (see module doc)."""
+    rng = np.random.default_rng(_seed_from_checksum())
+    n_in = len(input_bits)
+    w1 = rng.uniform(-0.5, 0.5, size=(n_in, hidden1)).astype(np.float32)
+    w2 = rng.uniform(-0.5, 0.5, size=(hidden1, hidden2)).astype(np.float32)
+    h1 = np.maximum(input_bits @ w1, 0.0)
+    h2 = np.tanh(h1 @ w2)
+    return h2.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("max_epochs",), donate_argnums=(0, 1))
+def _train_bits_loop(
+    w3: jax.Array,      # [h2, n_out_cap]
+    b3: jax.Array,      # [n_out_cap]
+    h2: jax.Array,      # [h2] fixed hidden activation
+    target: jax.Array,  # [n_out_cap] (padding targets are 0)
+    n_bits: jax.Array,  # scalar: number of real bits
+    lr: float,
+    *,
+    max_epochs: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """On-device while_loop: sigmoid+MSE SGD until every real bit rounds right
+    (src/lib.rs:1753-1764), or max_epochs."""
+    n_cap = b3.shape[0]
+    bit_idx = jnp.arange(n_cap)
+    prec = jax.lax.Precision.HIGHEST
+    # The reference exits as soon as every bit *rounds* correctly
+    # (src/lib.rs:1756-1763).  A small margin is required on top so the
+    # decision survives f32/backend-matmul differences between the training
+    # device and the host decoder.
+    margin = 0.02
+
+    def bits_match(w3, b3):
+        out = jax.nn.sigmoid(jnp.dot(h2, w3, precision=prec) + b3)
+        ok = jnp.where(target > 0.5, out > 0.5 + margin, out < 0.5 - margin)
+        return jnp.all(ok | (bit_idx >= n_bits))
+
+    def cond(state):
+        w3, b3, step, done = state
+        return (~done) & (step < max_epochs)
+
+    def body(state):
+        w3, b3, step, _ = state
+        # delta = (out - t) * out * (1 - out)  (src/lib.rs:926-927)
+        out = jax.nn.sigmoid(jnp.dot(h2, w3, precision=prec) + b3)
+        delta = (out - target) * out * (1.0 - out)
+        w3 = w3 - lr * jnp.outer(h2, delta)
+        b3 = b3 - lr * delta
+        return w3, b3, step + 1, bits_match(w3, b3)
+
+    w3, b3, steps, done = jax.lax.while_loop(
+        cond, body, (w3, b3, jnp.int32(0), bits_match(w3, b3))
+    )
+    return w3, b3, steps
+
+
+def encode_file(path: str, *, max_epochs: int = config.STEGO_MAX_EPOCHS) -> SpeakerNet:
+    """Encode a file's bits into a fresh network (src/lib.rs:1717-1772)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    print(f"Encoding file {path}...")
+    target_bits = bytes_to_bits(data)
+    input_bits = checksum_input_bits()
+    n_bits = len(target_bits)
+
+    h2 = _hidden_activation(input_bits)
+    cap = round_capacity(n_bits)
+    # Zero init: every sigmoid output starts at 0.5 with maximal MSE gradient,
+    # so no bit can start saturated on the wrong side (the reference's random
+    # init can leave bits in the sigmoid's flat region where the
+    # (out-t)*out*(1-out) delta vanishes and 10M epochs still fail).
+    w3 = np.zeros((len(h2), cap), np.float32)
+    b3 = np.zeros((cap,), np.float32)
+    target_pad = np.zeros((cap,), np.float32)
+    target_pad[:n_bits] = target_bits
+
+    w3_j, b3_j, steps = _train_bits_loop(
+        jnp.asarray(w3), jnp.asarray(b3), jnp.asarray(h2),
+        jnp.asarray(target_pad), jnp.int32(n_bits), config.STEGO_LR,
+        max_epochs=int(max_epochs),
+    )
+    print(f"Finished encoding {path} ({int(steps)} steps)")
+
+    net = SpeakerNet.new(
+        input_size=len(input_bits), hidden1=512, hidden2=len(h2), output=1,
+        seed=_seed_from_checksum(),
+    )
+    net.num_speakers = n_bits
+    net.file_lists = [[] for _ in range(n_bits)]
+    w3_np = np.asarray(w3_j)[:, :n_bits]
+    b3_np = np.asarray(b3_j)[:n_bits]
+    net.set_output_layer(w3_np, b3_np)
+    # Stash as the encoding layer (the reference mirrors w3 -> w4,
+    # src/lib.rs:1768-1770).
+    net.set_encoding_layer(w3_np, b3_np)
+    return net
+
+
+def extract_file(w_out: np.ndarray, b_out: np.ndarray) -> bytes:
+    """Recover bytes from a stored output layer via the checksum-keyed hidden
+    activation (src/lib.rs:1777-1802, with the decode fix — see module doc)."""
+    input_bits = checksum_input_bits()
+    h2 = _hidden_activation(input_bits, hidden2=int(w_out.shape[0]))
+    out = 1.0 / (1.0 + np.exp(-(h2 @ np.asarray(w_out, np.float32) + np.asarray(b_out, np.float32))))
+    bits = (out > 0.5).astype(np.uint8)
+    return bits_to_bytes(bits)
+
+
+def extract_file_from_classifier(net: SpeakerNet) -> bytes:
+    """Decode from a classifier: prefer the stashed w4/b4 stego layer, else
+    fall back to the classifier's own output layer (src/lib.rs:1807-1825)."""
+    enc = net.encoding_layer()
+    if enc is not None:
+        w4, b4 = enc
+        return extract_file(w4, b4)
+    w3, b3 = net.output_layer()
+    return extract_file(w3, b3)
