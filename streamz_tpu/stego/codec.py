@@ -143,11 +143,16 @@ def encode_file(path: str, *, max_epochs: int = config.STEGO_MAX_EPOCHS) -> Spea
 
     h2 = _hidden_activation(input_bits)
     cap = round_capacity(n_bits)
-    # Zero init: every sigmoid output starts at 0.5 with maximal MSE gradient,
-    # so no bit can start saturated on the wrong side (the reference's random
-    # init can leave bits in the sigmoid's flat region where the
-    # (out-t)*out*(1-out) delta vanishes and 10M epochs still fail).
-    w3 = np.zeros((len(h2), cap), np.float32)
+    # Random init scaled so initial pre-activations stay in the sigmoid's
+    # responsive region (|z| ~ O(1)).  The reference's U(-0.5, 0.5) init can
+    # leave bits saturated on the wrong side where the (out-t)*out*(1-out)
+    # delta vanishes and even 10M epochs fail; a *zero* init would converge
+    # but collapses every w3 column onto the span of h2, destroying the
+    # checksum-key dependence of the stored weights.  Small random init gives
+    # both convergence and key-dependence.
+    rng = np.random.default_rng(_seed_from_checksum() ^ 0x5EED)
+    scale = 1.0 / max(float(np.linalg.norm(h2)), 1.0)
+    w3 = rng.uniform(-scale, scale, size=(len(h2), cap)).astype(np.float32)
     b3 = np.zeros((cap,), np.float32)
     target_pad = np.zeros((cap,), np.float32)
     target_pad[:n_bits] = target_bits
