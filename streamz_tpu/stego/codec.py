@@ -75,6 +75,19 @@ def _seed_from_checksum() -> int:
     return int.from_bytes(digest[:4], "little")
 
 
+def _keystream(n_bits: int) -> np.ndarray:
+    """Checksum-derived whitening keystream (uint8 0/1 of length n_bits).
+
+    The sigmoid trainer's updates are rank-1 in the hidden activation, so the
+    raw stored bit pattern would survive decoding under *any* positively
+    correlated key.  XOR-whitening the payload with a checksum-keyed stream
+    makes a wrong checksum decode to uniform noise while the npz schema and
+    training loop stay unchanged.
+    """
+    rng = np.random.default_rng(_seed_from_checksum() ^ 0xC0DEC0DE)
+    return rng.integers(0, 2, size=n_bits, dtype=np.uint8)
+
+
 def _hidden_activation(input_bits: np.ndarray, hidden1: int = 512, hidden2: int = 256) -> np.ndarray:
     """Deterministic checksum-keyed hidden feature vector h2 (see module doc)."""
     rng = np.random.default_rng(_seed_from_checksum())
@@ -155,7 +168,9 @@ def encode_file(path: str, *, max_epochs: int = config.STEGO_MAX_EPOCHS) -> Spea
     w3 = rng.uniform(-scale, scale, size=(len(h2), cap)).astype(np.float32)
     b3 = np.zeros((cap,), np.float32)
     target_pad = np.zeros((cap,), np.float32)
-    target_pad[:n_bits] = target_bits
+    target_pad[:n_bits] = np.bitwise_xor(
+        target_bits.astype(np.uint8), _keystream(n_bits)
+    ).astype(np.float32)
 
     w3_j, b3_j, steps = _train_bits_loop(
         jnp.asarray(w3), jnp.asarray(b3), jnp.asarray(h2),
@@ -186,6 +201,7 @@ def extract_file(w_out: np.ndarray, b_out: np.ndarray) -> bytes:
     h2 = _hidden_activation(input_bits, hidden2=int(w_out.shape[0]))
     out = 1.0 / (1.0 + np.exp(-(h2 @ np.asarray(w_out, np.float32) + np.asarray(b_out, np.float32))))
     bits = (out > 0.5).astype(np.uint8)
+    bits = np.bitwise_xor(bits, _keystream(len(bits)))
     return bits_to_bytes(bits)
 
 
