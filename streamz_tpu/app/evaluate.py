@@ -1,0 +1,126 @@
+"""``--eval`` mode: accuracy/precision/recall/F1 against stored centroids.
+
+Rebuild of ``streamz-rs/src/main.rs:522-625``.  Note the documented asymmetry:
+eval matches with *plain* ``sim > threshold`` (``:589``), not the adaptive
+gate used during training.  Metric formulas reproduce ``:613-623`` exactly:
+
+    accuracy  = correct / max(len(targets), 1)
+    precision = TP / max(TP + FP, 1)
+    recall    = TP / max(TP + FN, 1)
+    f1        = 2PR / max(P + R, 1e-6)
+
+``--eval-split`` support: when ``target_files.txt`` is absent, a fraction of
+the *labeled* training entries (the tail of the list, deterministic) is used
+as the evaluation set — this flag is documented in the reference README
+(README.md:72) but dead in its code; implemented for real here.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from streamz_tpu.infer.embed import extract_embedding_from_features, normalize
+from streamz_tpu.io import filelists as fl
+from streamz_tpu.nn.model import SpeakerNet
+
+
+def evaluate(
+    net: SpeakerNet,
+    feature_map: Dict[str, np.ndarray],
+    target_files: List[Tuple[str, int]],
+    threshold: float,
+    *,
+    verbose: bool = True,
+) -> Dict[str, float]:
+    """Run the evaluation loop; returns the metrics dict."""
+
+    def log(msg: str) -> None:
+        if verbose:
+            print(msg, file=sys.stderr)
+
+    # Batched clip embeddings vs the [S x dim] centroid matrix.
+    centroids = {
+        i: np.asarray(mean, np.float32)
+        for i, (mean, _, _) in enumerate(net.embeddings)
+    }
+    log(f"Total speaker embeddings available: {len(centroids)}")
+
+    true_positive = false_positive = false_negative = correct = 0
+
+    for path, true_class in target_files:
+        windows = feature_map.get(path)
+        if windows is None:
+            log(f"No features found for {path}")
+            continue
+        embedding = normalize(extract_embedding_from_features(net, windows))
+        emb_norm = float(np.linalg.norm(embedding))
+        log(
+            f"\nEvaluating file: {path}\nTrue class: {true_class}"
+            f"\nEmbedding norm: {emb_norm:.6f}"
+        )
+
+        best_id: Optional[int] = None
+        best_sim = -np.inf
+        for sid, centroid in centroids.items():
+            na = np.linalg.norm(embedding)
+            nb = np.linalg.norm(centroid)
+            sim = float(embedding @ centroid / (na * nb)) if na and nb else 0.0
+            log(f"  -> Similarity to speaker {sid}: {sim:.6f}")
+            if sim > threshold and sim > best_sim:
+                best_sim = sim
+                best_id = sid
+
+        if best_id == true_class:
+            correct += 1
+            true_positive += 1
+        elif best_id is None:
+            false_negative += 1
+            log("  -> Unclassified")
+        else:
+            false_positive += 1
+            log(
+                f"  -> Misclassified: predicted speaker {best_id}, "
+                f"true speaker {true_class}"
+            )
+
+    total = max(len(target_files), 1)
+    accuracy = correct / total
+    precision = true_positive / max(true_positive + false_positive, 1)
+    recall = true_positive / max(true_positive + false_negative, 1)
+    f1 = 2.0 * precision * recall / max(precision + recall, 1e-6)
+
+    print("\nEvaluation complete:")
+    print(f"  Accuracy:  {100.0 * accuracy:.2f}%")
+    print(f"  Precision: {100.0 * precision:.2f}%")
+    print(f"  Recall:    {100.0 * recall:.2f}%")
+    print(f"  F1-score:  {100.0 * f1:.2f}%")
+    return {
+        "accuracy": accuracy,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "correct": correct,
+        "true_positive": true_positive,
+        "false_positive": false_positive,
+        "false_negative": false_negative,
+    }
+
+
+def build_eval_targets(
+    train_file_list: str,
+    target_file_list: str,
+    eval_split: float,
+) -> List[Tuple[str, int]]:
+    """Resolve the evaluation set: ``target_files.txt`` when present, else the
+    tail ``eval_split`` fraction of the labeled training entries."""
+    targets = fl.load_target_files(target_file_list)
+    if targets:
+        return targets
+    labeled = [(p, c) for p, c in fl.load_train_files(train_file_list) if c is not None]
+    if not labeled or eval_split <= 0.0:
+        return []
+    n_eval = max(1, int(round(len(labeled) * min(eval_split, 1.0))))
+    return labeled[-n_eval:]

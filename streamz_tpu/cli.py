@@ -1,0 +1,300 @@
+"""The StreamZ CLI driver.
+
+Flag surface and mode dispatch mirror the reference binary
+(``streamz-rs/src/main.rs:326-892``), including the flags that are documented
+in its README but dead in its code (``--force``/``--retrain``/``--eval-split``/
+``--cluster-embeddings`` — implemented for real here, per SURVEY.md §5.6):
+
+  streamz [--threshold <v>] [--burn-in-limit <n>] [--max-speakers <n>]
+          [--no-cache-wav] [--eval] [--eval-split <frac>] [--check-embeddings]
+          [--cluster-embeddings <k>] [--force] [--retrain]
+          [--encode <file>] [--decode <out>] [--checksum <hex>]
+
+Parsing is intentionally lenient like the reference's hand-rolled scanner
+(``src/main.rs:343-448``): unknown flags are ignored, malformed values fall
+back to defaults with a warning.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from streamz_tpu import config
+from streamz_tpu.app.embedquality import print_embedding_quality
+from streamz_tpu.app.evaluate import build_eval_targets, evaluate
+from streamz_tpu.app.incremental import finalize_and_save, run_incremental
+from streamz_tpu.dsp.features import FeatureExtractor
+from streamz_tpu.infer.cluster import cluster_embeddings
+from streamz_tpu.infer.cosine import compute_speaker_embeddings
+from streamz_tpu.io import audio, filelists as fl
+from streamz_tpu.nn import checkpoint, drivers
+from streamz_tpu.nn.model import SpeakerNet
+from streamz_tpu.runtime.progress import progress
+from streamz_tpu.stego import codec
+
+
+def _flag_value(args: List[str], flag: str) -> Optional[str]:
+    if flag in args:
+        idx = args.index(flag)
+        if idx + 1 < len(args):
+            return args[idx + 1]
+        print(f"Missing value for {flag}", file=sys.stderr)
+    return None
+
+
+def _parse_float(args, flag, default, label=None):
+    raw = _flag_value(args, flag)
+    if raw is None:
+        return default
+    try:
+        return float(raw)
+    except ValueError:
+        print(
+            f"Invalid value for {flag} '{raw}', using default {default}",
+            file=sys.stderr,
+        )
+        return default
+
+
+def _parse_int(args, flag) -> Optional[int]:
+    raw = _flag_value(args, flag)
+    if raw is None:
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        print(
+            f"Invalid value for {flag} '{raw}', using automatic setting",
+            file=sys.stderr,
+        )
+        return None
+
+
+def build_feature_map(
+    paths: List[str], extractor: FeatureExtractor, show_progress: bool = True
+) -> Dict[str, np.ndarray]:
+    """batch_resample + batched device feature extraction
+    (src/main.rs:486-509, rayon fan-outs #1/#2 → thread pool + one batched
+    device call)."""
+    resampled = audio.batch_resample(paths)
+    clips = [s for _, s in resampled]
+    feats = extractor.extract_batch(clips)
+    return {p: f for (p, _), f in zip(resampled, feats)}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = list(sys.argv[1:] if argv is None else argv)
+
+    conf_threshold = _parse_float(args, "--threshold", config.DEFAULT_CONF_THRESHOLD)
+    eval_split = _parse_float(args, "--eval-split", 0.2)
+    burn_in_limit = _parse_int(args, "--burn-in-limit")
+    max_speakers = _parse_int(args, "--max-speakers")
+    cluster_k = _parse_int(args, "--cluster-embeddings")
+    encode_path = _flag_value(args, "--encode")
+    decode_path = _flag_value(args, "--decode")
+    checksum_arg = _flag_value(args, "--checksum")
+    eval_mode = "--eval" in args
+    check_embeddings = "--check-embeddings" in args
+    force_retrain = "--force" in args or "--retrain" in args
+    no_cache_wav = "--no-cache-wav" in args
+    config.set_wav_cache_enabled(not no_cache_wav)
+
+    if checksum_arg:
+        config.set_checksum_constant_override(checksum_arg)
+
+    extractor = FeatureExtractor()
+
+    if check_embeddings:
+        try:
+            net = checkpoint.load(config.MODEL_PATH)
+        except Exception as e:
+            print(
+                f"Failed to load model from {config.MODEL_PATH}: {e}",
+                file=sys.stderr,
+            )
+            return 1
+        print(f"Loaded {config.MODEL_PATH} for embedding check")
+        print_embedding_quality(net)
+        return 0
+
+    if cluster_k is not None:
+        try:
+            net = checkpoint.load(config.MODEL_PATH)
+        except Exception as e:
+            print(f"Failed to load model: {e}", file=sys.stderr)
+            return 1
+        embeds = [np.asarray(m) for m, _, _ in net.embeddings]
+        if not embeds:
+            print("No embeddings available to cluster")
+            return 0
+        labels = cluster_embeddings(embeds, cluster_k, 20)
+        for i, lab in enumerate(labels):
+            print(f"Speaker {i} -> cluster {lab}")
+        return 0
+
+    if decode_path:
+        # --decode always decodes standalone and exits before any training
+        # (src/main.rs:450-469; the in-training decode branch at :672-685 is
+        # unreachable because of this early return).
+        return _standalone_decode(decode_path)
+
+    train_files = fl.load_train_files(config.TRAIN_FILE_LIST)
+    if not train_files:
+        print(f"{config.TRAIN_FILE_LIST} is empty", file=sys.stderr)
+        return 1
+    original_paths = [p for p, _ in train_files]
+    target_files = fl.load_target_files(config.TARGET_FILE_LIST)
+
+    audio.precache_mp3_files(train_files)
+    if eval_mode:
+        audio.precache_target_files(target_files)
+
+    path_list = [p for p, _ in train_files]
+    if eval_mode:
+        path_list.extend(p for p, _ in target_files)
+    feature_map = build_feature_map(path_list, extractor)
+
+    for p, _ in train_files:
+        if p not in feature_map:
+            print(f"No features found for training path: {p}", file=sys.stderr)
+
+    dataset_size = len(train_files)
+    burn_in_default = int(np.ceil(dataset_size * config.DEFAULT_BURN_IN_FRAC))
+    burn_in_limit_val = (
+        burn_in_limit
+        if burn_in_limit is not None
+        else min(max(burn_in_default, 10), 50)
+    )
+    max_speakers_val = (
+        max_speakers
+        if max_speakers is not None
+        else fl.count_speakers(train_files) + 10
+    )
+
+    if eval_mode:
+        print(f"Evaluating with threshold = {conf_threshold}")
+        targets = build_eval_targets(
+            config.TRAIN_FILE_LIST, config.TARGET_FILE_LIST, eval_split
+        )
+        raw_train = fl.load_train_files(config.TRAIN_FILE_LIST)
+        targets_opt = [(p, c) for p, c in targets]
+        label_map = fl.build_label_map(raw_train, targets_opt)
+        norm_targets = fl.normalize_with_map(targets_opt, label_map)
+        if not os.path.exists(config.MODEL_PATH):
+            print(
+                f"Model file {config.MODEL_PATH} not found. Please train first.",
+                file=sys.stderr,
+            )
+            return 1
+        print(f"Loading model from {config.MODEL_PATH}")
+        try:
+            net = checkpoint.load(config.MODEL_PATH)
+        except Exception as e:
+            print(f"Failed to load model: {e}", file=sys.stderr)
+            return 1
+        print(f"Model contains {len(net.embeddings)} saved embeddings")
+        evaluate(net, feature_map, norm_targets, conf_threshold)
+        return 0
+
+    # ------------------------------------------------------------------
+    # Training / incremental mode (src/main.rs:627-891)
+    # ------------------------------------------------------------------
+    num_speakers = fl.count_speakers(train_files)
+    model_exists = os.path.exists(config.MODEL_PATH) and not force_retrain
+    if model_exists:
+        try:
+            net = checkpoint.load(config.MODEL_PATH)
+            print(f"Loaded saved model from {config.MODEL_PATH}")
+            net.set_embeddings(compute_speaker_embeddings(net, extractor) or [])
+        except Exception as e:
+            print(f"Failed to load model: {e}", file=sys.stderr)
+            net = SpeakerNet.new(output=max(num_speakers, 1))
+            model_exists = False
+    else:
+        if num_speakers == 0:
+            num_speakers = 1
+            p0, _ = train_files[0]
+            train_files[0] = (p0, 0)
+            print("No labeled speakers found - assigned speaker 0 to first file.")
+        net = SpeakerNet.new(output=max(num_speakers, 1))
+
+    if not model_exists:
+        train_refs = [(p, c) for p, c in train_files if c is not None]
+        if train_refs:
+            loss = drivers.train_from_feature_map(
+                net,
+                feature_map,
+                train_refs,
+                config.TRAIN_EPOCHS,
+                0.01,
+                config.DEFAULT_DROPOUT,
+                config.BATCH_SIZE,
+            )
+            print(f"Initial training loss: {loss:.4f}")
+
+    if audio.CHECKSUM_TRIGGERED.is_set():
+        if encode_path:
+            print(f"Hiding {encode_path} in neural network")
+            try:
+                enc_net = codec.encode_file(encode_path)
+                enc = enc_net.encoding_layer()
+                if enc is not None:
+                    net.set_encoding_layer(*enc)
+                else:
+                    net.set_encoding_layer(*enc_net.output_layer())
+            except Exception as e:
+                print(f"Encoding failed: {e}", file=sys.stderr)
+            # training continues after encoding (src/main.rs:699)
+
+    result = run_incremental(
+        net,
+        train_files,
+        feature_map,
+        burn_in_limit=burn_in_limit_val,
+        conf_threshold=conf_threshold,
+        max_speakers=max_speakers_val,
+    )
+
+    finalize_and_save(net, result)
+
+    updated = list(zip(original_paths, (c for _, c in train_files)))
+    fl.write_train_files(config.TRAIN_FILE_LIST, updated)
+    fl.write_target_files(config.TARGET_FILE_LIST, train_files)
+    print("Updated training file labels:")
+    for p, c in updated:
+        if c is not None:
+            print(f"{p} -> speaker {c + 1}")
+        else:
+            print(f"{p} -> speaker unknown")
+    print(f"Processed {fl.count_speakers(train_files)} speakers in this batch.")
+    print(f"Number of speakers discovered: {net.output_size()}")
+    for i in range(net.output_size()):
+        n = len(result.speaker_features.get(i, []))
+        print(f"Speaker {i}: {n} samples")
+    return 0
+
+
+def _standalone_decode(out_path: str) -> int:
+    try:
+        net = checkpoint.load(config.MODEL_PATH)
+    except Exception as e:
+        print(f"Failed to load model: {e}", file=sys.stderr)
+        return 1
+    print(f"Loaded model from {config.MODEL_PATH}")
+    data = codec.extract_file_from_classifier(net)
+    try:
+        with open(out_path, "wb") as f:
+            f.write(data)
+        print(f"Decoded {len(data)} bytes")
+    except OSError as e:
+        print(f"Failed to create {out_path}: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""The communication layer: named-axis collectives over ICI/DCN.
+
+The reference has *no* distributed backend — its "communication" is shared
+memory behind locks (``Arc<RwLock<SimpleNeuralNet>>`` at
+``streamz-rs/src/main.rs:710``, a mutex'd loss accumulator at ``:713``, atomic
+counters at ``:714``; see SURVEY.md §2.4).  In the SPMD rebuild those all
+become collectives over a mesh axis:
+
+- the lock-serialized gradient application → ``psum`` gradient allreduce
+  (rides ICI within a slice);
+- the shared loss accumulator / file counter → ``psum`` scalars;
+- the snapshot-then-compute centroid reads → ``all_gather``.
+
+Multi-host jobs bootstrap with ``jax.distributed.initialize`` (DCN between
+hosts); inside a slice the same named-axis code runs unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Canonical mesh axis names.
+DATA_AXIS = "data"      # files/windows sharded across chips (the rayon-pool analogue)
+WINDOW_AXIS = "window"  # long-clip window-axis sharding (the CP analogue)
+
+
+def psum(x, axis: str = DATA_AXIS):
+    return jax.lax.psum(x, axis_name=axis)
+
+
+def pmean(x, axis: str = DATA_AXIS):
+    return jax.lax.pmean(x, axis_name=axis)
+
+
+def all_gather(x, axis: str = DATA_AXIS, *, tiled: bool = False):
+    return jax.lax.all_gather(x, axis_name=axis, tiled=tiled)
+
+
+def axis_index(axis: str = DATA_AXIS):
+    return jax.lax.axis_index(axis)
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    """A 1-D device mesh over the first ``n_devices`` local devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devs), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dimension across the mesh axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bootstrap over DCN (``jax.distributed.initialize``).
+
+    No-op when the job is single-process (the common case in tests and on a
+    single host); multi-host launchers pass coordinator/process info or rely
+    on the cluster environment's auto-detection.
+    """
+    if num_processes is None and coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -1,0 +1,81 @@
+"""Window-axis sharding for very long recordings — the MFCC analogue of
+context/sequence parallelism (SURVEY.md §5.7).
+
+The reference has no attention; its "long sequence" story is chunking audio
+into i.i.d. 800-sample windows and aggregating per-clip statistics
+(``streamz-rs/src/lib.rs:1285-1303`` vote sums, ``:1450-1471`` embedding
+means).  The only cross-window coupling is the radius-1 Δ/ΔΔ stencil
+(``src/lib.rs:212-228``) and the per-clip pooling — so a long clip shards its
+*window axis* across chips, each chip runs the forward on its shard, and a
+single ``psum`` over ICI merges the vote sums / pooled-embedding statistics.
+
+For the MFCC frontend itself the delta stencil at shard edges is handled by
+giving each shard one halo block of PCM on each side (the BlockSpec-style
+overlap), which is cheaper than a halo exchange of MFCC frames.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from streamz_tpu.nn.model import Params, forward, forward_embedding
+from streamz_tpu.parallel import comm
+
+
+def make_sharded_vote_step(mesh: Mesh):
+    """Vote-sum aggregation with windows sharded across chips.
+
+    ``step(params, windows, valid, num_speakers) -> (prob_sums, count)``:
+    the device-local softmax sums are psum-merged, reproducing
+    ``identify_speaker``'s global sum (src/lib.rs:1290-1297) exactly.
+    """
+
+    def _local(params, windows, valid, num_speakers):
+        probs = forward(params, windows, num_speakers)  # [w_local, capacity]
+        probs = probs * valid[:, None]
+        sums = comm.psum(jnp.sum(probs, axis=0), comm.WINDOW_AXIS)
+        count = comm.psum(jnp.sum(valid), comm.WINDOW_AXIS)
+        return sums, count
+
+    shard = partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(comm.WINDOW_AXIS), P(comm.WINDOW_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard(_local))
+
+
+def make_sharded_embedding_step(mesh: Mesh):
+    """Mean ReLU-h2 clip embedding with windows sharded across chips.
+
+    Reproduces ``extract_embedding_from_features`` (src/lib.rs:1450-1471):
+    psum of the per-shard embedding sums and window counts, then the global
+    mean (L2 normalization stays on the host caller, matching the reference's
+    separate ``normalize`` call sites).
+    """
+
+    def _local(params, windows, valid):
+        emb = forward_embedding(params, windows)  # [w_local, h2]
+        emb = emb * valid[:, None]
+        total = comm.psum(jnp.sum(emb, axis=0), comm.WINDOW_AXIS)
+        count = comm.psum(jnp.sum(valid), comm.WINDOW_AXIS)
+        return total / jnp.maximum(count, 1.0)
+
+    shard = partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(comm.WINDOW_AXIS), P(comm.WINDOW_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(shard(_local))
+
+
+def make_window_mesh(n_devices=None) -> Mesh:
+    return comm.make_mesh(n_devices, axis=comm.WINDOW_AXIS)

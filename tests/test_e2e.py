@@ -1,0 +1,150 @@
+"""End-to-end CLI tests on the bundled Common Voice MP3s.
+
+Exercises the full discovery pipeline the way the reference's own sample data
+does (``train_files.txt`` → decode → resample → features → incremental
+training → labels written back → model.npz → --eval / --check-embeddings).
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from streamz_tpu import config
+from streamz_tpu.cli import main as cli_main
+from streamz_tpu.io import filelists as fl
+from streamz_tpu.nn import checkpoint
+
+REF_DATA = "/root/reference/streamz-rs/examples/training_data"
+CLIPS = [
+    "common_voice_fr_41911269.mp3",
+    "common_voice_fr_41922955.mp3",
+    "common_voice_fr_42346439.mp3",
+    "common_voice_fr_42483609.mp3",
+    "common_voice_fr_42541248.mp3",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DATA), reason="reference sample data absent"
+)
+
+
+@pytest.fixture()
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    data = tmp_path / "data"
+    data.mkdir()
+    for c in CLIPS:
+        shutil.copy(os.path.join(REF_DATA, c), data / c)
+    return tmp_path
+
+
+def _write_train_list(workdir, labels=None):
+    entries = []
+    for i, c in enumerate(CLIPS):
+        lab = None if labels is None else labels[i]
+        entries.append((f"data/{c}", lab))
+    fl.write_train_files(str(workdir / "train_files.txt"), entries)
+    return entries
+
+
+def test_unlabeled_discovery_run(workdir, capsys):
+    """No labels, no model: burn-in spawns classes, labels written back."""
+    _write_train_list(workdir)
+    rc = cli_main([])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Number of speakers discovered:" in out
+
+    # model.npz written with the reference schema
+    assert (workdir / "model.npz").exists()
+    net = checkpoint.load(str(workdir / "model.npz"))
+    assert net.output_size() >= 1
+
+    # labels were written back for every file, original paths preserved
+    got = fl.load_train_files(str(workdir / "train_files.txt"))
+    assert [p for p, _ in got] == [f"data/{c}" for c in CLIPS]
+    assert all(c is not None for _, c in got)
+
+    # target_files.txt refreshed with cached wav paths + labels
+    targets = fl.load_target_files(str(workdir / "target_files.txt"))
+    assert len(targets) == len(CLIPS)
+    assert all(p.startswith("cache/") for p, _ in targets)
+
+    # caches created
+    assert (workdir / "cache").is_dir()
+    assert len(list((workdir / "cache").glob("*.wav"))) == len(CLIPS)
+
+
+def test_labeled_train_then_eval(workdir, capsys):
+    """Labeled 2-speaker training then --eval reports metrics."""
+    labels = [0, 0, 1, 1, 0]
+    _write_train_list(workdir, labels)
+    rc = cli_main([])
+    assert rc == 0
+    capsys.readouterr()
+
+    # --eval uses target_files.txt written by the training run
+    rc = cli_main(["--eval", "--threshold", "0.5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Evaluation complete:" in out
+    assert "Accuracy:" in out
+    # Evaluating the training set with stored centroids: should be well
+    # above chance (the reference makes no accuracy promise; we assert the
+    # pipeline produces a sane signal).
+    acc_line = [l for l in out.splitlines() if "Accuracy" in l][0]
+    acc = float(acc_line.split()[-1].rstrip("%"))
+    assert acc >= 60.0
+
+
+def test_resume_continues_training(workdir, capsys):
+    labels = [0, 0, 1, 1, 0]
+    _write_train_list(workdir, labels)
+    assert cli_main([]) == 0
+    net1 = checkpoint.load(str(workdir / "model.npz"))
+    capsys.readouterr()
+    # Second run loads the model and continues (no initial-training line).
+    assert cli_main([]) == 0
+    out = capsys.readouterr().out
+    assert "Loaded saved model" in out
+    assert "Initial training loss" not in out
+    net2 = checkpoint.load(str(workdir / "model.npz"))
+    assert net2.output_size() == net1.output_size()
+
+
+def test_check_embeddings_mode(workdir, capsys):
+    labels = [0, 0, 1, 1, 0]
+    _write_train_list(workdir, labels)
+    assert cli_main([]) == 0
+    capsys.readouterr()
+    assert cli_main(["--check-embeddings"]) == 0
+    out = capsys.readouterr().out
+    assert "Saved embeddings found" in out
+    assert "Average mean similarity:" in out
+
+
+def test_cluster_embeddings_mode(workdir, capsys):
+    labels = [0, 0, 1, 1, 0]
+    _write_train_list(workdir, labels)
+    assert cli_main([]) == 0
+    capsys.readouterr()
+    assert cli_main(["--cluster-embeddings", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "cluster" in out
+
+
+def test_empty_train_list_errors(workdir, capsys):
+    (workdir / "train_files.txt").write_text("")
+    assert cli_main([]) == 1
+    assert "is empty" in capsys.readouterr().err
+
+
+def test_feature_cache_populated_after_run(workdir):
+    labels = [0, 0, 1, 1, 0]
+    _write_train_list(workdir, labels)
+    assert cli_main([]) == 0
+    # compute_speaker_embeddings reads/writes feature_cache at finalize
+    assert (workdir / "feature_cache").is_dir()
+    assert len(list((workdir / "feature_cache").glob("*.npy"))) > 0
