@@ -36,13 +36,15 @@ def _constants():
     ct, cb, st, sb = melmod.dft_block_matrices()
     fb = melmod.mel_filterbank()
     dct = melmod.dct2_matrix()
+    # One fused [400, 4*401] DFT matrix: a single large MXU GEMM beats four
+    # narrow ones (better systolic-array utilization).
+    import numpy as _np
+
+    dft_all = _np.concatenate([ct, cb, st, sb], axis=1)
     return (
-        jnp.asarray(ct, jnp.float32),
-        jnp.asarray(cb, jnp.float32),
-        jnp.asarray(st, jnp.float32),
-        jnp.asarray(sb, jnp.float32),
-        jnp.asarray(fb.T, jnp.float32),   # [401, 26]
-        jnp.asarray(dct.T, jnp.float32),  # [26, 20]
+        jnp.asarray(dft_all, jnp.float32),  # [400, 1604]
+        jnp.asarray(fb.T, jnp.float32),     # [401, 26]
+        jnp.asarray(dct.T, jnp.float32),    # [26, 20]
     )
 
 
@@ -59,15 +61,17 @@ def window_count(n_samples) -> jnp.ndarray:
 def mfcc_base(pcm: jax.Array) -> jax.Array:
     """Base MFCCs for every candidate window. pcm: [B, T] f32 → [B, W, 20]
     where W = T//400 - 1.  No masking/deltas — the FLOP-heavy GEMM stage."""
-    ct, cb, st, sb, fb_t, dct_t = _constants()
+    dft_all, fb_t, dct_t = _constants()
     B, T = pcm.shape
     nb = T // _BLOCK
+    nbins = config.N_FFT_BINS
     blocks = pcm[:, : nb * _BLOCK].reshape(B, nb, _BLOCK)
 
-    re_top = jnp.einsum("bnj,jk->bnk", blocks, ct, precision=_PREC)
-    re_bot = jnp.einsum("bnj,jk->bnk", blocks, cb, precision=_PREC)
-    im_top = jnp.einsum("bnj,jk->bnk", blocks, st, precision=_PREC)
-    im_bot = jnp.einsum("bnj,jk->bnk", blocks, sb, precision=_PREC)
+    parts = jnp.einsum("bnj,jk->bnk", blocks, dft_all, precision=_PREC)
+    re_top = parts[..., 0 * nbins : 1 * nbins]
+    re_bot = parts[..., 1 * nbins : 2 * nbins]
+    im_top = parts[..., 2 * nbins : 3 * nbins]
+    im_bot = parts[..., 3 * nbins : 4 * nbins]
 
     re = re_top[:, :-1] + re_bot[:, 1:]
     im = im_top[:, :-1] + im_bot[:, 1:]
@@ -86,16 +90,25 @@ def deltas_and_norm(base: jax.Array, n_win: jax.Array) -> jax.Array:
     """
     B, W, C = base.shape
     idx = jnp.arange(W)[None, :]  # [1, W]
-    last = jnp.maximum(n_win[:, None] - 1, 0)  # [B, 1]
-    prev_i = jnp.maximum(idx - 1, 0)
-    next_i = jnp.minimum(idx + 1, last)
+    valid = (idx < n_win[:, None])[..., None]  # [B, W, 1]
+    last = jnp.maximum(n_win - 1, 0)[:, None, None]  # [B, 1, 1]
 
-    def gather(x, i):
-        return jnp.take_along_axis(x, i[..., None], axis=1)
+    def clamp_tail(x):
+        # Replicate each clip's last valid frame into the padding region so a
+        # plain edge-padded central difference is automatically edge-clamped
+        # at the per-clip boundary (one [B, 1, C] gather instead of full
+        # take_along_axis gathers).
+        last_frame = jnp.take_along_axis(x, jnp.broadcast_to(last, (B, 1, C)), axis=1)
+        return jnp.where(valid, x, last_frame)
 
-    d1 = (gather(base, next_i) - gather(base, prev_i)) / 2.0
-    d2 = (gather(d1, next_i) - gather(d1, prev_i)) / 2.0
-    feats = jnp.concatenate([base, d1, d2], axis=-1)  # [B, W, 60]
+    def central_diff(x):
+        xp = jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)
+        return (xp[:, 2:] - xp[:, :-2]) / 2.0
+
+    base_c = clamp_tail(base)
+    d1 = clamp_tail(central_diff(base_c))
+    d2 = central_diff(d1)
+    feats = jnp.concatenate([base_c, d1, d2], axis=-1)  # [B, W, 60]
 
     mean = feats.mean(axis=-1, keepdims=True)
     var = ((feats - mean) ** 2).mean(axis=-1, keepdims=True)

@@ -111,8 +111,28 @@ def batch_resample(
     paths: List[str], max_workers: Optional[int] = None
 ) -> List[Tuple[str, np.ndarray]]:
     """Load+resample many files in parallel, dropping failures silently
-    (src/lib.rs:541-547).  Thread-pool backed; decode releases the GIL in
-    libmpg123 and numpy's FFT."""
+    (src/lib.rs:541-547).
+
+    Fast path: the C++ native runtime decodes all files on a std::thread pool
+    (:mod:`streamz_tpu.io.native`), then downmix+resample runs vectorized on
+    the host.  Falls back to a Python thread pool when the native library is
+    unavailable — identical results either way."""
+    from streamz_tpu.io import native
+
+    if native.available():
+        decoded = native.batch_decode(paths, threads=max_workers or 0)
+        out: List[Tuple[str, np.ndarray]] = []
+        for p, clip in zip(paths, decoded):
+            if clip is None:
+                continue
+            samples, rate, channels = clip
+            try:
+                mono = downmix_to_mono(samples, channels)
+                out.append((p, resample_to_44100(mono, rate)))
+            except Exception:
+                continue
+        return out
+
     def _safe(p: str):
         try:
             return load_and_resample_file(p)

@@ -1,0 +1,148 @@
+"""ctypes binding for the C++ native ingest runtime (``native/``).
+
+Builds ``libstreamz_native.so`` on first use (plain ``make``) and exposes the
+threaded batch decoder.  Callers fall back to the pure-Python ingest when the
+native library is unavailable; behavior is identical (the native layer is the
+performance path, mirroring the reference's minimp3/hound/rayon stack).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libstreamz_native.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_attempted = False
+
+
+class _SzClip(ctypes.Structure):
+    _fields_ = [
+        ("samples", ctypes.POINTER(ctypes.c_int16)),
+        ("len", ctypes.c_int64),
+        ("rate", ctypes.c_int32),
+        ("channels", ctypes.c_int32),
+        ("status", ctypes.c_int32),
+    ]
+
+
+def _try_build() -> bool:
+    global _build_attempted
+    if _build_attempted:
+        return os.path.exists(_SO_PATH)
+    _build_attempted = True
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+            capture_output=True, timeout=120,
+        )
+    except Exception:
+        return False
+    return os.path.exists(_SO_PATH)
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The native library, building it on demand; None if unavailable."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO_PATH) and not _try_build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        lib.sz_decode_mp3.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.sz_read_wav.argtypes = lib.sz_decode_mp3.argtypes
+        lib.sz_write_wav.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int16,
+        ]
+        lib.sz_batch_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(_SzClip),
+        ]
+        lib.sz_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _clip_to_numpy(lib, clip: _SzClip) -> Optional[Tuple[np.ndarray, int, int]]:
+    if clip.status != 0 or not clip.samples:
+        return None
+    arr = np.ctypeslib.as_array(clip.samples, shape=(clip.len,)).copy()
+    lib.sz_free(clip.samples)
+    return arr.astype(np.int16, copy=False), int(clip.rate), int(clip.channels)
+
+
+def decode_file(path: str) -> Optional[Tuple[np.ndarray, int, int]]:
+    """Decode one MP3/WAV natively → (interleaved i16, rate, channels)."""
+    lib = load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_int16)()
+    n = ctypes.c_int64(0)
+    rate = ctypes.c_int32(0)
+    ch = ctypes.c_int32(0)
+    fn = lib.sz_decode_mp3 if path.lower().endswith(".mp3") else lib.sz_read_wav
+    rc = fn(path.encode(), ctypes.byref(out), ctypes.byref(n),
+            ctypes.byref(rate), ctypes.byref(ch))
+    if rc != 0:
+        return None
+    arr = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
+    lib.sz_free(out)
+    return arr.astype(np.int16, copy=False), int(rate.value), int(ch.value)
+
+
+def batch_decode(
+    paths: List[str], threads: int = 0
+) -> List[Optional[Tuple[np.ndarray, int, int]]]:
+    """Threaded native batch decode; per-path None on failure."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = len(paths)
+    if n == 0:
+        return []
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    clips = (_SzClip * n)()
+    lib.sz_batch_decode(c_paths, n, threads, clips)
+    return [_clip_to_numpy(lib, clips[i]) for i in range(n)]
+
+
+def write_wav_native(path: str, samples: np.ndarray, rate: int = 44100) -> bool:
+    lib = load()
+    if lib is None:
+        return False
+    pcm = np.ascontiguousarray(samples, dtype=np.int16)
+    rc = lib.sz_write_wav(
+        path.encode(),
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        len(pcm), rate, 1,
+    )
+    return rc == 0
