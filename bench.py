@@ -38,20 +38,26 @@ def _bench_device(batch_clips: int = 32, clip_seconds: float = 10.0, iters: int 
     )
     n_samples = jnp.full((batch_clips,), t, jnp.int32)
 
-    # Warmup / compile.
-    out = mfcc_features(pcm, n_samples)
-    jax.block_until_ready(out)
-    out = mfcc_features(pcm, n_samples)
-    jax.block_until_ready(out)
+    # Iterations are chained through a data dependency inside one jitted
+    # scan, and only a scalar is read back: the axon tunnel's
+    # block_until_ready does not reliably block, and bulk host readbacks
+    # would measure the tunnel, not the chip.
+    @jax.jit
+    def chained(pcm, n_samples):
+        def body(c, _):
+            f = mfcc_features(pcm + c, n_samples)
+            return jnp.sum(f) * 1e-12, None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
 
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = mfcc_features(pcm, n_samples)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
+    float(chained(pcm, n_samples))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        float(chained(pcm, n_samples))
+        best = min(best, (time.perf_counter() - start) / iters)
 
-    windows = batch_clips * n_win * iters
-    return windows / elapsed
+    return batch_clips * n_win / best
 
 
 def _bench_cpu_baseline(clip_seconds: float = 4.0, iters: int = 2):

@@ -33,6 +33,7 @@ from streamz_tpu.infer.cosine import compute_speaker_embeddings
 from streamz_tpu.io import audio, filelists as fl
 from streamz_tpu.nn import checkpoint, drivers
 from streamz_tpu.nn.model import SpeakerNet
+from streamz_tpu.runtime.profiler import PhaseTimer, trace
 from streamz_tpu.runtime.progress import progress
 from streamz_tpu.stego import codec
 
@@ -75,14 +76,20 @@ def _parse_int(args, flag) -> Optional[int]:
 
 
 def build_feature_map(
-    paths: List[str], extractor: FeatureExtractor, show_progress: bool = True
+    paths: List[str], extractor: FeatureExtractor, show_progress: bool = True,
+    timer=None,
 ) -> Dict[str, np.ndarray]:
     """batch_resample + batched device feature extraction
     (src/main.rs:486-509, rayon fan-outs #1/#2 → thread pool + one batched
     device call)."""
-    resampled = audio.batch_resample(paths)
-    clips = [s for _, s in resampled]
-    feats = extractor.extract_batch(clips)
+    from streamz_tpu.runtime.watchdog import watchdog
+
+    timer = timer or PhaseTimer()
+    with timer.phase("ingest"), watchdog("ingest", 600.0):
+        resampled = audio.batch_resample(paths)
+    with timer.phase("features"):
+        clips = [s for _, s in resampled]
+        feats = extractor.extract_batch(clips)
     return {p: f for (p, _), f in zip(resampled, feats)}
 
 
@@ -102,6 +109,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     force_retrain = "--force" in args or "--retrain" in args
     no_cache_wav = "--no-cache-wav" in args
     config.set_wav_cache_enabled(not no_cache_wav)
+    profile = "--profile" in args
+    profile_dir = None
+    if profile:
+        maybe = _flag_value(args, "--profile")
+        if maybe and not maybe.startswith("--"):
+            profile_dir = maybe
+    timer = PhaseTimer()
 
     if checksum_arg:
         config.set_checksum_constant_override(checksum_arg)
@@ -153,10 +167,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     if eval_mode:
         audio.precache_target_files(target_files)
 
+    import contextlib
+
+    _trace_stack = contextlib.ExitStack()
+    _trace_stack.enter_context(trace(profile_dir))
+
     path_list = [p for p, _ in train_files]
     if eval_mode:
         path_list.extend(p for p, _ in target_files)
-    feature_map = build_feature_map(path_list, extractor)
+    feature_map = build_feature_map(path_list, extractor, timer=timer)
 
     for p, _ in train_files:
         if p not in feature_map:
@@ -197,7 +216,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"Failed to load model: {e}", file=sys.stderr)
             return 1
         print(f"Model contains {len(net.embeddings)} saved embeddings")
-        evaluate(net, feature_map, norm_targets, conf_threshold)
+        with timer.phase("eval"):
+            evaluate(net, feature_map, norm_targets, conf_threshold)
+        _trace_stack.close()
+        if profile:
+            print(timer.report())
         return 0
 
     # ------------------------------------------------------------------
@@ -250,16 +273,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print(f"Encoding failed: {e}", file=sys.stderr)
             # training continues after encoding (src/main.rs:699)
 
-    result = run_incremental(
-        net,
-        train_files,
-        feature_map,
-        burn_in_limit=burn_in_limit_val,
-        conf_threshold=conf_threshold,
-        max_speakers=max_speakers_val,
-    )
+    with timer.phase("incremental"):
+        result = run_incremental(
+            net,
+            train_files,
+            feature_map,
+            burn_in_limit=burn_in_limit_val,
+            conf_threshold=conf_threshold,
+            max_speakers=max_speakers_val,
+        )
 
-    finalize_and_save(net, result)
+    with timer.phase("finalize"):
+        finalize_and_save(net, result)
+    _trace_stack.close()
+    if profile:
+        print(timer.report())
 
     updated = list(zip(original_paths, (c for _, c in train_files)))
     fl.write_train_files(config.TRAIN_FILE_LIST, updated)

@@ -29,7 +29,10 @@ from streamz_tpu import config
 from streamz_tpu.dsp import mel as melmod
 
 _BLOCK = config.HOP_SIZE  # 400
-_PREC = jax.lax.Precision.HIGHEST
+# bf16x3 (3-pass) matmuls: ~1.5e-5 relative error on the DFT — well inside
+# the 1e-3 feature-parity budget — at twice the throughput of the 6-pass
+# full-f32 mode.  (1-pass bf16 is ~2e-3 relative: too lossy.)
+_PREC = jax.lax.Precision.HIGH
 
 
 def _constants():

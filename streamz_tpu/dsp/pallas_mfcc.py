@@ -2,35 +2,33 @@
 
 The XLA formulation (:mod:`streamz_tpu.dsp.mfcc`) materializes the per-block
 DFT parts ([rows, 4*401] f32, ~230 MB for a 32x10s batch) in HBM between the
-GEMM and the pointwise stages.  This kernel keeps the whole chain per tile in
-VMEM, so HBM traffic drops to the PCM input plus the tiny [rows, 32] MFCC
-output.
+GEMM and the pointwise stages.  This kernel instead consumes frame-major PCM
+([W, 800], built by one cheap XLA concat of the two non-overlapping
+half-window block arrays) and keeps the whole chain per tile in VMEM:
 
-Formulation (see :func:`streamz_tpu.dsp.mel.dft_block_matrices`): with hop =
-window/2, every 800-sample analysis window is two adjacent non-overlapping
-400-sample blocks, so per window
+    parts = frame_tile @ [Re|Im basis]   ([800 x 1024] MXU GEMM, bins padded
+    power = re^2 + im^2                   401 → 512)
+    mfcc  = ln(max(power @ MEL, 1e-12)) @ DCT
 
-    re = block_t . Ct + block_{t+1} . Cb        (one [400 x 1024] GEMM per
-    im = block_t . St + block_{t+1} . Sb         tile half, bins padded to 512)
-    power = re^2 + im^2                          (VPU)
-    mfcc  = ln(max(power @ MEL, 1e-12)) @ DCT    (two small GEMMs)
-
-The caller passes the block matrix twice — once plain, once shifted by one
-block row — so every grid tile is a clean non-overlapping BlockSpec window
-(no halo DMA).  Replaces the reference's per-window rustfft/rustdct loop
+so the only HBM traffic is the frame matrix in and the tiny [W, 32] MFCC out.
+Replaces the reference's per-window rustfft/rustdct loop
 (``streamz-rs/src/lib.rs:279-345``) as the HOT-LOOP-A kernel.
 
 Zero-padding layout invariants:
-- DFT matrices are [400, 1024] with bins 401..511 zeroed; power in those
-  lanes is 0, mel rows 401..511 are zero, so padded bins contribute nothing.
-- MEL is [512, 32] with cols 26..31 zero → padded mel channels get
-  ln(1e-12), but DCT rows 26..31 are zero so they never reach the output.
+- the DFT basis is [800, 1024] with bins 401..511 zeroed; padded power lanes
+  are 0 and MEL rows 401..511 are zero, so they contribute nothing;
+- MEL is [512, 32] with cols 26..31 zero → those mel channels read ln(1e-12),
+  but DCT rows 26..31 are zero so they never reach the output;
 - DCT is [32, 32] with cols 20..31 zero → output cols 20..31 are zero.
+
+Matmul precision is f32 (``Precision.HIGHEST``): bf16 multiplies cost ~1e-2
+error on the z-normed features, beyond the 1e-3 parity gate vs the golden
+numpy spec.
 """
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +38,7 @@ from streamz_tpu import config
 from streamz_tpu.dsp import mel as melmod
 
 _BLOCK = config.HOP_SIZE       # 400
+_WIN = config.WINDOW_SIZE      # 800
 _BINS_PAD = 512                # 401 one-sided bins padded to the lane width
 _CH_PAD = 32                   # 26 mels / 20 MFCCs padded
 _TILE = 256                    # window rows per grid tile
@@ -47,37 +46,29 @@ _TILE = 256                    # window rows per grid tile
 
 @lru_cache(maxsize=1)
 def _kernel_constants():
-    ct, cb, st, sb = melmod.dft_block_matrices()
-    n_bins = ct.shape[1]  # 401
-
-    def pad_bins(m):
-        out = np.zeros((_BLOCK, _BINS_PAD), np.float32)
-        out[:, :n_bins] = m
-        return out
-
-    # [400, 1024]: lanes 0..511 = Re basis, 512..1023 = Im basis.
-    top = np.concatenate([pad_bins(ct), pad_bins(st)], axis=1)
-    bot = np.concatenate([pad_bins(cb), pad_bins(sb)], axis=1)
+    # Full-window real-DFT basis: frame . dft[:, k] = Re X[k] (k < 512) or
+    # Im X[k] (k >= 512).  numpy only (this cache may be populated inside a
+    # trace; cached tracers would leak).
+    n = np.arange(_WIN)[:, None]
+    k = np.arange(_BINS_PAD)[None, :]
+    ang = 2.0 * np.pi * k * n / _WIN
+    n_bins = config.N_FFT_BINS  # 401
+    mask = (k < n_bins).astype(np.float64)
+    dft = np.concatenate([np.cos(ang) * mask, -np.sin(ang) * mask], axis=1)
 
     mel = np.zeros((_BINS_PAD, _CH_PAD), np.float32)
     mel[:n_bins, : config.N_MELS] = melmod.mel_filterbank().T
     dct = np.zeros((_CH_PAD, _CH_PAD), np.float32)
     dct[: config.N_MELS, : config.MFCC_SIZE] = melmod.dct2_matrix().T
-    # numpy (not jnp): this cache may be populated inside a trace, and cached
-    # tracers would leak.
-    return top.astype(np.float32), bot.astype(np.float32), mel, dct
+    return dft.astype(np.float32), mel, dct
 
 
-def _mfcc_kernel(top_ref, bot_ref, dft_top_ref, dft_bot_ref, mel_ref, dct_ref, out_ref):
-    # Full-f32 MXU passes: bf16 multiplies lose ~1e-2 on the z-normed
-    # features, beyond the 1e-3 parity gate vs the golden spec.
-    prec = jax.lax.Precision.HIGHEST
+def _mfcc_kernel(frames_ref, dft_ref, mel_ref, dct_ref, out_ref):
+    # bf16x3: ~1.5e-5 relative matmul error, inside the parity budget, at 2x
+    # the 6-pass full-f32 throughput.
+    prec = jax.lax.Precision.HIGH
     parts = jnp.dot(
-        top_ref[:], dft_top_ref[:],
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    parts += jnp.dot(
-        bot_ref[:], dft_bot_ref[:],
+        frames_ref[:], dft_ref[:],
         preferred_element_type=jnp.float32, precision=prec,
     )
     re = parts[:, :_BINS_PAD]
@@ -105,38 +96,39 @@ def mfcc_base_pallas(pcm: jax.Array) -> jax.Array:
     rows = B * nb
     blocks = pcm[:, : nb * _BLOCK].reshape(rows, _BLOCK)
 
-    rows_pad = -(-rows // _TILE) * _TILE
-    pad = rows_pad - rows
-    top = jnp.pad(blocks, ((0, pad), (0, 0)))
-    # One-block shift: window t pairs block t with block t+1.
-    bot = jnp.pad(blocks[1:], ((0, pad + 1), (0, 0)))
+    # Frame-major layout: window r = [block_r ; block_{r+1}].  Rows at clip
+    # boundaries (r = b*nb + nb-1) pair with the next clip's first block and
+    # are sliced away below.
+    frames = jnp.concatenate([blocks, jnp.roll(blocks, -1, axis=0)], axis=1)
 
-    dft_top, dft_bot, mel, dct = (
-        jnp.asarray(a) for a in _kernel_constants()
-    )
+    rows_pad = -(-rows // _TILE) * _TILE
+    frames = jnp.pad(frames, ((0, rows_pad - rows), (0, 0)))
+
+    dft, mel, dct = (jnp.asarray(a) for a in _kernel_constants())
 
     out = pl.pallas_call(
         _mfcc_kernel,
+        # Interpret mode on non-TPU backends so the kernel is testable on the
+        # CPU mesh used by the test suite.
+        interpret=jax.default_backend() != "tpu" and "axon" not in str(
+            jax.devices()[0].platform
+        ),
         grid=(rows_pad // _TILE,),
         in_specs=[
-            pl.BlockSpec((_TILE, _BLOCK), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, _BLOCK), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLOCK, 2 * _BINS_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLOCK, 2 * _BINS_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, _WIN), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_WIN, 2 * _BINS_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_BINS_PAD, _CH_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_CH_PAD, _CH_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_TILE, _CH_PAD), lambda j: (j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, _CH_PAD), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * rows_pad * _BLOCK * 4 * _BINS_PAD,
-            bytes_accessed=2 * rows_pad * _BLOCK * 4 + rows_pad * _CH_PAD * 4,
+            flops=2 * rows_pad * _WIN * 2 * _BINS_PAD,
+            bytes_accessed=rows_pad * (_WIN + _CH_PAD) * 4,
             transcendentals=rows_pad * _CH_PAD,
         ),
-    )(top, bot, dft_top, dft_bot, mel, dct)
+    )(frames, dft, mel, dct)
 
-    # Rows at clip boundaries (t = nb-1) pair with the next clip's first
-    # block; they are sliced away here.
     base = out[:rows].reshape(B, nb, _CH_PAD)
     return base[:, : nb - 1, : config.MFCC_SIZE]
 

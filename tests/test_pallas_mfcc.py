@@ -1,0 +1,39 @@
+"""Fused Pallas MFCC kernel vs the golden numpy spec (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from streamz_tpu.dsp import mfcc_ref
+from streamz_tpu.dsp.pallas_mfcc import mfcc_base_pallas, mfcc_features_pallas
+
+
+def test_pallas_matches_golden():
+    B, T = 2, 12000
+    rng = np.random.default_rng(0)
+    pcm_i16 = rng.normal(0, 3000, (B, T)).astype(np.int16)
+    pcm = jnp.asarray(pcm_i16.astype(np.float32) / 32767.0)
+    ns = jnp.asarray([T, 9000], jnp.int32)
+    got = np.asarray(mfcc_features_pallas(pcm, ns))
+    for b, n in enumerate([T, 9000]):
+        want = mfcc_ref.extract_features_np(pcm_i16[b][:n])
+        nw = want.shape[0]
+        np.testing.assert_allclose(got[b][:nw], want, atol=2e-3, rtol=1e-3)
+
+
+def test_pallas_base_shape():
+    pcm = jnp.zeros((3, 4000), jnp.float32)
+    base = np.asarray(mfcc_base_pallas(pcm))
+    assert base.shape == (3, 9, 20)
+
+
+def test_pallas_matches_xla_frontend():
+    from streamz_tpu.dsp.mfcc import mfcc_features
+
+    B, T = 3, 20000
+    rng = np.random.default_rng(5)
+    pcm = jnp.asarray(rng.normal(0, 0.1, (B, T)).astype(np.float32))
+    ns = jnp.asarray([T, 15000, 801], jnp.int32)
+    a = np.asarray(mfcc_features_pallas(pcm, ns))
+    b = np.asarray(mfcc_features(pcm, ns))
+    np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
