@@ -60,20 +60,32 @@ def _kernel_constants():
     mel[:n_bins, : config.N_MELS] = melmod.mel_filterbank().T
     dct = np.zeros((_CH_PAD, _CH_PAD), np.float32)
     dct[: config.N_MELS, : config.MFCC_SIZE] = melmod.dct2_matrix().T
-    return dft.astype(np.float32), mel, dct
+
+    # Pre-split the DFT basis for the in-kernel bf16x3 dot (Mosaic does not
+    # lower Precision.HIGH): hi = bf16(x), lo = bf16(x - hi).
+    dft32 = dft.astype(np.float32)
+    import ml_dtypes
+
+    dft_hi = dft32.astype(ml_dtypes.bfloat16)
+    dft_lo = (dft32 - dft_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return dft_hi, dft_lo, mel, dct
 
 
-def _mfcc_kernel(frames_ref, dft_ref, mel_ref, dct_ref, out_ref):
-    # bf16x3: ~1.5e-5 relative matmul error, inside the parity budget, at 2x
-    # the 6-pass full-f32 throughput.
-    prec = jax.lax.Precision.HIGH
-    parts = jnp.dot(
-        frames_ref[:], dft_ref[:],
-        preferred_element_type=jnp.float32, precision=prec,
-    )
+def _mfcc_kernel(frames_ref, dft_hi_ref, dft_lo_ref, mel_ref, dct_ref, out_ref):
+    # Manual bf16x3 for the big DFT GEMM (~1.5e-5 relative error, inside the
+    # parity budget, at half the 6-pass full-f32 cost); the tiny mel/DCT
+    # GEMMs run full-f32.
+    x = frames_ref[:]
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    parts = jnp.dot(x_hi, dft_hi_ref[:], preferred_element_type=jnp.float32)
+    parts += jnp.dot(x_hi, dft_lo_ref[:], preferred_element_type=jnp.float32)
+    parts += jnp.dot(x_lo, dft_hi_ref[:], preferred_element_type=jnp.float32)
+
     re = parts[:, :_BINS_PAD]
     im = parts[:, _BINS_PAD:]
     power = re * re + im * im
+    prec = jax.lax.Precision.HIGHEST
     mel_e = jnp.dot(
         power, mel_ref[:], preferred_element_type=jnp.float32, precision=prec
     )
@@ -104,7 +116,7 @@ def mfcc_base_pallas(pcm: jax.Array) -> jax.Array:
     rows_pad = -(-rows // _TILE) * _TILE
     frames = jnp.pad(frames, ((0, rows_pad - rows), (0, 0)))
 
-    dft, mel, dct = (jnp.asarray(a) for a in _kernel_constants())
+    dft_hi, dft_lo, mel, dct = (jnp.asarray(a) for a in _kernel_constants())
 
     out = pl.pallas_call(
         _mfcc_kernel,
@@ -117,6 +129,7 @@ def mfcc_base_pallas(pcm: jax.Array) -> jax.Array:
         in_specs=[
             pl.BlockSpec((_TILE, _WIN), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_WIN, 2 * _BINS_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_WIN, 2 * _BINS_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_BINS_PAD, _CH_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_CH_PAD, _CH_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -127,7 +140,7 @@ def mfcc_base_pallas(pcm: jax.Array) -> jax.Array:
             bytes_accessed=rows_pad * (_WIN + _CH_PAD) * 4,
             transcendentals=rows_pad * _CH_PAD,
         ),
-    )(frames, dft, mel, dct)
+    )(frames, dft_hi, dft_lo, mel, dct)
 
     base = out[:rows].reshape(B, nb, _CH_PAD)
     return base[:, : nb - 1, : config.MFCC_SIZE]
