@@ -194,9 +194,15 @@ def encode_file(path: str, *, max_epochs: int = config.STEGO_MAX_EPOCHS) -> Spea
     return net
 
 
-def extract_file(w_out: np.ndarray, b_out: np.ndarray) -> bytes:
+def extract_file(w_out, b_out: np.ndarray | None = None) -> bytes:
     """Recover bytes from a stored output layer via the checksum-keyed hidden
-    activation (src/lib.rs:1777-1802, with the decode fix — see module doc)."""
+    activation (src/lib.rs:1777-1802, with the decode fix — see module doc).
+
+    Accepts either ``(w, b)`` arrays or a :class:`SpeakerNet` (the reference
+    signature takes the net), in which case its live output layer is used.
+    """
+    if isinstance(w_out, SpeakerNet):
+        w_out, b_out = w_out.output_layer()
     input_bits = checksum_input_bits()
     h2 = _hidden_activation(input_bits, hidden2=int(w_out.shape[0]))
     out = 1.0 / (1.0 + np.exp(-(h2 @ np.asarray(w_out, np.float32) + np.asarray(b_out, np.float32))))
