@@ -20,6 +20,18 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: repeat bench runs skip the (slow,
+    tunnel-bound) device compile."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/streamz_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _bench_device(batch_clips: int = 32, clip_seconds: float = 10.0, iters: int = 5):
     import jax
     import jax.numpy as jnp
@@ -80,6 +92,7 @@ def _bench_cpu_baseline(clip_seconds: float = 4.0, iters: int = 2):
 
 
 def main() -> None:
+    _enable_compile_cache()
     device_rate = _bench_device()
     cpu_rate = _bench_cpu_baseline()
     print(
