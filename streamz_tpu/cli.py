@@ -119,6 +119,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if checksum_arg:
         config.set_checksum_constant_override(checksum_arg)
+    # Fresh trigger state per invocation (the reference is a fresh process).
+    audio.CHECKSUM_TRIGGERED.clear()
 
     extractor = FeatureExtractor()
 

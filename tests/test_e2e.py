@@ -148,3 +148,35 @@ def test_feature_cache_populated_after_run(workdir):
     # compute_speaker_embeddings reads/writes feature_cache at finalize
     assert (workdir / "feature_cache").is_dir()
     assert len(list((workdir / "feature_cache").glob("*.npy"))) > 0
+
+
+def test_stego_encode_decode_via_cli(workdir, capsys):
+    """Checksum-triggered --encode during training, standalone --decode after
+    (src/main.rs:185-198, :686-701, :450-469)."""
+    import hashlib
+
+    from streamz_tpu import config as cfg
+
+    labels = [0, 0, 1, 1, 0]
+    _write_train_list(workdir, labels)
+    secret = workdir / "secret.bin"
+    payload = b"hidden in the weights"
+    secret.write_bytes(payload)
+
+    trigger_mp3 = os.path.join(REF_DATA, CLIPS[0])
+    csum = hashlib.sha512(open(trigger_mp3, "rb").read()).hexdigest()
+    try:
+        rc = cli_main(["--encode", str(secret), "--checksum", csum])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Hiding" in out
+
+        net = checkpoint.load(str(workdir / "model.npz"))
+        assert net.encoding_layer() is not None
+
+        rc = cli_main(["--decode", str(workdir / "out.bin"), "--checksum", csum])
+        assert rc == 0
+        got = (workdir / "out.bin").read_bytes()
+        assert got[: len(payload)] == payload
+    finally:
+        cfg.set_checksum_constant_override(cfg.CHECKSUM_CONSTANT)
