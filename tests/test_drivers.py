@@ -1,0 +1,70 @@
+"""Raw-PCM training-driver and identification-path tests."""
+
+import numpy as np
+import pytest
+
+from streamz_tpu.dsp.features import FeatureExtractor
+from streamz_tpu.infer import identify
+from streamz_tpu.io import wav as wavio
+from streamz_tpu.nn import drivers
+from streamz_tpu.nn.model import SpeakerNet
+
+
+def _tone(n, freq, rate=44100, amp=12000):
+    t = np.arange(n) / rate
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+
+
+@pytest.fixture(scope="module")
+def tones():
+    # two easily separable "speakers": low vs high tone mixtures
+    rng = np.random.default_rng(0)
+    low = _tone(44100, 220) + _tone(44100, 330) // 2
+    high = _tone(44100, 1500) + _tone(44100, 2200) // 2
+    noise = rng.normal(0, 300, 44100).astype(np.int16)
+    return (low + noise).astype(np.int16), (high + noise).astype(np.int16)
+
+
+def test_pretrain_network_learns(tones):
+    """Raw-PCM path: augment → extract → train (src/lib.rs:348-397)."""
+    low, high = tones
+    net = SpeakerNet.new(output=2, seed=3)
+    ex = FeatureExtractor()
+    for _ in range(3):
+        loss_a = drivers.pretrain_network(net, low, 0, 2, 2, 0.05, 0.0, 8, ex)
+        loss_b = drivers.pretrain_network(net, high, 1, 2, 2, 0.05, 0.0, 8, ex)
+    assert np.isfinite(loss_a) and np.isfinite(loss_b)
+    assert identify.identify_speaker(net, low, ex) == 0
+    assert identify.identify_speaker(net, high, ex) == 1
+
+
+def test_identify_speaker_list_raw_pcm(tones):
+    low, high = tones
+    net = SpeakerNet.new(output=2, seed=3)
+    ex = FeatureExtractor()
+    for _ in range(3):
+        drivers.pretrain_network(net, low, 0, 2, 2, 0.05, 0.0, 8, ex)
+        drivers.pretrain_network(net, high, 1, 2, 2, 0.05, 0.0, 8, ex)
+    mixed = np.concatenate([low[:22050], high[:22050]])
+    speakers = identify.identify_speaker_list(net, mixed, 0.6, ex)
+    assert set(speakers) <= {0, 1}
+    assert len(speakers) >= 1
+
+
+def test_train_from_files_decay(tmp_path, tones, monkeypatch):
+    """File-list trainer with the 0.99^step decay (src/lib.rs:668-732)."""
+    monkeypatch.chdir(tmp_path)
+    low, high = tones
+    pa = str(tmp_path / "a.wav")
+    pb = str(tmp_path / "b.wav")
+    wavio.write_wav(pa, low[:22050])
+    wavio.write_wav(pb, high[:22050])
+    net = SpeakerNet.new(output=2, seed=4)
+    before = np.asarray(net.params["w1"]).copy()
+    drivers.train_from_files(
+        net, [(pa, 0), (pb, 1), ("missing.wav", 0)], 2, epochs=2,
+        lr=0.05, dropout=0.0, batch_size=8,
+    )
+    assert not np.allclose(np.asarray(net.params["w1"]), before)
+    assert pa in net.file_lists[0]
+    assert pb in net.file_lists[1]
