@@ -1,15 +1,23 @@
-"""Benchmark harness: MFCC+Δ+ΔΔ frontend throughput, device vs CPU reference.
+"""Benchmark harness: end-to-end identification pipeline, device vs CPU spec.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The reference publishes no numbers (BASELINE.md), so the baseline is the
-*measured* reference-spec pipeline on CPU: the numpy golden implementation of
-the exact per-window FFT→mel→log→DCT→Δ→z-norm loop
-(:mod:`streamz_tpu.dsp.mfcc_ref`), which is the compute-dominant hot loop of
-the reference binary (HOT LOOP A, ``streamz-rs/src/main.rs:500-508``).
-``value`` is the device (TPU when available) throughput of the batched XLA
-frontend; ``vs_baseline`` is the speedup over the CPU spec implementation.
+*measured* reference-spec pipeline on CPU — the same algorithmic structure
+the Rust binary executes per clip (its end-to-end hot path):
+
+  1. MFCC+Δ+ΔΔ extraction (HOT LOOP A, ``streamz-rs/src/main.rs:500-508``) —
+     the numpy golden spec, vectorized across windows (generous to the
+     baseline: the reference FFTs one window at a time);
+  2. the classifier forward per window (``src/lib.rs:880-891``) — computed
+     per-window exactly as the reference does: its linear algebra is
+     single-vector ndarray math with no batching (SURVEY.md §3.5);
+  3. the vote-sum aggregation of ``identify_speaker`` (``src/lib.rs:1285-1303``).
+
+``value`` is the device (TPU when available) throughput of the batched
+jit-fused pipeline (Pallas/XLA frontend + batched forward + on-device vote
+sums) in windows/s; ``vs_baseline`` is the speedup over the CPU spec.
 """
 
 from __future__ import annotations
@@ -18,6 +26,14 @@ import json
 import time
 
 import numpy as np
+
+_CLASSES = 64  # plausible grown speaker count; capacity pads to 128
+
+
+def _make_net():
+    from streamz_tpu.nn.model import SpeakerNet
+
+    return SpeakerNet.new(output=_CLASSES, seed=0)
 
 
 def _enable_compile_cache() -> None:
@@ -32,16 +48,18 @@ def _enable_compile_cache() -> None:
         pass
 
 
-def _bench_device(batch_clips: int = 32, clip_seconds: float = 10.0, iters: int = 5):
+def _bench_device(net, batch_clips: int = 32, clip_seconds: float = 10.0,
+                  iters: int = 5):
     import jax
     import jax.numpy as jnp
 
     from streamz_tpu import config
-    from streamz_tpu.dsp.mfcc import mfcc_features
+    from streamz_tpu.dsp.mfcc import mfcc_features, window_count
+    from streamz_tpu.nn.model import forward
 
     rate = config.DEFAULT_SAMPLE_RATE
     t = int(clip_seconds * rate)
-    t -= t % config.HOP_SIZE  # block-aligned
+    t -= t % config.HOP_SIZE
     n_win = (t - config.WINDOW_SIZE) // config.HOP_SIZE + 1
 
     rng = np.random.default_rng(0)
@@ -49,6 +67,17 @@ def _bench_device(batch_clips: int = 32, clip_seconds: float = 10.0, iters: int 
         rng.normal(0.0, 0.1, size=(batch_clips, t)).astype(np.float32)
     )
     n_samples = jnp.full((batch_clips,), t, jnp.int32)
+    params = net.params
+    num_speakers = net.num_speakers
+
+    def pipeline(pcm, n_samples):
+        feats = mfcc_features(pcm, n_samples)             # [B, W, 60]
+        probs = forward(params, feats, num_speakers)      # [B, W, cap]
+        valid = (
+            jnp.arange(feats.shape[1])[None, :]
+            < window_count(n_samples)[:, None]
+        )
+        return (probs * valid[..., None]).sum(axis=1)     # vote sums
 
     # Iterations are chained through a data dependency inside one jitted
     # scan, and only a scalar is read back: the axon tunnel's
@@ -57,8 +86,8 @@ def _bench_device(batch_clips: int = 32, clip_seconds: float = 10.0, iters: int 
     @jax.jit
     def chained(pcm, n_samples):
         def body(c, _):
-            f = mfcc_features(pcm + c, n_samples)
-            return jnp.sum(f) * 1e-12, None
+            sums = pipeline(pcm + c, n_samples)
+            return jnp.sum(sums) * 1e-12, None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return c
 
@@ -68,24 +97,43 @@ def _bench_device(batch_clips: int = 32, clip_seconds: float = 10.0, iters: int 
         start = time.perf_counter()
         float(chained(pcm, n_samples))
         best = min(best, (time.perf_counter() - start) / iters)
-
     return batch_clips * n_win / best
 
 
-def _bench_cpu_baseline(clip_seconds: float = 4.0, iters: int = 2):
+def _bench_cpu_baseline(net, clip_seconds: float = 3.0, iters: int = 2):
     from streamz_tpu import config
     from streamz_tpu.dsp.mfcc_ref import extract_features_np
+
+    w1 = np.asarray(net.params["w1"]); b1 = np.asarray(net.params["b1"])
+    w2 = np.asarray(net.params["w2"]); b2 = np.asarray(net.params["b2"])
+    w3, b3 = net.output_layer()
+
+    def forward_one(x):
+        # Reference forward: per-window single-vector math (src/lib.rs:880-891).
+        h1 = np.maximum(x @ w1 + b1, 0.0)
+        h2 = np.tanh(h1 @ w2 + b2)
+        z = h2 @ w3 + b3
+        e = np.exp(z - z.max())
+        return e / e.sum()
 
     rate = config.DEFAULT_SAMPLE_RATE
     t = int(clip_seconds * rate)
     rng = np.random.default_rng(1)
     clip = (rng.normal(0, 3000, size=t)).astype(np.int16)
 
-    extract_features_np(clip)  # warm caches
+    feats = extract_features_np(clip)  # warm
+    sums = np.zeros(w3.shape[1])
+    for win in feats:
+        sums += forward_one(win)
+
     start = time.perf_counter()
     n_win = 0
     for _ in range(iters):
         feats = extract_features_np(clip)
+        sums = np.zeros(w3.shape[1])
+        for win in feats:
+            sums += forward_one(win)
+        int(sums.argmax())
         n_win += len(feats)
     elapsed = time.perf_counter() - start
     return n_win / elapsed
@@ -93,12 +141,13 @@ def _bench_cpu_baseline(clip_seconds: float = 4.0, iters: int = 2):
 
 def main() -> None:
     _enable_compile_cache()
-    device_rate = _bench_device()
-    cpu_rate = _bench_cpu_baseline()
+    net = _make_net()
+    device_rate = _bench_device(net)
+    cpu_rate = _bench_cpu_baseline(net)
     print(
         json.dumps(
             {
-                "metric": "mfcc_delta_windows_per_sec",
+                "metric": "identify_pipeline_windows_per_sec",
                 "value": round(device_rate, 1),
                 "unit": "windows/s",
                 "vs_baseline": round(device_rate / cpu_rate, 2),

@@ -22,26 +22,34 @@ R = TypeVar("R")
 class FeatureExtractor:
     """Stateless MFCC frontend facade.
 
-    ``backend='jax'`` (default) runs the batched device frontend;
-    ``backend='numpy'`` runs the golden CPU spec (useful for parity tests and
-    the bench baseline).
+    ``backend='jax'`` (default) runs the batched XLA frontend;
+    ``backend='pallas'`` runs the fused Pallas kernel
+    (:mod:`streamz_tpu.dsp.pallas_mfcc`); ``backend='numpy'`` runs the golden
+    CPU spec (parity tests and the bench baseline).
     """
 
     def __init__(self, backend: str = "jax"):
-        if backend not in ("jax", "numpy"):
+        if backend not in ("jax", "pallas", "numpy"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
+
+    def _core(self):
+        if self.backend == "pallas":
+            from streamz_tpu.dsp.pallas_mfcc import mfcc_features_pallas
+
+            return mfcc_features_pallas
+        return mfcc.mfcc_features
 
     def extract(self, samples: np.ndarray) -> np.ndarray:
         """PCM (i16 or f32) → [n_windows, 60] float32."""
         if self.backend == "numpy":
             return mfcc_ref.extract_features_np(samples)
-        return mfcc.extract_features(samples)
+        return mfcc.extract_features(samples, core=self._core())
 
     def extract_batch(self, clips: Sequence[np.ndarray]) -> List[np.ndarray]:
         if self.backend == "numpy":
             return [mfcc_ref.extract_features_np(c) for c in clips]
-        return mfcc.extract_features_batch(clips)
+        return mfcc.extract_features_batch(clips, core=self._core())
 
 
 _GLOBAL_EXTRACTOR = FeatureExtractor()

@@ -150,20 +150,25 @@ def _to_f32(samples: np.ndarray) -> np.ndarray:
     return samples.astype(np.float32)
 
 
-def extract_features(samples: np.ndarray) -> np.ndarray:
+def extract_features(samples: np.ndarray, core=None) -> np.ndarray:
     """Single clip → [n_windows, 60] float32 (device-computed)."""
-    return extract_features_batch([samples])[0]
+    return extract_features_batch([samples], core=core)[0]
 
 
-def extract_features_batch(clips: Sequence[np.ndarray]) -> List[np.ndarray]:
+def extract_features_batch(
+    clips: Sequence[np.ndarray], core=None
+) -> List[np.ndarray]:
     """Many ragged clips → list of [n_windows_i, 60] arrays.
 
     Clips are grouped by padded-length bucket and each group runs as one
     batched device call — the TPU replacement for the reference's rayon
-    fan-out over files (src/main.rs:500-508).
+    fan-out over files (src/main.rs:500-508).  ``core`` selects the jitted
+    frontend (defaults to the XLA formulation; the fused Pallas kernel is a
+    drop-in).
     """
     if not clips:
         return []
+    core = core or mfcc_features
     f32 = [_to_f32(c) for c in clips]
     buckets: dict[int, list[int]] = {}
     for i, c in enumerate(f32):
@@ -176,7 +181,7 @@ def extract_features_batch(clips: Sequence[np.ndarray]) -> List[np.ndarray]:
         for row, i in enumerate(idxs):
             batch[row, : len(f32[i])] = f32[i]
             lens[row] = len(f32[i])
-        feats = np.asarray(mfcc_features(jnp.asarray(batch), jnp.asarray(lens)))
+        feats = np.asarray(core(jnp.asarray(batch), jnp.asarray(lens)))
         n_wins = np.asarray(window_count(lens))
         for row, i in enumerate(idxs):
             out[i] = feats[row, : int(n_wins[row])].copy()

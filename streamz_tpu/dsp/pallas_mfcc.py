@@ -146,6 +146,7 @@ def mfcc_base_pallas(pcm: jax.Array) -> jax.Array:
     return base[:, : nb - 1, : config.MFCC_SIZE]
 
 
+@jax.jit
 def mfcc_features_pallas(pcm: jax.Array, n_samples: jax.Array) -> jax.Array:
     """Full fused frontend: [B, T] f32 + [B] lengths → [B, W, 60]."""
     from streamz_tpu.dsp.mfcc import deltas_and_norm, window_count

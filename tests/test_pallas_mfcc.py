@@ -37,3 +37,14 @@ def test_pallas_matches_xla_frontend():
     a = np.asarray(mfcc_features_pallas(pcm, ns))
     b = np.asarray(mfcc_features(pcm, ns))
     np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
+
+
+def test_pallas_backend_via_extractor():
+    from streamz_tpu.dsp.features import FeatureExtractor
+
+    rng = np.random.default_rng(7)
+    clip = rng.normal(0, 3000, 6000).astype(np.int16)
+    a = FeatureExtractor("pallas").extract(clip)
+    b = FeatureExtractor("numpy").extract(clip)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
