@@ -79,3 +79,52 @@ def make_sharded_embedding_step(mesh: Mesh):
 
 def make_window_mesh(n_devices=None) -> Mesh:
     return comm.make_mesh(n_devices, axis=comm.WINDOW_AXIS)
+
+
+# ---------------------------------------------------------------------------
+# Host-level conveniences: pad a clip's window set to the mesh and run the
+# sharded aggregations.
+# ---------------------------------------------------------------------------
+
+
+def _pad_to_mesh(windows, mesh: Mesh):
+    import numpy as np
+
+    n_dev = mesh.devices.size
+    windows = np.asarray(windows, np.float32)
+    n = len(windows)
+    n_pad = -(-max(n, 1) // n_dev) * n_dev
+    padded = np.zeros((n_pad, windows.shape[1] if n else 1), np.float32)
+    if n:
+        padded[:n] = windows
+    valid = (np.arange(n_pad) < n).astype(np.float32)
+    return padded, valid
+
+
+def identify_speaker_sharded(net, windows, mesh: Mesh) -> int:
+    """``identify_speaker`` with the window axis sharded across the mesh."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    padded, valid = _pad_to_mesh(windows, mesh)
+    step = make_sharded_vote_step(mesh)
+    sums, _ = step(
+        net.params, jnp.asarray(padded), jnp.asarray(valid),
+        jnp.int32(net.num_speakers),
+    )
+    return int(np.asarray(sums)[: net.num_speakers].argmax())
+
+
+def extract_embedding_sharded(net, windows, mesh: Mesh):
+    """Mean ReLU-h2 clip embedding sharded over the mesh, L2-normalized
+    (the ``extract_embedding_from_features`` call-site contract)."""
+    import numpy as np
+
+    from streamz_tpu.infer.embed import normalize
+
+    padded, valid = _pad_to_mesh(windows, mesh)
+    step = make_sharded_embedding_step(mesh)
+    import jax.numpy as jnp
+
+    emb = step(net.params, jnp.asarray(padded), jnp.asarray(valid))
+    return normalize(np.asarray(emb))

@@ -118,3 +118,25 @@ def test_window_sharded_embedding_matches_local():
     got = step(net.params, jnp.asarray(windows), jnp.asarray(valid))
     want = net.forward_embedding_np(windows).mean(axis=0)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-4)
+
+
+def test_identify_speaker_sharded_matches_host():
+    from streamz_tpu.infer import identify
+    mesh = wp.make_window_mesh(8)
+    net = SpeakerNet.new(input_size=8, hidden1=16, hidden2=8, output=3, seed=21)
+    rng = np.random.default_rng(6)
+    windows = rng.normal(size=(37, 8)).astype(np.float32)
+    want = int(net.forward(windows).sum(axis=0).argmax())
+    got = wp.identify_speaker_sharded(net, windows, mesh)
+    assert got == want
+
+
+def test_extract_embedding_sharded_matches_host():
+    from streamz_tpu.infer.embed import extract_embedding_from_features
+    mesh = wp.make_window_mesh(8)
+    net = SpeakerNet.new(input_size=8, hidden1=16, hidden2=8, output=2, seed=22)
+    rng = np.random.default_rng(7)
+    windows = rng.normal(size=(19, 8)).astype(np.float32)
+    want = extract_embedding_from_features(net, windows)
+    got = wp.extract_embedding_sharded(net, windows, mesh)
+    np.testing.assert_allclose(got, want, atol=1e-5)
