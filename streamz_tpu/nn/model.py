@@ -278,5 +278,61 @@ class SpeakerNet:
     def embed_np(self, x) -> np.ndarray:
         return np.asarray(embed(self.params, jnp.asarray(x, jnp.float32)))
 
+    # reference method name (src/lib.rs:895-900)
+    embed_host = embed_np
+
     def forward_embedding_np(self, x) -> np.ndarray:
         return np.asarray(forward_embedding(self.params, jnp.asarray(x, jnp.float32)))
+
+    def forward_bits(self, x) -> np.ndarray:
+        """Sigmoid head on the full (unmasked) output layer (src/lib.rs:908-914)."""
+        return np.asarray(forward_bits(self.params, jnp.asarray(x, jnp.float32)))
+
+    # -- in-place training steps (reference method surface,
+    #    src/lib.rs:917-1060) -------------------------------------------------
+
+    def train(self, x, target, lr: float) -> None:
+        """Single-sample CE+softmax SGD step (src/lib.rs:954-999)."""
+        self.train_batch(np.asarray(x, np.float32)[None, :], target, lr)
+
+    def train_batch(self, batch, target, lr: float) -> None:
+        """Mean-gradient SGD over a batch with a shared live-class target
+        vector (src/lib.rs:1002-1060)."""
+        from streamz_tpu.nn import train as _T
+
+        batch = jnp.asarray(batch, jnp.float32)
+        if batch.size == 0:
+            return
+        t_live = np.asarray(target, np.float32)
+        t_full = np.zeros((self.capacity,), np.float32)
+        t_full[: min(len(t_live), self.capacity)] = t_live[: self.capacity]
+        t = jnp.broadcast_to(jnp.asarray(t_full), (batch.shape[0], self.capacity))
+        self.params = _T.train_batch(
+            self.params, batch, t, jnp.float32(lr), jnp.int32(self.num_speakers)
+        )
+
+    def train_bits(self, x, target, lr: float) -> None:
+        """Single-step MSE+sigmoid update on the full output layer
+        (src/lib.rs:917-951)."""
+        from streamz_tpu.nn import train as _T
+
+        t_live = np.asarray(target, np.float32)
+        t_full = np.zeros((self.capacity,), np.float32)
+        t_full[: min(len(t_live), self.capacity)] = t_live[: self.capacity]
+        self.params = _T.train_bits_step(
+            self.params, jnp.asarray(x, jnp.float32), jnp.asarray(t_full),
+            jnp.float32(lr),
+        )
+
+    # -- persistence (src/lib.rs:1081-1281) ----------------------------------
+
+    def save(self, path: str) -> None:
+        from streamz_tpu.nn import checkpoint
+
+        checkpoint.save(self, path)
+
+    @classmethod
+    def load(cls, path: str) -> "SpeakerNet":
+        from streamz_tpu.nn import checkpoint
+
+        return checkpoint.load(path)

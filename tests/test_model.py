@@ -91,3 +91,38 @@ def test_set_output_layer():
     got_w3, got_b3 = net.output_layer()
     np.testing.assert_allclose(got_w3, w3)
     np.testing.assert_allclose(got_b3, b3)
+
+
+def test_reference_method_surface_train_and_save(tmp_path):
+    """SimpleNeuralNet method parity: train/train_batch/train_bits/
+    forward_bits/save/load as instance methods."""
+    net = SpeakerNet.new(input_size=4, hidden1=3, hidden2=2, output=2, seed=6)
+    x = np.array([0.1, -0.2, 0.3, 0.4], np.float32)
+    w1_before = np.asarray(net.params["w1"]).copy()
+    net.train(x, [1.0, 0.0], 0.1)
+    assert not np.allclose(np.asarray(net.params["w1"]), w1_before)
+
+    net.train_batch(np.stack([x, -x]), [0.0, 1.0], 0.1)
+    net.train_bits(x, np.ones(net.capacity), 0.5)
+    bits = net.forward_bits(x)
+    assert bits.shape == (net.capacity,)
+    assert np.all((bits >= 0) & (bits <= 1))
+
+    p = str(tmp_path / "m.npz")
+    net.save(p)
+    got = SpeakerNet.load(p)
+    np.testing.assert_allclose(
+        np.asarray(got.params["w1"]), np.asarray(net.params["w1"])
+    )
+
+
+def test_weights_change_after_training():
+    """Port of the reference's own unit test (src/lib.rs:1831-1851)."""
+    net = SpeakerNet.new(input_size=4, hidden1=3, hidden2=2, output=2, seed=9)
+    before = {k: np.asarray(v).copy() for k, v in net.params.items()}
+    net.train_batch(np.array([[0.1, -0.2, 0.3, 0.4]], np.float32), [1.0, 0.0], 0.1)
+    changed = any(
+        not np.array_equal(np.asarray(net.params[k]), before[k])
+        for k in ("w1", "w2", "b1", "b2")
+    )
+    assert changed, "weights did not change after training step"
