@@ -1,0 +1,179 @@
+"""Extended benchmark harness: per-stage throughput report.
+
+``bench.py`` (repo root) prints the single headline JSON line the driver
+records; this harness measures every hot stage for perf tracking across
+rounds and writes ``benchmarks/report.json``:
+
+- MFCC frontend windows/s — XLA formulation and fused Pallas kernel
+- identify pipeline (frontend + batched forward + vote sums) windows/s
+- corpus training windows/s (data-parallel step over all local devices)
+- CPU reference-spec baselines for each
+
+Timing uses dependency-chained scans with scalar readbacks (see bench.py for
+why: the axon tunnel's block_until_ready is unreliable and bulk readbacks
+measure the tunnel).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _chain_time(make_body, iters: int = 5, repeats: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained():
+        def body(c, _):
+            out = make_body(c)
+            return jnp.sum(out) * 1e-12, None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    float(chained())
+    best = float("inf")
+    for _ in range(repeats):
+        start = time.perf_counter()
+        float(chained())
+        best = min(best, (time.perf_counter() - start) / iters)
+    return best
+
+
+def bench_frontends(B=32, seconds=10.0):
+    import jax.numpy as jnp
+
+    from streamz_tpu import config
+    from streamz_tpu.dsp.mfcc import mfcc_features
+    from streamz_tpu.dsp.pallas_mfcc import mfcc_features_pallas
+
+    t = int(seconds * config.DEFAULT_SAMPLE_RATE)
+    t -= t % config.HOP_SIZE
+    n_win = (t - config.WINDOW_SIZE) // config.HOP_SIZE + 1
+    rng = np.random.default_rng(0)
+    pcm = jnp.asarray(rng.normal(0, 0.1, (B, t)).astype(np.float32))
+    ns = jnp.full((B,), t, jnp.int32)
+
+    out = {}
+    for name, fn in (("xla", mfcc_features), ("pallas", mfcc_features_pallas)):
+        dt = _chain_time(lambda c, fn=fn: fn(pcm + c, ns))
+        out[f"mfcc_{name}_windows_per_sec"] = B * n_win / dt
+    return out
+
+
+def bench_identify(B=32, seconds=10.0, classes=64):
+    import jax.numpy as jnp
+
+    from streamz_tpu import config
+    from streamz_tpu.dsp.mfcc import mfcc_features, window_count
+    from streamz_tpu.nn.model import SpeakerNet, forward
+
+    t = int(seconds * config.DEFAULT_SAMPLE_RATE)
+    t -= t % config.HOP_SIZE
+    n_win = (t - config.WINDOW_SIZE) // config.HOP_SIZE + 1
+    rng = np.random.default_rng(0)
+    pcm = jnp.asarray(rng.normal(0, 0.1, (B, t)).astype(np.float32))
+    ns = jnp.full((B,), t, jnp.int32)
+    net = SpeakerNet.new(output=classes, seed=0)
+    params, S = net.params, net.num_speakers
+
+    def pipeline(c):
+        feats = mfcc_features(pcm + c, ns)
+        probs = forward(params, feats, S)
+        valid = (jnp.arange(feats.shape[1])[None, :] < window_count(ns)[:, None])
+        return (probs * valid[..., None]).sum(axis=1)
+
+    dt = _chain_time(pipeline)
+    return {"identify_pipeline_windows_per_sec": B * n_win / dt}
+
+
+def bench_corpus_train(batch=8192, feat=60, classes=64):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from streamz_tpu.nn.model import SpeakerNet
+    from streamz_tpu.parallel import comm, data_parallel as dp
+
+    mesh = comm.make_mesh()
+    n_dev = mesh.devices.size
+    batch -= batch % n_dev
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(batch, feat)).astype(np.float32)
+    y = rng.integers(0, classes, batch).astype(np.int32)
+    w = np.ones(batch, np.float32)
+    net = SpeakerNet.new(input_size=feat, output=classes, seed=0)
+
+    step = dp.make_dp_train_step(mesh)
+    sh = NamedSharding(mesh, P(comm.DATA_AXIS))
+    xb = jax.device_put(x, sh); yb = jax.device_put(y, sh)
+    wb = jax.device_put(w, sh)
+
+    params, _ = step(net.params, xb, yb, wb, jnp.int32(classes), jnp.float32(0.01))
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        params, loss = step(params, xb, yb, wb, jnp.int32(classes), jnp.float32(0.01))
+    float(loss)  # scalar readback forces the chain
+    dt = (time.perf_counter() - start) / iters
+    return {"corpus_train_windows_per_sec": batch / dt, "devices": n_dev}
+
+
+def bench_cpu_baselines(seconds=3.0, classes=64):
+    from streamz_tpu import config
+    from streamz_tpu.dsp.mfcc_ref import extract_features_np
+    from streamz_tpu.nn.model import SpeakerNet
+
+    t = int(seconds * config.DEFAULT_SAMPLE_RATE)
+    clip = np.random.default_rng(1).normal(0, 3000, t).astype(np.int16)
+    extract_features_np(clip)
+    start = time.perf_counter()
+    feats = extract_features_np(clip)
+    dt = time.perf_counter() - start
+    out = {"cpu_mfcc_windows_per_sec": len(feats) / dt}
+
+    net = SpeakerNet.new(output=classes, seed=0)
+    w1 = np.asarray(net.params["w1"]); b1 = np.asarray(net.params["b1"])
+    w2 = np.asarray(net.params["w2"]); b2 = np.asarray(net.params["b2"])
+    w3, b3 = net.output_layer()
+    start = time.perf_counter()
+    for win in feats:
+        h1 = np.maximum(win @ w1 + b1, 0.0)
+        h2 = np.tanh(h1 @ w2 + b2)
+        z = h2 @ w3 + b3
+        e = np.exp(z - z.max()); e / e.sum()
+    dt_fwd = time.perf_counter() - start
+    out["cpu_forward_windows_per_sec"] = len(feats) / dt_fwd
+    out["cpu_identify_pipeline_windows_per_sec"] = len(feats) / (dt + dt_fwd)
+    return out
+
+
+def main():
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", "/tmp/streamz_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    report = {}
+    report.update(bench_cpu_baselines())
+    report.update(bench_frontends())
+    report.update(bench_identify())
+    report.update(bench_corpus_train())
+    import jax
+    report["device"] = str(jax.devices()[0])
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "report.json")
+    with open(out_path, "w") as f:
+        json.dump({k: (round(v, 1) if isinstance(v, float) else v)
+                   for k, v in report.items()}, f, indent=2)
+    print(json.dumps(report, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()
