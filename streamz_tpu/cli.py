@@ -93,8 +93,21 @@ def build_feature_map(
     return {p: f for (p, _), f in zip(resampled, feats)}
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (big win on TPU where device
+    compiles dominate cold-start time)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/streamz_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
+    _enable_compile_cache()
 
     conf_threshold = _parse_float(args, "--threshold", config.DEFAULT_CONF_THRESHOLD)
     eval_split = _parse_float(args, "--eval-split", 0.2)

@@ -180,3 +180,41 @@ def test_stego_encode_decode_via_cli(workdir, capsys):
         assert got[: len(payload)] == payload
     finally:
         cfg.set_checksum_constant_override(cfg.CHECKSUM_CONSTANT)
+
+
+def test_force_retrains_from_scratch(workdir, capsys):
+    """--force ignores the saved model (documented README.md:73)."""
+    labels = [0, 0, 1, 1, 0]
+    _write_train_list(workdir, labels)
+    assert cli_main([]) == 0
+    capsys.readouterr()
+    _write_train_list(workdir, labels)  # restore labels (run rewrites them)
+    assert cli_main(["--force"]) == 0
+    out = capsys.readouterr().out
+    assert "Initial training loss" in out
+    assert "Loaded saved model" not in out
+
+
+def test_eval_split_without_target_files(workdir, capsys):
+    """--eval-split reserves labeled tail when target_files.txt is absent."""
+    labels = [0, 0, 1, 1, 0]
+    _write_train_list(workdir, labels)
+    assert cli_main([]) == 0
+    capsys.readouterr()
+    (workdir / "target_files.txt").unlink()
+    assert cli_main(["--eval", "--eval-split", "0.4", "--threshold", "0.3"]) == 0
+    out = capsys.readouterr().out
+    assert "Evaluation complete:" in out
+
+
+def test_burn_in_limit_zero_matches_instead_of_spawning(workdir, capsys):
+    """--burn-in-limit 0: unlabeled files go through cosine matching from the
+    first file (src/main.rs:770-776 threshold switch)."""
+    _write_train_list(workdir)  # unlabeled
+    assert cli_main(["--burn-in-limit", "0", "--threshold", "0.01"]) == 0
+    out = capsys.readouterr().out
+    assert "Number of speakers discovered:" in out
+    net = checkpoint.load(str(workdir / "model.npz"))
+    # With a tiny threshold everything matches the first speaker: fewer
+    # classes than files.
+    assert net.output_size() < len(CLIPS)
