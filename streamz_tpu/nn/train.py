@@ -32,7 +32,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from streamz_tpu.nn.model import MASK_LOGIT, Params, forward_logits
+from streamz_tpu.nn.model import Params, forward_logits
 
 
 def _delta_loss(params: Params, x: jax.Array, target: jax.Array, num_speakers) -> jax.Array:

@@ -14,13 +14,11 @@ axis name over DCN).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from streamz_tpu.nn.model import Params, forward_logits
+from streamz_tpu.nn.model import forward_logits
 from streamz_tpu.parallel import comm
 
 

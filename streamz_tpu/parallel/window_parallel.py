@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from streamz_tpu.nn.model import Params, forward, forward_embedding
+from streamz_tpu.nn.model import forward, forward_embedding
 from streamz_tpu.parallel import comm
 
 
