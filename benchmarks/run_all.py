@@ -152,7 +152,15 @@ def bench_cpu_baselines(seconds=3.0, classes=64):
     return out
 
 
-def main():
+SECTIONS = {
+    "cpu": bench_cpu_baselines,
+    "frontends": bench_frontends,
+    "identify": bench_identify,
+    "corpus": bench_corpus_train,
+}
+
+
+def main(sections=None):
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir", "/tmp/streamz_jax_cache")
@@ -160,20 +168,27 @@ def main():
     except Exception:
         pass
 
+    # Sections can run in separate processes (CLI arg) so a wedged tunnel
+    # compile only loses one section; results merge into report.json.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "report.json")
     report = {}
-    report.update(bench_cpu_baselines())
-    report.update(bench_frontends())
-    report.update(bench_identify())
-    report.update(bench_corpus_train())
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            report = json.load(f)
+
+    names = sections or list(SECTIONS)
+    for name in names:
+        report.update({k: (round(v, 1) if isinstance(v, float) else v)
+                       for k, v in SECTIONS[name]().items()})
     import jax
     report["device"] = str(jax.devices()[0])
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "report.json")
     with open(out_path, "w") as f:
-        json.dump({k: (round(v, 1) if isinstance(v, float) else v)
-                   for k, v in report.items()}, f, indent=2)
+        json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2, default=float))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(sys.argv[1:] or None)
