@@ -16,9 +16,12 @@
 #include <cstdlib>
 #include <cstring>
 #include <dlfcn.h>
+#include <memory>
 #include <mutex>
 #include <thread>
 #include <vector>
+
+#include "resample.h"
 
 extern "C" {
 
@@ -234,6 +237,52 @@ int sz_write_wav(const char *path, const int16_t *data, int64_t len,
 // layer drops them silently, matching batch_resample's filter_map).
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// FFT resampler exports (rubato-equivalent; see resample.h).
+// ---------------------------------------------------------------------------
+
+int sz_resample_f64(const double *x, int64_t n, int32_t fs_in, int32_t fs_out,
+                    double **out, int64_t *out_len) {
+  std::vector<double> xv(x, x + n);
+  std::vector<double> y = szr::resample(xv, fs_in, fs_out);
+  auto *mem = static_cast<double *>(malloc(y.size() * sizeof(double)));
+  if (!mem) return -1;
+  memcpy(mem, y.data(), y.size() * sizeof(double));
+  *out = mem;
+  *out_len = static_cast<int64_t>(y.size());
+  return 0;
+}
+
+int sz_resample_i16(const int16_t *x, int64_t n, int32_t fs_in, int32_t fs_out,
+                    int16_t **out, int64_t *out_len) {
+  std::vector<int16_t> y = szr::resample_i16(x, size_t(n), fs_in, fs_out);
+  auto *mem = static_cast<int16_t *>(malloc(y.size() * sizeof(int16_t)));
+  if (!mem) return -1;
+  memcpy(mem, y.data(), y.size() * sizeof(int16_t));
+  *out = mem;
+  *out_len = static_cast<int64_t>(y.size());
+  return 0;
+}
+
+static void downmix_inplace(std::vector<int16_t> &samples, int channels) {
+  if (channels <= 1) return;
+  size_t frames = samples.size() / size_t(channels);
+  for (size_t i = 0; i < frames; i++) {
+    int32_t sum = 0;
+    for (int c = 0; c < channels; c++) sum += samples[i * channels + c];
+    samples[i] = int16_t(sum / channels);  // C++ trunc division == Rust
+  }
+  // ragged tail (Rust chunks() yields it too)
+  size_t rem = samples.size() - frames * size_t(channels);
+  if (rem) {
+    int32_t sum = 0;
+    for (size_t i = frames * channels; i < samples.size(); i++) sum += samples[i];
+    samples[frames] = int16_t(sum / int32_t(rem));
+    frames += 1;
+  }
+  samples.resize(frames);
+}
+
 static void decode_one(const char *path, SzClip *clip) {
   size_t n = strlen(path);
   bool is_mp3 = n >= 4 && strncasecmp(path + n - 4, ".mp3", 4) == 0;
@@ -269,6 +318,51 @@ int sz_batch_decode(const char **paths, int32_t n, int32_t threads,
         int32_t i = next.fetch_add(1);
         if (i >= n) break;
         decode_one(paths[i], &out[i]);
+      }
+    });
+  }
+  for (auto &th : pool) th.join();
+  return 0;
+}
+
+// Full threaded ingest: decode → downmix → resample to target_rate, all on
+// the std::thread pool — the complete load_and_resample_file pipeline
+// (src/lib.rs:509-538) per clip, batched like batch_resample (:541-547).
+int sz_batch_ingest(const char **paths, int32_t n, int32_t threads,
+                    int32_t target_rate, SzClip *out) {
+  if (n <= 0) return 0;
+  if (threads <= 0) threads = std::thread::hardware_concurrency();
+  if (threads > n) threads = n;
+  std::atomic<int32_t> next(0);
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) {
+    pool.emplace_back([&] {
+      for (;;) {
+        int32_t i = next.fetch_add(1);
+        if (i >= n) break;
+        SzClip *clip = &out[i];
+        decode_one(paths[i], clip);
+        if (clip->status != 0) continue;
+        std::vector<int16_t> samples(clip->samples, clip->samples + clip->len);
+        free(clip->samples);
+        clip->samples = nullptr;
+        downmix_inplace(samples, clip->channels);
+        std::vector<int16_t> res =
+            szr::resample_i16(samples.data(), samples.size(), clip->rate,
+                              target_rate);
+        auto *mem =
+            static_cast<int16_t *>(malloc(res.size() * sizeof(int16_t)));
+        if (!mem) {
+          clip->status = -7;
+          clip->len = 0;
+          continue;
+        }
+        memcpy(mem, res.data(), res.size() * sizeof(int16_t));
+        clip->samples = mem;
+        clip->len = static_cast<int64_t>(res.size());
+        clip->rate = target_rate;
+        clip->channels = 1;
       }
     });
   }

@@ -113,25 +113,19 @@ def batch_resample(
     """Load+resample many files in parallel, dropping failures silently
     (src/lib.rs:541-547).
 
-    Fast path: the C++ native runtime decodes all files on a std::thread pool
-    (:mod:`streamz_tpu.io.native`), then downmix+resample runs vectorized on
-    the host.  Falls back to a Python thread pool when the native library is
-    unavailable — identical results either way."""
+    Fast path: the C++ native runtime runs the complete per-clip pipeline
+    (decode → downmix → FFT resample, :mod:`streamz_tpu.io.native`) on a
+    std::thread pool.  Falls back to a Python thread pool when the native
+    library is unavailable — bit-identical results either way."""
     from streamz_tpu.io import native
 
     if native.available():
-        decoded = native.batch_decode(paths, threads=max_workers or 0)
-        out: List[Tuple[str, np.ndarray]] = []
-        for p, clip in zip(paths, decoded):
-            if clip is None:
-                continue
-            samples, rate, channels = clip
-            try:
-                mono = downmix_to_mono(samples, channels)
-                out.append((p, resample_to_44100(mono, rate)))
-            except Exception:
-                continue
-        return out
+        ingested = native.batch_ingest(
+            paths, config.DEFAULT_SAMPLE_RATE, threads=max_workers or 0
+        )
+        return [
+            (p, clip[0]) for p, clip in zip(paths, ingested) if clip is not None
+        ]
 
     def _safe(p: str):
         try:

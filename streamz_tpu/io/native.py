@@ -83,6 +83,21 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.POINTER(_SzClip),
         ]
+        lib.sz_batch_ingest.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(_SzClip),
+        ]
+        lib.sz_resample_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.sz_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
@@ -133,6 +148,47 @@ def batch_decode(
     clips = (_SzClip * n)()
     lib.sz_batch_decode(c_paths, n, threads, clips)
     return [_clip_to_numpy(lib, clips[i]) for i in range(n)]
+
+
+def batch_ingest(
+    paths: List[str], target_rate: int = 44100, threads: int = 0
+) -> List[Optional[Tuple[np.ndarray, int, int]]]:
+    """Full threaded native ingest: decode → downmix → resample.
+
+    Returns per-path (mono i16 at target_rate, target_rate, 1) or None.
+    The resampler is the C++ twin of :mod:`streamz_tpu.dsp.resample`
+    (bit-identical i16 output)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = len(paths)
+    if n == 0:
+        return []
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    clips = (_SzClip * n)()
+    lib.sz_batch_ingest(c_paths, n, threads, target_rate, clips)
+    return [_clip_to_numpy(lib, clips[i]) for i in range(n)]
+
+
+def resample_i16_native(
+    samples: np.ndarray, fs_in: int, fs_out: int
+) -> Optional[np.ndarray]:
+    """C++ FFT resample of i16 PCM; None when the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    pcm = np.ascontiguousarray(samples, dtype=np.int16)
+    out = ctypes.POINTER(ctypes.c_int16)()
+    n = ctypes.c_int64(0)
+    rc = lib.sz_resample_i16(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        len(pcm), fs_in, fs_out, ctypes.byref(out), ctypes.byref(n),
+    )
+    if rc != 0:
+        return None
+    arr = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
+    lib.sz_free(out)
+    return arr.astype(np.int16, copy=False)
 
 
 def write_wav_native(path: str, samples: np.ndarray, rate: int = 44100) -> bool:

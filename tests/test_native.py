@@ -59,3 +59,29 @@ def test_native_rejects_non16bit_wav(tmp_path):
         f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 44100, 44100, 1, 8))
         f.write(b"data" + struct.pack("<I", len(data)) + data)
     assert native.decode_file(p) is None
+
+
+def test_native_resampler_bit_identical():
+    from streamz_tpu.dsp.resample import resample_to_44100
+
+    rng = np.random.default_rng(9)
+    for fs in (32000, 48000, 22050):
+        x = rng.normal(0, 8000, 12000).astype(np.int16)
+        want = resample_to_44100(x, fs)
+        got = native.resample_i16_native(x, fs, 44100)
+        assert got is not None
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA), reason="reference data absent")
+def test_native_batch_ingest_matches_python_pipeline():
+    from streamz_tpu.io.audio import load_and_resample_file
+
+    p = os.path.join(REF_DATA, "common_voice_fr_41911269.mp3")
+    got = native.batch_ingest([p, "missing.mp3"])
+    assert got[1] is None
+    assert got[0] is not None
+    samples, rate, ch = got[0]
+    assert rate == 44100 and ch == 1
+    _, want = load_and_resample_file(p)
+    np.testing.assert_array_equal(samples, want)
