@@ -18,9 +18,12 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _chain_time(make_body, iters: int = 5, repeats: int = 3) -> float:
