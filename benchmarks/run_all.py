@@ -111,19 +111,28 @@ def bench_corpus_train(batch=8192, feat=60, classes=64):
     w = np.ones(batch, np.float32)
     net = SpeakerNet.new(input_size=feat, output=classes, seed=0)
 
-    step = dp.make_dp_train_step(mesh)
-    sh = NamedSharding(mesh, P(comm.DATA_AXIS))
-    xb = jax.device_put(x, sh); yb = jax.device_put(y, sh)
-    wb = jax.device_put(w, sh)
+    # One scanned epoch = one device dispatch: per-call dispatch latency over
+    # the axon tunnel (~hundreds of ms) would otherwise dominate.
+    steps = 50
+    epoch = dp.make_dp_train_epoch(mesh, steps=steps)
+    sh = NamedSharding(mesh, P(None, comm.DATA_AXIS))
+    xb = jax.device_put(np.broadcast_to(x, (steps, *x.shape)).copy(), sh)
+    yb = jax.device_put(np.broadcast_to(y, (steps, *y.shape)).copy(), sh)
+    wb = jax.device_put(np.broadcast_to(w, (steps, *w.shape)).copy(), sh)
 
-    params, _ = step(net.params, xb, yb, wb, jnp.int32(classes), jnp.float32(0.01))
-    iters = 20
-    start = time.perf_counter()
-    for _ in range(iters):
-        params, loss = step(params, xb, yb, wb, jnp.int32(classes), jnp.float32(0.01))
-    float(loss)  # scalar readback forces the chain
-    dt = (time.perf_counter() - start) / iters
-    return {"corpus_train_windows_per_sec": batch / dt, "devices": n_dev}
+    params, losses = epoch(
+        net.params, xb, yb, wb, jnp.int32(classes), jnp.float32(0.01)
+    )
+    float(np.asarray(losses)[-1])
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        params, losses = epoch(
+            params, xb, yb, wb, jnp.int32(classes), jnp.float32(0.01)
+        )
+        float(np.asarray(losses)[-1])  # scalar-ish readback forces the chain
+        best = min(best, (time.perf_counter() - start) / steps)
+    return {"corpus_train_windows_per_sec": batch / best, "devices": n_dev}
 
 
 def bench_cpu_baselines(seconds=3.0, classes=64):
