@@ -1,0 +1,85 @@
+"""Multi-process (DCN-analogue) distributed smoke test.
+
+Launches two subprocesses that bootstrap via
+:func:`streamz_tpu.parallel.comm.initialize_distributed`
+(``jax.distributed.initialize``), form one global 8-device mesh (4 CPU
+devices per process), and run the data-parallel training step with psum
+gradient allreduce across the process boundary — the multi-host story of
+SURVEY.md §2.3/§5.8 exercised for real, not just compiled.
+"""
+
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r'''
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, %(repo)r)
+pid = int(sys.argv[1])
+port = sys.argv[2]
+
+from streamz_tpu.parallel import comm
+comm.initialize_distributed(
+    coordinator_address="127.0.0.1:" + port, num_processes=2, process_id=pid
+)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from streamz_tpu.nn.model import SpeakerNet
+from streamz_tpu.parallel import data_parallel as dp
+
+devs = jax.devices()
+assert len(devs) == 8, f"global mesh expected 8 devices, got {len(devs)}"
+mesh = Mesh(np.array(devs), (comm.DATA_AXIS,))
+
+net = SpeakerNet.new(input_size=8, hidden1=16, hidden2=8, output=2, seed=3)
+rng = np.random.default_rng(0)
+B = 64
+x = rng.normal(size=(B, 8)).astype(np.float32)
+y = rng.integers(0, 2, size=(B,)).astype(np.int32)
+w = np.ones((B,), np.float32)
+
+step = dp.make_dp_train_step(mesh)
+sh = NamedSharding(mesh, P(comm.DATA_AXIS))
+xb = jax.device_put(x, sh); yb = jax.device_put(y, sh); wb = jax.device_put(w, sh)
+params, loss = step(net.params, xb, yb, wb, jnp.int32(2), jnp.float32(0.05))
+if pid == 0:
+    print("MULTIHOST_LOSS", float(loss))
+'''
+
+
+@pytest.mark.slow
+def test_two_process_dp_step(tmp_path):
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = _WORKER % {"repo": repo}
+    port = "12391"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, str(i), port],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+    assert any("MULTIHOST_LOSS" in o for o in outs)
+    loss_line = next(
+        l for o in outs for l in o.splitlines() if l.startswith("MULTIHOST_LOSS")
+    )
+    loss = float(loss_line.split()[1])
+    assert 0.0 < loss < 10.0
