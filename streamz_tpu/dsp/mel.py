@@ -97,6 +97,15 @@ def dft_block_matrices(window: int = config.WINDOW_SIZE):
     matmul (the TPU-native replacement for the reference's per-window rustfft
     call at ``src/lib.rs:296``).
 
+    Moreover the bottom-role bases are parity-signed copies of the top ones —
+    shifting by half a period flips odd bins:
+
+        Cb[:,k] = (-1)^k Ct[:,k],   Sb[:,k] = (-1)^k St[:,k]
+
+    so only ONE [b x (b+1)] cos + ONE sin projection per block is needed;
+    the window assembly is a sign-flipped shifted add
+    (see :func:`streamz_tpu.dsp.mfcc.mfcc_base`).  Halves the DFT GEMM FLOPs.
+
     Returns (Ct, Cb, St, Sb), each [window/2, window/2 + 1] float64.
     """
     b = window // 2
@@ -104,9 +113,16 @@ def dft_block_matrices(window: int = config.WINDOW_SIZE):
     j = np.arange(b)[:, None]
     k = np.arange(n_bins)[None, :]
     ang_top = 2.0 * np.pi * k * j / window
-    ang_bot = 2.0 * np.pi * k * (j + b) / window
     ct = np.cos(ang_top)
-    cb = np.cos(ang_bot)
     st = -np.sin(ang_top)
-    sb = -np.sin(ang_bot)
+    sign = np.where(np.arange(n_bins) % 2 == 0, 1.0, -1.0)[None, :]
+    cb = ct * sign
+    sb = st * sign
     return ct, cb, st, sb
+
+
+@lru_cache(maxsize=8)
+def bin_parity_sign(window: int = config.WINDOW_SIZE) -> np.ndarray:
+    """(-1)^k per one-sided bin — the half-window shift phase factor."""
+    n_bins = window // 2 + 1
+    return np.where(np.arange(n_bins) % 2 == 0, 1.0, -1.0)

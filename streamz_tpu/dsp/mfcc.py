@@ -36,16 +36,19 @@ _PREC = jax.lax.Precision.HIGH
 
 
 def _constants():
-    ct, cb, st, sb = melmod.dft_block_matrices()
+    ct, _cb, st, _sb = melmod.dft_block_matrices()
     fb = melmod.mel_filterbank()
     dct = melmod.dct2_matrix()
-    # One fused [400, 4*401] DFT matrix: a single large MXU GEMM beats four
-    # narrow ones (better systolic-array utilization).
     import numpy as _np
 
-    dft_all = _np.concatenate([ct, cb, st, sb], axis=1)
+    # One fused [400, 2*401] projection: the bottom-role bases are just
+    # parity-signed copies (Cb = (-1)^k Ct), so each block needs a single
+    # cos|sin GEMM — half the FLOPs of projecting both roles.
+    dft_top = _np.concatenate([ct, st], axis=1)
+    sign = melmod.bin_parity_sign()
     return (
-        jnp.asarray(dft_all, jnp.float32),  # [400, 1604]
+        jnp.asarray(dft_top, jnp.float32),  # [400, 802]
+        jnp.asarray(sign, jnp.float32),     # [401]
         jnp.asarray(fb.T, jnp.float32),     # [401, 26]
         jnp.asarray(dct.T, jnp.float32),    # [26, 20]
     )
@@ -64,20 +67,20 @@ def window_count(n_samples) -> jnp.ndarray:
 def mfcc_base(pcm: jax.Array) -> jax.Array:
     """Base MFCCs for every candidate window. pcm: [B, T] f32 → [B, W, 20]
     where W = T//400 - 1.  No masking/deltas — the FLOP-heavy GEMM stage."""
-    dft_all, fb_t, dct_t = _constants()
+    dft_top, sign, fb_t, dct_t = _constants()
     B, T = pcm.shape
     nb = T // _BLOCK
     nbins = config.N_FFT_BINS
     blocks = pcm[:, : nb * _BLOCK].reshape(B, nb, _BLOCK)
 
-    parts = jnp.einsum("bnj,jk->bnk", blocks, dft_all, precision=_PREC)
-    re_top = parts[..., 0 * nbins : 1 * nbins]
-    re_bot = parts[..., 1 * nbins : 2 * nbins]
-    im_top = parts[..., 2 * nbins : 3 * nbins]
-    im_bot = parts[..., 3 * nbins : 4 * nbins]
+    parts = jnp.einsum("bnj,jk->bnk", blocks, dft_top, precision=_PREC)
+    cos_p = parts[..., :nbins]
+    sin_p = parts[..., nbins:]
 
-    re = re_top[:, :-1] + re_bot[:, 1:]
-    im = im_top[:, :-1] + im_bot[:, 1:]
+    # Window t = block_t (top role) + block_{t+1} (bottom role); the bottom
+    # role is the parity-signed top projection.
+    re = cos_p[:, :-1] + sign * cos_p[:, 1:]
+    im = sin_p[:, :-1] + sign * sin_p[:, 1:]
     power = re * re + im * im  # [B, W, 401]
 
     mel_e = jnp.einsum("bwk,km->bwm", power, fb_t, precision=_PREC)
