@@ -50,12 +50,22 @@ def evaluate(
 
     true_positive = false_positive = false_negative = correct = 0
 
+    # All clip embeddings in a few bucketed device calls (the per-clip
+    # device round trip would dominate wall time otherwise).
+    from streamz_tpu.infer.embed import batch_clip_embeddings
+
+    present = [(p, c) for p, c in target_files if feature_map.get(p) is not None]
+    embeddings = batch_clip_embeddings(
+        net, [feature_map[p] for p, _ in present]
+    )
+    emb_by_path = {p: e for (p, _), e in zip(present, embeddings)}
+
     for path, true_class in target_files:
         windows = feature_map.get(path)
         if windows is None:
             log(f"No features found for {path}")
             continue
-        embedding = normalize(extract_embedding_from_features(net, windows))
+        embedding = emb_by_path[path]
         emb_norm = float(np.linalg.norm(embedding))
         log(
             f"\nEvaluating file: {path}\nTrue class: {true_class}"

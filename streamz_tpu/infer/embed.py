@@ -56,6 +56,53 @@ def _fembed_median(params, windows):
     return jnp.median(e, axis=0)
 
 
+@jax.jit
+def _fembed_mean_batch(params, windows, n_valid):
+    """Masked mean ReLU-h2 embeddings for padded clips.
+
+    windows: [B, W_pad, F]; n_valid: [B] → [B, h2].
+    """
+    e = forward_embedding(params, windows)  # [B, W, h2]
+    mask = (jnp.arange(windows.shape[1])[None, :] < n_valid[:, None])
+    e = e * mask[..., None]
+    return e.sum(axis=1) / jnp.maximum(n_valid[:, None], 1.0)
+
+
+def batch_clip_embeddings(net: SpeakerNet, clips) -> list:
+    """Mean-pooled ReLU-h2 embeddings for many clips in few device calls.
+
+    Equivalent to calling :func:`extract_embedding_from_features` per clip
+    (same normalization contract) but batched with window-count bucketing —
+    one device dispatch per bucket instead of per clip.
+    """
+    if not clips:
+        return []
+    arrs = [np.asarray(c, np.float32) for c in clips]
+    out = [None] * len(arrs)
+    buckets: dict = {}
+    feat = next((a.shape[1] for a in arrs if a.ndim == 2 and len(a)), None)
+    for i, a in enumerate(arrs):
+        if len(a) == 0:
+            out[i] = np.zeros((net.embedding_size(),), np.float32)
+            continue
+        n_pad = 1
+        while n_pad < len(a):
+            n_pad *= 2
+        buckets.setdefault(n_pad, []).append(i)
+    for n_pad, idxs in buckets.items():
+        batch = np.zeros((len(idxs), n_pad, feat), np.float32)
+        lens = np.zeros((len(idxs),), np.int32)
+        for row, i in enumerate(idxs):
+            batch[row, : len(arrs[i])] = arrs[i]
+            lens[row] = len(arrs[i])
+        embs = np.asarray(
+            _fembed_mean_batch(net.params, jnp.asarray(batch), jnp.asarray(lens))
+        )
+        for row, i in enumerate(idxs):
+            out[i] = normalize(embs[row])
+    return out
+
+
 def extract_embedding(net: SpeakerNet, sample, extractor=None) -> np.ndarray:
     """Median-pooled tanh-h2 embedding of raw PCM (src/lib.rs:1418-1447)."""
     from streamz_tpu.dsp.features import FeatureExtractor

@@ -167,3 +167,12 @@ def test_identify_speaker_list(trained_net):
                   key=lambda i: (-counts[i], i))
     # Majority class (0) should rank first.
     assert want[0] == 0
+
+
+def test_batch_clip_embeddings_matches_per_clip(trained_net):
+    net, a, b = trained_net
+    clips = [a, b[:17], np.zeros((0, 8), np.float32), a[:5]]
+    got = embed.batch_clip_embeddings(net, clips)
+    for c, g in zip(clips, got):
+        want = embed.extract_embedding_from_features(net, c)
+        np.testing.assert_allclose(g, want, atol=1e-5)
