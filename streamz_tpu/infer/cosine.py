@@ -137,17 +137,29 @@ def compute_speaker_embeddings(
     """Per-speaker (mean, mean_sim, std_sim) from the feature cache
     (src/lib.rs:1555-1599)."""
     from streamz_tpu.dsp.features import load_cached_features
+    from streamz_tpu.infer.embed import batch_median_embeddings
 
-    out: List[SpeakerStats] = []
+    # Gather every file's cached windows first, then pool all embeddings in
+    # bucketed batched device calls (one dispatch per bucket, not per file).
+    per_speaker_wins: List[List[np.ndarray]] = []
+    flat_wins: List[np.ndarray] = []
     for files in net.file_lists[: net.output_size()]:
-        embeds: List[np.ndarray] = []
+        wins_list: List[np.ndarray] = []
         for path in files:
             try:
                 wins = load_cached_features(path, extractor)
             except Exception:
                 continue
-            emb = normalize(median_embedding_from_features(net, wins))
-            embeds.append(emb)
+            wins_list.append(wins)
+        per_speaker_wins.append(wins_list)
+        flat_wins.extend(wins_list)
+
+    flat_embeds = batch_median_embeddings(net, flat_wins)
+    it = iter(flat_embeds)
+
+    out: List[SpeakerStats] = []
+    for wins_list in per_speaker_wins:
+        embeds = [normalize(next(it)) for _ in wins_list]
         if not embeds:
             out.append((np.zeros((net.embedding_size(),), np.float32), 0.0, 0.0))
             continue

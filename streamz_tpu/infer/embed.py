@@ -103,6 +103,63 @@ def batch_clip_embeddings(net: SpeakerNet, clips) -> list:
     return out
 
 
+@jax.jit
+def _fembed_median_batch(params, windows, n_valid):
+    """Masked median ReLU-h2 embeddings for padded clips.
+
+    Padding rows are filled with +inf/-inf alternating? No — the median over
+    a masked set is computed by replacing padding with each clip's per-dim
+    values at the last valid window... simpler and exact: sort with padding
+    pushed to +inf and read the k-th order statistics for the true count.
+    windows: [B, W_pad, F]; n_valid: [B] → [B, h2].
+    """
+    e = forward_embedding(params, windows)  # [B, W, h2]
+    W = windows.shape[1]
+    mask = (jnp.arange(W)[None, :] < n_valid[:, None])[..., None]
+    big = jnp.where(mask, e, jnp.inf)
+    s = jnp.sort(big, axis=1)  # valid values first, inf padding last
+    n = jnp.maximum(n_valid, 1)
+    lo_i = ((n - 1) // 2)[:, None, None]
+    hi_i = (n // 2)[:, None, None]
+    lo = jnp.take_along_axis(s, jnp.broadcast_to(lo_i, (s.shape[0], 1, s.shape[2])), axis=1)
+    hi = jnp.take_along_axis(s, jnp.broadcast_to(hi_i, (s.shape[0], 1, s.shape[2])), axis=1)
+    return ((lo + hi) / 2.0)[:, 0, :]
+
+
+def batch_median_embeddings(net: SpeakerNet, clips) -> list:
+    """Median-pooled ReLU-h2 embeddings for many clips, bucketed+batched.
+
+    Equivalent to :func:`median_embedding_from_features` per clip (including
+    the even-count midpoint rule, src/lib.rs:1483-1492), L2-normalized.
+    """
+    if not clips:
+        return []
+    arrs = [np.asarray(c, np.float32) for c in clips]
+    out = [None] * len(arrs)
+    feat = next((a.shape[1] for a in arrs if a.ndim == 2 and len(a)), None)
+    buckets: dict = {}
+    for i, a in enumerate(arrs):
+        if len(a) == 0:
+            out[i] = np.zeros((net.embedding_size(),), np.float32)
+            continue
+        n_pad = 1
+        while n_pad < len(a):
+            n_pad *= 2
+        buckets.setdefault(n_pad, []).append(i)
+    for n_pad, idxs in buckets.items():
+        batch = np.zeros((len(idxs), n_pad, feat), np.float32)
+        lens = np.zeros((len(idxs),), np.int32)
+        for row, i in enumerate(idxs):
+            batch[row, : len(arrs[i])] = arrs[i]
+            lens[row] = len(arrs[i])
+        embs = np.asarray(
+            _fembed_median_batch(net.params, jnp.asarray(batch), jnp.asarray(lens))
+        )
+        for row, i in enumerate(idxs):
+            out[i] = normalize(embs[row])
+    return out
+
+
 def extract_embedding(net: SpeakerNet, sample, extractor=None) -> np.ndarray:
     """Median-pooled tanh-h2 embedding of raw PCM (src/lib.rs:1418-1447)."""
     from streamz_tpu.dsp.features import FeatureExtractor

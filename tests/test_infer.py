@@ -176,3 +176,12 @@ def test_batch_clip_embeddings_matches_per_clip(trained_net):
     for c, g in zip(clips, got):
         want = embed.extract_embedding_from_features(net, c)
         np.testing.assert_allclose(g, want, atol=1e-5)
+
+
+def test_batch_median_embeddings_matches_per_clip(trained_net):
+    net, a, b = trained_net
+    clips = [a, b[:17], a[:6], np.zeros((0, 8), np.float32), b[:1]]
+    got = embed.batch_median_embeddings(net, clips)
+    for c, g in zip(clips, got):
+        want = embed.median_embedding_from_features(net, c)
+        np.testing.assert_allclose(g, want, atol=1e-5)
