@@ -49,7 +49,7 @@ def _enable_compile_cache() -> None:
 
 
 def _bench_device(net, batch_clips: int = 32, clip_seconds: float = 10.0,
-                  iters: int = 5):
+                  iters: int = 50):
     import jax
     import jax.numpy as jnp
 

@@ -26,7 +26,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _chain_time(make_body, iters: int = 5, repeats: int = 3) -> float:
+def _chain_time(make_body, iters: int = 50, repeats: int = 3) -> float:
     import jax
     import jax.numpy as jnp
 
