@@ -28,7 +28,9 @@ _IN_PAD = 64  # 60-dim features padded to the f32 sublane-friendly width
 
 def _fwd_kernel(ns_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                 out_ref):
-    prec = jax.lax.Precision.HIGHEST
+    # DEFAULT (1-pass bf16) like XLA's inference forward: classification
+    # probabilities tolerate bf16 easily and 6-pass f32 costs ~1.7x here.
+    prec = jax.lax.Precision.DEFAULT
     h1 = jnp.maximum(
         jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32,
                 precision=prec) + b1_ref[:], 0.0)
