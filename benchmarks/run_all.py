@@ -164,11 +164,49 @@ def bench_cpu_baselines(seconds=3.0, classes=64):
     return out
 
 
+def bench_incremental_train(n_windows=448, epochs=5, batch=8, classes=64):
+    """Throughput of the semantics-exact per-file trainer
+    (``train_on_windows``: fused shuffle/dropout/batch-8 scan) — the hot step
+    of the incremental loop, measured per processed window-epoch."""
+    import jax
+    import jax.numpy as jnp
+
+    from streamz_tpu.nn.model import SpeakerNet
+    from streamz_tpu.nn.train import train_on_windows
+
+    net = SpeakerNet.new(output=classes, seed=0)
+    rng = np.random.default_rng(0)
+    wins = jnp.asarray(rng.normal(size=(n_windows, 60)).astype(np.float32))
+    tvec = np.zeros((net.capacity,), np.float32)
+    tvec[3] = 1.0
+
+    def run(params, key):
+        return train_on_windows(
+            params, wins, jnp.int32(n_windows), jnp.asarray(tvec),
+            jnp.int32(classes), key, jnp.float32(0.01), jnp.float32(0.2),
+            epochs=epochs, batch_size=batch,
+        )
+
+    params = jax.tree_util.tree_map(lambda a: a.copy(), net.params)
+    params, _ = run(params, jax.random.PRNGKey(0))  # compile
+    reps = 10
+    start = time.perf_counter()
+    for i in range(reps):
+        params, loss = run(params, jax.random.PRNGKey(i))
+    float(loss)
+    dt = (time.perf_counter() - start) / reps
+    return {
+        "incremental_train_window_epochs_per_sec": n_windows * epochs / dt,
+        "incremental_train_file_step_ms": dt * 1e3,
+    }
+
+
 SECTIONS = {
     "cpu": bench_cpu_baselines,
     "frontends": bench_frontends,
     "identify": bench_identify,
     "corpus": bench_corpus_train,
+    "incremental": bench_incremental_train,
 }
 
 
