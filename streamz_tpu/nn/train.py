@@ -35,17 +35,6 @@ import jax.numpy as jnp
 from streamz_tpu.nn.model import Params, forward_logits
 
 
-def _delta_loss(params: Params, x: jax.Array, target: jax.Array, num_speakers) -> jax.Array:
-    """Scalar whose gradient wrt params is the reference's backprop delta.
-
-    x: [B, in]; target: [B, capacity] (rows may be all-zero); returns the
-    summed surrogate over the batch.
-    """
-    logits = forward_logits(params, x, num_speakers)
-    lse = jax.nn.logsumexp(logits, axis=-1)
-    return jnp.sum(lse - jnp.sum(target * logits, axis=-1))
-
-
 def report_loss(params: Params, x: jax.Array, target: jax.Array, num_speakers) -> jax.Array:
     """Per-sample reference-reported CE loss: -sum t*ln(max(p,1e-12))."""
     logits = forward_logits(params, x, num_speakers)
