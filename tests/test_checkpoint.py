@@ -127,3 +127,24 @@ def test_stego_layer_roundtrip(tmp_path):
     assert enc is not None
     np.testing.assert_allclose(enc[0], w4)
     np.testing.assert_allclose(enc[1], b4)
+
+
+def test_checkpoint_across_capacity_boundary(tmp_path):
+    """150 speakers crosses the 128-column capacity tile: all live columns
+    round-trip and the padded layout never leaks into the file."""
+    net = SpeakerNet.new(input_size=6, hidden1=5, hidden2=4, output=150, seed=1)
+    assert net.capacity == 256
+    path = str(tmp_path / "big.npz")
+    checkpoint.save(net, path)
+    with np.load(path) as z:
+        w3_keys = [k for k in z.files if k.startswith("w3_")]
+        assert len(w3_keys) == 150  # live columns only
+    got = checkpoint.load(path)
+    assert got.num_speakers == 150
+    w_in, b_in = net.output_layer()
+    w_out, b_out = got.output_layer()
+    np.testing.assert_allclose(w_out, w_in)
+    np.testing.assert_allclose(b_out, b_in)
+    x = np.random.default_rng(0).normal(size=(4, 6)).astype(np.float32)
+    np.testing.assert_allclose(got.forward(x), net.forward(x), rtol=1e-5,
+                               atol=1e-6)

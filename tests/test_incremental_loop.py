@@ -1,0 +1,68 @@
+"""Incremental-loop unit tests on synthetic features (no audio I/O):
+burn-in clamp, new-class spawning, centroid refresh cadence, max-speakers cap."""
+
+import numpy as np
+
+from streamz_tpu.app.incremental import run_incremental
+from streamz_tpu.nn.model import SpeakerNet
+
+
+def _synthetic_corpus(n_files, n_clusters, rng, windows_per_file=8, dim=60):
+    centers = rng.normal(size=(n_clusters, dim)).astype(np.float32) * 2.0
+    files, fm = [], {}
+    for i in range(n_files):
+        c = i % n_clusters
+        wins = (centers[c] + rng.normal(0, 0.3, size=(windows_per_file, dim))
+                ).astype(np.float32)
+        path = f"clip_{i}.wav"
+        files.append((path, None))
+        fm[path] = wins
+    return files, fm
+
+
+def test_discovery_with_refresh_cadence():
+    """>100 files exercises the every-100 centroid refresh (src/main.rs:826-829)."""
+    rng = np.random.default_rng(0)
+    files, fm = _synthetic_corpus(120, 3, rng)
+    net = SpeakerNet.new(output=1, seed=0)
+    # First file needs a label like the CLI's bootstrap (src/main.rs:644-648).
+    files[0] = (files[0][0], 0)
+    res = run_incremental(
+        net, files, fm, burn_in_limit=10, conf_threshold=0.8,
+        epochs=1, show_progress=False,
+    )
+    assert res.processed == 120
+    assert all(c is not None for _, c in files)
+    assert net.output_size() >= 3  # at least the burn-in spawned classes
+    # every speaker with samples has a centroid
+    for sid, feats in res.speaker_features.items():
+        assert sid in res.speaker_embeddings
+        np.testing.assert_allclose(
+            np.linalg.norm(res.speaker_embeddings[sid]), 1.0, rtol=1e-5
+        )
+
+
+def test_short_clips_skipped():
+    rng = np.random.default_rng(1)
+    files, fm = _synthetic_corpus(6, 2, rng)
+    fm[files[2][0]] = fm[files[2][0]][:3]  # < 5 windows -> skipped
+    net = SpeakerNet.new(output=1, seed=0)
+    files[0] = (files[0][0], 0)
+    res = run_incremental(
+        net, files, fm, burn_in_limit=3, epochs=1, show_progress=False
+    )
+    assert res.processed == 5
+    assert files[2][1] is None  # skipped file keeps no label
+
+
+def test_max_speakers_cap_enforced():
+    rng = np.random.default_rng(2)
+    files, fm = _synthetic_corpus(12, 6, rng)
+    net = SpeakerNet.new(output=1, seed=0)
+    files[0] = (files[0][0], 0)
+    run_incremental(
+        net, files, fm, burn_in_limit=12, conf_threshold=0.99,
+        epochs=1, max_speakers=4, show_progress=False,
+    )
+    assert net.output_size() <= 4
+    assert all(c is not None and c < 4 for _, c in files if len(fm[_]) >= 5)
