@@ -107,10 +107,10 @@ def batch_clip_embeddings(net: SpeakerNet, clips) -> list:
 def _fembed_median_batch(params, windows, n_valid):
     """Masked median ReLU-h2 embeddings for padded clips.
 
-    Padding rows are filled with +inf/-inf alternating? No — the median over
-    a masked set is computed by replacing padding with each clip's per-dim
-    values at the last valid window... simpler and exact: sort with padding
-    pushed to +inf and read the k-th order statistics for the true count.
+    The per-clip median over a ragged window set is computed exactly by
+    pushing padding rows to +inf in the sort and reading the two middle
+    order statistics of the true count (the reference's even/odd midpoint
+    rule, src/lib.rs:1483-1492).
     windows: [B, W_pad, F]; n_valid: [B] → [B, h2].
     """
     e = forward_embedding(params, windows)  # [B, W, h2]
