@@ -139,7 +139,30 @@ def _bench_cpu_baseline(net, clip_seconds: float = 3.0, iters: int = 2):
     return n_win / elapsed
 
 
+def _wait_device_healthy(max_wait_s: float = 1500.0) -> None:
+    """Pre-flight in a subprocess: the axon tunnel occasionally wedges for
+    ~20-30 min after a heavy session (device-claim turnover).  Probing in a
+    child process (with a timeout) lets this process start its own device
+    client only once the tunnel responds, instead of hanging inside PJRT
+    init.  No-op as soon as a trivial computation succeeds."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + max_wait_s
+    probe = "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))"
+    while time.monotonic() < deadline:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe], check=True, timeout=90,
+                capture_output=True,
+            )
+            return
+        except Exception:
+            time.sleep(60)
+
+
 def main() -> None:
+    _wait_device_healthy()
     _enable_compile_cache()
     net = _make_net()
     device_rate = _bench_device(net)
