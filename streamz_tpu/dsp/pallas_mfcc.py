@@ -153,3 +153,145 @@ def mfcc_features_pallas(pcm: jax.Array, n_samples: jax.Array) -> jax.Array:
 
     base = mfcc_base_pallas(pcm)
     return deltas_and_norm(base, window_count(n_samples))
+
+
+# ---------------------------------------------------------------------------
+# v2: block-centric kernel with a manual-DMA halo and the parity-sign trick.
+#
+# The frame-major kernel above projects every window's 800 samples (each
+# block participates twice).  This variant projects each 400-sample block
+# ONCE through the [400 x (512|512)] cos|sin basis — the half-window-shift
+# parity identity Cb = (-1)^k Ct (see streamz_tpu/dsp/mel.py) assembles both
+# window roles from the same projection — and fetches its tile plus an
+# 8-row halo from HBM with an explicit async copy, so window t can pair
+# block t with block t+1 without overlapping BlockSpecs.
+# ---------------------------------------------------------------------------
+
+_TILE2 = 512
+_HALO = 8       # sublane-aligned halo; only row +1 is consumed
+_BLOCK_PAD = 512  # 400-sample blocks padded to the lane tile for aligned DMA
+
+
+@lru_cache(maxsize=1)
+def _kernel2_constants():
+    from streamz_tpu.dsp.mel import bin_parity_sign, dct2_matrix, mel_filterbank
+    from streamz_tpu.dsp.mel import dft_block_matrices
+
+    ct, _cb, st, _sb = dft_block_matrices()
+    n_bins = ct.shape[1]  # 401
+
+    def pad_bins(m):
+        # rows padded 400 -> 512 (zero taps for the padded PCM lanes)
+        out = np.zeros((_BLOCK_PAD, _BINS_PAD), np.float32)
+        out[:_BLOCK, :n_bins] = m
+        return out
+
+    dft = np.concatenate([pad_bins(ct), pad_bins(st)], axis=1)  # [512, 1024]
+    import ml_dtypes
+
+    dft_hi = dft.astype(ml_dtypes.bfloat16)
+    dft_lo = (dft - dft_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+
+    sign = np.zeros((1, _BINS_PAD), np.float32)
+    sign[0, :n_bins] = bin_parity_sign()
+
+    mel = np.zeros((_BINS_PAD, _CH_PAD), np.float32)
+    mel[:n_bins, : config.N_MELS] = mel_filterbank().T
+    dct = np.zeros((_CH_PAD, _CH_PAD), np.float32)
+    dct[: config.N_MELS, : config.MFCC_SIZE] = dct2_matrix().T
+    return dft_hi, dft_lo, sign, mel, dct
+
+
+def _mfcc_kernel_v2(blocks_hbm, dft_hi_ref, dft_lo_ref, sign_ref, mel_ref,
+                    dct_ref, out_ref, scratch, sem):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(0)
+    copy = pltpu.make_async_copy(
+        blocks_hbm.at[pl.ds(j * _TILE2, _TILE2 + _HALO), :], scratch, sem
+    )
+    copy.start()
+    copy.wait()
+
+    x = scratch[:]
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    parts = jnp.dot(x_hi, dft_hi_ref[:], preferred_element_type=jnp.float32)
+    parts += jnp.dot(x_hi, dft_lo_ref[:], preferred_element_type=jnp.float32)
+    parts += jnp.dot(x_lo, dft_hi_ref[:], preferred_element_type=jnp.float32)
+
+    cos_p = parts[:, :_BINS_PAD]
+    sin_p = parts[:, _BINS_PAD:]
+    sign = sign_ref[:]
+    re = cos_p[0:_TILE2] + sign * cos_p[1 : _TILE2 + 1]
+    im = sin_p[0:_TILE2] + sign * sin_p[1 : _TILE2 + 1]
+    power = re * re + im * im
+
+    prec = jax.lax.Precision.HIGHEST
+    mel_e = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                    precision=prec)
+    mel_log = jnp.log(jnp.maximum(mel_e, 1e-12))
+    out_ref[:] = jnp.dot(mel_log, dct_ref[:], preferred_element_type=jnp.float32,
+                         precision=prec)
+
+
+@jax.jit
+def mfcc_base_pallas_v2(pcm: jax.Array) -> jax.Array:
+    """Block-centric fused MFCC base. pcm: [B, T] f32 → [B, W, 20]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T = pcm.shape
+    nb = T // _BLOCK
+    rows = B * nb
+    blocks = pcm[:, : nb * _BLOCK].reshape(rows, _BLOCK)
+
+    n_tiles = -(-rows // _TILE2)
+    rows_pad = n_tiles * _TILE2 + _HALO
+    blocks = jnp.pad(
+        blocks, ((0, rows_pad - rows), (0, _BLOCK_PAD - _BLOCK))
+    )
+
+    dft_hi, dft_lo, sign, mel, dct = (
+        jnp.asarray(a) for a in _kernel2_constants()
+    )
+
+    out = pl.pallas_call(
+        _mfcc_kernel_v2,
+        interpret=jax.default_backend() != "tpu" and "axon" not in str(
+            jax.devices()[0].platform
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # blocks stay in HBM
+            pl.BlockSpec((_BLOCK_PAD, 2 * _BINS_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_PAD, 2 * _BINS_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BINS_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BINS_PAD, _CH_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CH_PAD, _CH_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TILE2, _CH_PAD), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * _TILE2, _CH_PAD), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_TILE2 + _HALO, _BLOCK_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows_pad * _BLOCK * 2 * _BINS_PAD,
+            bytes_accessed=rows_pad * (_BLOCK + _CH_PAD) * 4,
+            transcendentals=rows_pad * _CH_PAD,
+        ),
+    )(blocks, dft_hi, dft_lo, sign, mel, dct)
+
+    base = out[:rows].reshape(B, nb, _CH_PAD)
+    return base[:, : nb - 1, : config.MFCC_SIZE]
+
+
+@jax.jit
+def mfcc_features_pallas_v2(pcm: jax.Array, n_samples: jax.Array) -> jax.Array:
+    """Full frontend with the block-centric kernel: [B,T]+[B] → [B,W,60]."""
+    from streamz_tpu.dsp.mfcc import deltas_and_norm, window_count
+
+    base = mfcc_base_pallas_v2(pcm)
+    return deltas_and_norm(base, window_count(n_samples))

@@ -48,3 +48,18 @@ def test_pallas_backend_via_extractor():
     b = FeatureExtractor("numpy").extract(clip)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
+
+
+def test_v2_block_kernel_matches_golden():
+    from streamz_tpu.dsp.pallas_mfcc import mfcc_features_pallas_v2
+
+    B, T = 2, 12000
+    rng = np.random.default_rng(0)
+    pcm_i16 = rng.normal(0, 3000, (B, T)).astype(np.int16)
+    pcm = jnp.asarray(pcm_i16.astype(np.float32) / 32767.0)
+    ns = jnp.asarray([T, 9000], jnp.int32)
+    got = np.asarray(mfcc_features_pallas_v2(pcm, ns))
+    for b, n in enumerate([T, 9000]):
+        want = mfcc_ref.extract_features_np(pcm_i16[b][:n])
+        nw = want.shape[0]
+        np.testing.assert_allclose(got[b][:nw], want, atol=2e-3, rtol=1e-3)
