@@ -264,7 +264,7 @@ def mfcc_base_pallas_v2(pcm: jax.Array) -> jax.Array:
         ),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # blocks stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # blocks stay in HBM
             pl.BlockSpec((_BLOCK_PAD, 2 * _BINS_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_BLOCK_PAD, 2 * _BINS_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _BINS_PAD), lambda j: (0, 0), memory_space=pltpu.VMEM),
