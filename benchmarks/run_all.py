@@ -52,7 +52,10 @@ def bench_frontends(B=32, seconds=10.0):
 
     from streamz_tpu import config
     from streamz_tpu.dsp.mfcc import mfcc_features
-    from streamz_tpu.dsp.pallas_mfcc import mfcc_features_pallas
+    from streamz_tpu.dsp.pallas_mfcc import (
+        mfcc_features_pallas,
+        mfcc_features_pallas_v2,
+    )
 
     t = int(seconds * config.DEFAULT_SAMPLE_RATE)
     t -= t % config.HOP_SIZE
@@ -62,7 +65,11 @@ def bench_frontends(B=32, seconds=10.0):
     ns = jnp.full((B,), t, jnp.int32)
 
     out = {}
-    for name, fn in (("xla", mfcc_features), ("pallas", mfcc_features_pallas)):
+    for name, fn in (
+        ("xla", mfcc_features),
+        ("pallas", mfcc_features_pallas),
+        ("pallas_v2", mfcc_features_pallas_v2),
+    ):
         dt = _chain_time(lambda c, fn=fn: fn(pcm + c, ns))
         out[f"mfcc_{name}_windows_per_sec"] = B * n_win / dt
     return out
