@@ -34,7 +34,6 @@ from streamz_tpu.io import audio, filelists as fl
 from streamz_tpu.nn import checkpoint, drivers
 from streamz_tpu.nn.model import SpeakerNet
 from streamz_tpu.runtime.profiler import PhaseTimer, trace
-from streamz_tpu.runtime.progress import progress
 from streamz_tpu.stego import codec
 
 
@@ -47,7 +46,7 @@ def _flag_value(args: List[str], flag: str) -> Optional[str]:
     return None
 
 
-def _parse_float(args, flag, default, label=None):
+def _parse_float(args, flag, default):
     raw = _flag_value(args, flag)
     if raw is None:
         return default
