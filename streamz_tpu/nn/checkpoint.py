@@ -23,6 +23,7 @@ disagree about storing the extension; ``src/lib.rs:1238`` checks
 
 from __future__ import annotations
 
+import hashlib
 import io
 import zipfile
 from typing import Dict, List, Tuple
@@ -152,9 +153,17 @@ def load(path: str) -> SpeakerNet:
         for i in range(embeds.shape[0]):
             embeddings.append((embeds[i].copy(), float(mean_sims[i]), float(std_sims[i])))
 
-    # Re-pad the live columns into the capacity-aligned TPU layout.
+    # Re-pad the live columns into the capacity-aligned TPU layout. The
+    # padding seed is derived from the live column *content* (not Python
+    # hash(), which is salted per process) so that classes grown after a
+    # resume get identical init columns on every run — the determinism
+    # contract of app/incremental.py.
     cap = round_capacity(max(outputs, w3_live.shape[1], 1))
-    rng = np.random.default_rng(abs(hash(("load_pad", path))) % (2**32))
+    digest = hashlib.sha256()
+    digest.update(np.ascontiguousarray(w3_live).tobytes())
+    digest.update(np.ascontiguousarray(b3_live).tobytes())
+    seed = int.from_bytes(digest.digest()[:4], "little")
+    rng = np.random.default_rng(seed)
     w3_full = rng.uniform(-0.5, 0.5, size=(hidden2, cap)).astype(np.float32)
     b3_full = np.zeros((cap,), np.float32)
     n_live = w3_live.shape[1]

@@ -148,3 +148,56 @@ def test_checkpoint_across_capacity_boundary(tmp_path):
     x = np.random.default_rng(0).normal(size=(4, 6)).astype(np.float32)
     np.testing.assert_allclose(got.forward(x), net.forward(x), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_load_padding_deterministic_across_processes(tmp_path):
+    """VERDICT.md weak #4: the capacity-padding columns created at load time
+    must not depend on Python's per-process hash salt — after a resume,
+    newly *grown* classes must get identical init columns in every run."""
+    import subprocess
+    import sys
+
+    net = _small_net()
+    path = str(tmp_path / "model.npz")
+    checkpoint.save(net, path)
+
+    script = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from streamz_tpu.nn import checkpoint\n"
+        f"net = checkpoint.load({path!r})\n"
+        "net.add_output_class()\n"
+        "col = np.asarray(net.params['w3'][:, net.num_speakers - 1])\n"
+        "print(','.join(f'{v:.8e}' for v in col))\n"
+    )
+    outs = []
+    for salt in ("0", "12345"):
+        env = dict(
+            PYTHONHASHSEED=salt,
+            PATH="/usr/bin:/bin",
+            PYTHONPATH="/root/repo",
+            HOME=str(tmp_path),
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        outs.append(proc.stdout.strip().splitlines()[-1])
+    assert outs[0] == outs[1], "grown column differs across hash salts"
+
+
+def test_load_padding_differs_for_different_content(tmp_path):
+    """Content-derived seed: different live weights -> different padding."""
+    a = _small_net()
+    b = _small_net()
+    b.params = dict(b.params, b3=b.params["b3"] + 0.25)
+    pa, pb = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    checkpoint.save(a, pa)
+    checkpoint.save(b, pb)
+    la, lb = checkpoint.load(pa), checkpoint.load(pb)
+    pad_a = np.asarray(la.params["w3"][:, la.num_speakers:])
+    pad_b = np.asarray(lb.params["w3"][:, lb.num_speakers:])
+    assert not np.array_equal(pad_a, pad_b)
