@@ -50,6 +50,7 @@ def train_corpus(
     epochs: int = 5,
     batch_size: int = 4096,
     lr: float = 0.01,
+    dropout: float = 0.0,
     mesh: Optional[Mesh] = None,
     seed: int = 0,
 ) -> List[float]:
@@ -57,6 +58,11 @@ def train_corpus(
 
     Returns the per-epoch mean losses.  ``batch_size`` is the *global* batch;
     it is padded so every device gets an equal shard.
+
+    ``dropout`` reproduces the reference's input dropout (zero elements with
+    prob p, no 1/(1-p) rescale, all-zero windows skipped from the batch —
+    src/lib.rs:119-129, :607-609).  Masks are drawn host-side from the seeded
+    rng, so results are bit-independent of the device count.
     """
     mesh = mesh or comm.make_mesh()
     n_dev = mesh.devices.size
@@ -77,9 +83,15 @@ def train_corpus(
     for _ in range(int(epochs)):
         order = rng.permutation(n)
         idx = np.concatenate([order, np.zeros(n_pad - n, np.int64)])
-        x = windows[idx].reshape(steps, batch_size, -1)
+        x = windows[idx]
+        w = (np.arange(n_pad) < n).astype(np.float32)
+        if dropout > 0.0:
+            keep = rng.random(x.shape) >= dropout
+            x = x * keep
+            w = w * np.any(x != 0.0, axis=-1)  # all-zero windows skipped
+        x = x.astype(np.float32).reshape(steps, batch_size, -1)
         y = labels[idx].reshape(steps, batch_size)
-        w = (np.arange(n_pad) < n).astype(np.float32).reshape(steps, batch_size)
+        w = w.astype(np.float32).reshape(steps, batch_size)
 
         xb, yb, wb = (
             jax.device_put(a, jax.sharding.NamedSharding(

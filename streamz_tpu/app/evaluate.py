@@ -34,31 +34,41 @@ def evaluate(
     threshold: float,
     *,
     verbose: bool = True,
+    mesh=None,
 ) -> Dict[str, float]:
-    """Run the evaluation loop; returns the metrics dict."""
+    """Run the evaluation loop; returns the metrics dict.
+
+    With ``mesh`` the clip-embedding batches are sharded across the data
+    mesh.  The file-vs-centroid similarities are one
+    [n_files x n_speakers] GEMM (``cosine_matrix_many``), not a per-centroid
+    Python loop — the O(S) work per file is only the verbose logging.
+    """
 
     def log(msg: str) -> None:
         if verbose:
             print(msg, file=sys.stderr)
 
     # Batched clip embeddings vs the [S x dim] centroid matrix.
-    centroids = {
-        i: np.asarray(mean, np.float32)
-        for i, (mean, _, _) in enumerate(net.embeddings)
-    }
-    log(f"Total speaker embeddings available: {len(centroids)}")
+    centroid_list = [np.asarray(mean, np.float32) for mean, _, _ in net.embeddings]
+    log(f"Total speaker embeddings available: {len(centroid_list)}")
 
     true_positive = false_positive = false_negative = correct = 0
 
     # All clip embeddings in a few bucketed device calls (the per-clip
     # device round trip would dominate wall time otherwise).
+    from streamz_tpu.infer.cosine import cosine_matrix_many
     from streamz_tpu.infer.embed import batch_clip_embeddings
 
     present = [(p, c) for p, c in target_files if feature_map.get(p) is not None]
     embeddings = batch_clip_embeddings(
-        net, [feature_map[p] for p, _ in present]
+        net, [feature_map[p] for p, _ in present], mesh=mesh
     )
     emb_by_path = {p: e for (p, _), e in zip(present, embeddings)}
+    if centroid_list and present:
+        sim_matrix = cosine_matrix_many(np.stack(embeddings), np.stack(centroid_list))
+    else:
+        sim_matrix = np.zeros((len(present), len(centroid_list)), np.float32)
+    sims_by_path = {p: sim_matrix[i] for i, (p, _) in enumerate(present)}
 
     for path, true_class in target_files:
         windows = feature_map.get(path)
@@ -72,12 +82,11 @@ def evaluate(
             f"\nEmbedding norm: {emb_norm:.6f}"
         )
 
+        sims = sims_by_path[path]
         best_id: Optional[int] = None
         best_sim = -np.inf
-        for sid, centroid in centroids.items():
-            na = np.linalg.norm(embedding)
-            nb = np.linalg.norm(centroid)
-            sim = float(embedding @ centroid / (na * nb)) if na and nb else 0.0
+        for sid in range(len(centroid_list)):
+            sim = float(sims[sid])
             log(f"  -> Similarity to speaker {sid}: {sim:.6f}")
             if sim > threshold and sim > best_sim:
                 best_sim = sim

@@ -48,6 +48,11 @@ from streamz_tpu.nn.model import SpeakerNet
 from streamz_tpu.runtime.progress import progress
 
 
+# A 10-minute 44.1 kHz clip is ~66k hop-400 windows; below ~16k windows the
+# single-device forward is faster than paying the collective.
+LONG_CLIP_WINDOW_THRESHOLD = 16384
+
+
 @dataclasses.dataclass
 class IncrementalResult:
     total_loss: float
@@ -68,8 +73,15 @@ def run_incremental(
     epochs: int = config.INCREMENTAL_EPOCHS,
     max_speakers: Optional[int] = None,
     show_progress: bool = True,
+    mesh=None,
 ) -> IncrementalResult:
-    """Mutates ``net`` and the labels inside ``train_files``; returns stats."""
+    """Mutates ``net`` and the labels inside ``train_files``; returns stats.
+
+    With ``mesh``, clips whose window count reaches
+    ``LONG_CLIP_WINDOW_THRESHOLD`` extract their embedding with the window
+    axis sharded across the mesh (the CP analogue, SURVEY.md §5.7) — short
+    clips stay single-device so results are identical to the unsharded run.
+    """
 
     # Seed the centroid map from the model's stored embeddings
     # (src/main.rs:715-734).
@@ -93,7 +105,12 @@ def run_incremental(
             print(f"Skipping {path}, too short")
             continue
 
-        emb = normalize(extract_embedding_from_features(net, windows))
+        if mesh is not None and len(windows) >= LONG_CLIP_WINDOW_THRESHOLD:
+            from streamz_tpu.parallel.window_parallel import extract_embedding_sharded
+
+            emb = normalize(extract_embedding_sharded(net, windows, mesh))
+        else:
+            emb = normalize(extract_embedding_from_features(net, windows))
 
         burn_phase = count < burn_in_limit
         threshold = 0.5 if burn_phase else conf_threshold

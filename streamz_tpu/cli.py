@@ -31,7 +31,7 @@ from streamz_tpu.dsp.features import FeatureExtractor
 from streamz_tpu.infer.cluster import cluster_embeddings
 from streamz_tpu.infer.cosine import compute_speaker_embeddings
 from streamz_tpu.io import audio, filelists as fl
-from streamz_tpu.nn import checkpoint, drivers
+from streamz_tpu.nn import checkpoint
 from streamz_tpu.nn.model import SpeakerNet
 from streamz_tpu.runtime.profiler import PhaseTimer, trace
 from streamz_tpu.stego import codec
@@ -76,11 +76,12 @@ def _parse_int(args, flag) -> Optional[int]:
 
 def build_feature_map(
     paths: List[str], extractor: FeatureExtractor, show_progress: bool = True,
-    timer=None,
+    timer=None, mesh=None,
 ) -> Dict[str, np.ndarray]:
     """batch_resample + batched device feature extraction
     (src/main.rs:486-509, rayon fan-outs #1/#2 → thread pool + one batched
-    device call)."""
+    device call; with ``mesh`` the clip axis is sharded across the data
+    mesh)."""
     from streamz_tpu.runtime.watchdog import watchdog
 
     timer = timer or PhaseTimer()
@@ -88,7 +89,7 @@ def build_feature_map(
         resampled = audio.batch_resample(paths)
     with timer.phase("features"):
         clips = [s for _, s in resampled]
-        feats = extractor.extract_batch(clips)
+        feats = extractor.extract_batch(clips, mesh=mesh)
     return {p: f for (p, _), f in zip(resampled, feats)}
 
 
@@ -107,6 +108,17 @@ def _enable_compile_cache() -> None:
 def main(argv: Optional[List[str]] = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     _enable_compile_cache()
+
+    # Multi-chip: one "data" mesh over all local devices, used by every
+    # batched application stage (ingest frontend, initial corpus training,
+    # eval embedding batches, long-clip identification).  The application-
+    # level analogue of the reference's rayon fan-outs (src/main.rs:490-508,
+    # :750-835).
+    from streamz_tpu.parallel.mesh import auto_mesh
+
+    mesh = auto_mesh()
+    if mesh is not None:
+        print(f"Running on {mesh.devices.size} devices (data-parallel mesh)")
 
     conf_threshold = _parse_float(args, "--threshold", config.DEFAULT_CONF_THRESHOLD)
     eval_split = _parse_float(args, "--eval-split", 0.2)
@@ -189,7 +201,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     path_list = [p for p, _ in train_files]
     if eval_mode:
         path_list.extend(p for p, _ in target_files)
-    feature_map = build_feature_map(path_list, extractor, timer=timer)
+    feature_map = build_feature_map(path_list, extractor, timer=timer, mesh=mesh)
 
     for p, _ in train_files:
         if p not in feature_map:
@@ -231,7 +243,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 1
         print(f"Model contains {len(net.embeddings)} saved embeddings")
         with timer.phase("eval"):
-            evaluate(net, feature_map, norm_targets, conf_threshold)
+            evaluate(net, feature_map, norm_targets, conf_threshold, mesh=mesh)
         _trace_stack.close()
         if profile:
             print(timer.report())
@@ -246,7 +258,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         try:
             net = checkpoint.load(config.MODEL_PATH)
             print(f"Loaded saved model from {config.MODEL_PATH}")
-            net.set_embeddings(compute_speaker_embeddings(net, extractor) or [])
+            net.set_embeddings(
+                compute_speaker_embeddings(net, extractor, mesh=mesh) or []
+            )
         except Exception as e:
             print(f"Failed to load model: {e}", file=sys.stderr)
             net = SpeakerNet.new(output=max(num_speakers, 1))
@@ -262,16 +276,28 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not model_exists:
         train_refs = [(p, c) for p, c in train_files if c is not None]
         if train_refs:
-            loss = drivers.train_from_feature_map(
+            # TPU-native initial training: one global shuffled window pool,
+            # large batches, data-parallel over the mesh with psum allreduce
+            # (app/corpus.py) — replacing the reference's per-file batch-8
+            # loop (src/main.rs:652-669).  Same epochs/lr/dropout knobs;
+            # host-side shuffle+dropout keep it device-count-invariant.
+            from streamz_tpu.app import corpus
+
+            pool_x, pool_y = corpus.build_window_pool(feature_map, train_refs)
+            losses = corpus.train_corpus(
                 net,
-                feature_map,
-                train_refs,
-                config.TRAIN_EPOCHS,
-                0.01,
-                config.DEFAULT_DROPOUT,
-                config.BATCH_SIZE,
+                pool_x,
+                pool_y,
+                epochs=config.TRAIN_EPOCHS,
+                lr=0.01,
+                dropout=config.DEFAULT_DROPOUT,
+                mesh=mesh,
+                seed=0,
             )
-            print(f"Initial training loss: {loss:.4f}")
+            for p, c in train_refs:
+                net.record_training_file(c, p)
+            if losses:
+                print(f"Initial training loss: {float(np.mean(losses)):.4f}")
 
     if audio.CHECKSUM_TRIGGERED.is_set():
         if encode_path:
@@ -295,6 +321,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             burn_in_limit=burn_in_limit_val,
             conf_threshold=conf_threshold,
             max_speakers=max_speakers_val,
+            mesh=mesh,
         )
 
     with timer.phase("finalize"):

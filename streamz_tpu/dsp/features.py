@@ -46,10 +46,17 @@ class FeatureExtractor:
             return mfcc_ref.extract_features_np(samples)
         return mfcc.extract_features(samples, core=self._core())
 
-    def extract_batch(self, clips: Sequence[np.ndarray]) -> List[np.ndarray]:
+    def extract_batch(
+        self, clips: Sequence[np.ndarray], mesh=None
+    ) -> List[np.ndarray]:
+        """Batched extraction; with ``mesh`` the clip axis is sharded across
+        the data mesh (jax backend only — the Pallas kernel and the numpy
+        spec run unsharded)."""
         if self.backend == "numpy":
             return [mfcc_ref.extract_features_np(c) for c in clips]
-        return mfcc.extract_features_batch(clips, core=self._core())
+        if self.backend != "jax":
+            mesh = None
+        return mfcc.extract_features_batch(clips, core=self._core(), mesh=mesh)
 
 
 _GLOBAL_EXTRACTOR = FeatureExtractor()

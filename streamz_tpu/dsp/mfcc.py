@@ -159,7 +159,7 @@ def extract_features(samples: np.ndarray, core=None) -> np.ndarray:
 
 
 def extract_features_batch(
-    clips: Sequence[np.ndarray], core=None
+    clips: Sequence[np.ndarray], core=None, mesh=None
 ) -> List[np.ndarray]:
     """Many ragged clips → list of [n_windows_i, 60] arrays.
 
@@ -168,6 +168,12 @@ def extract_features_batch(
     fan-out over files (src/main.rs:500-508).  ``core`` selects the jitted
     frontend (defaults to the XLA formulation; the fused Pallas kernel is a
     drop-in).
+
+    With ``mesh`` (a 1-D ``"data"`` mesh), each bucket's clip axis is
+    zero-padded to the mesh size and device_put sharded across it — pjit
+    compiles the same jitted frontend SPMD, so the whole ingest stage scales
+    over chips with no code change and device-count-invariant results (the
+    frontend is elementwise per clip).
     """
     if not clips:
         return []
@@ -184,7 +190,14 @@ def extract_features_batch(
         for row, i in enumerate(idxs):
             batch[row, : len(f32[i])] = f32[i]
             lens[row] = len(f32[i])
-        feats = np.asarray(core(jnp.asarray(batch), jnp.asarray(lens)))
+        if mesh is not None:
+            from streamz_tpu.parallel.mesh import pad_rows_to_mesh, put_batch_sharded
+
+            _, (batch_p, lens_p) = pad_rows_to_mesh(mesh, batch, lens)
+            batch_d, lens_d = put_batch_sharded(mesh, batch_p, lens_p)
+        else:
+            batch_d, lens_d = jnp.asarray(batch), jnp.asarray(lens)
+        feats = np.asarray(core(batch_d, lens_d))
         n_wins = np.asarray(window_count(lens))
         for row, i in enumerate(idxs):
             out[i] = feats[row, : int(n_wins[row])].copy()

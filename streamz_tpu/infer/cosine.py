@@ -56,6 +56,21 @@ def _cosine_matrix(emb: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return np.where(denom > 0.0, dots / np.where(denom == 0.0, 1.0, denom), 0.0)
 
 
+def cosine_matrix_many(embs: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Cosine of many embeddings vs many centroids, zero-norm safe. [n, s]
+
+    One GEMM instead of a per-(file, centroid) Python loop — the eval path
+    stays linear-time at the 1000-speaker stretch config.
+    """
+    embs = np.asarray(embs, np.float32)
+    centroids = np.asarray(centroids, np.float32)
+    ne = np.sqrt((embs * embs).sum(axis=1))          # [n]
+    nc = np.sqrt((centroids * centroids).sum(axis=1))  # [s]
+    dots = embs @ centroids.T                        # [n, s]
+    denom = ne[:, None] * nc[None, :]
+    return np.where(denom > 0.0, dots / np.where(denom == 0.0, 1.0, denom), 0.0)
+
+
 def identify_speaker_from_embedding(
     emb: np.ndarray,
     speaker_embeddings: Dict[int, np.ndarray],
@@ -132,10 +147,11 @@ def identify_speaker_cosine_feats(
 
 
 def compute_speaker_embeddings(
-    net: SpeakerNet, extractor=None
+    net: SpeakerNet, extractor=None, mesh=None
 ) -> Optional[List[SpeakerStats]]:
     """Per-speaker (mean, mean_sim, std_sim) from the feature cache
-    (src/lib.rs:1555-1599)."""
+    (src/lib.rs:1555-1599).  With ``mesh`` the pooled embedding batches are
+    sharded across the data mesh."""
     from streamz_tpu.dsp.features import load_cached_features
     from streamz_tpu.infer.embed import batch_median_embeddings
 
@@ -154,7 +170,7 @@ def compute_speaker_embeddings(
         per_speaker_wins.append(wins_list)
         flat_wins.extend(wins_list)
 
-    flat_embeds = batch_median_embeddings(net, flat_wins)
+    flat_embeds = batch_median_embeddings(net, flat_wins, mesh=mesh)
     it = iter(flat_embeds)
 
     out: List[SpeakerStats] = []

@@ -68,12 +68,23 @@ def _fembed_mean_batch(params, windows, n_valid):
     return e.sum(axis=1) / jnp.maximum(n_valid[:, None], 1.0)
 
 
-def batch_clip_embeddings(net: SpeakerNet, clips) -> list:
+def _put_bucket(batch, lens, mesh):
+    """Device-put one bucket, clip axis sharded when a mesh is given."""
+    if mesh is not None:
+        from streamz_tpu.parallel.mesh import pad_rows_to_mesh, put_batch_sharded
+
+        _, (batch_p, lens_p) = pad_rows_to_mesh(mesh, batch, lens)
+        return put_batch_sharded(mesh, batch_p, lens_p)
+    return jnp.asarray(batch), jnp.asarray(lens)
+
+
+def batch_clip_embeddings(net: SpeakerNet, clips, mesh=None) -> list:
     """Mean-pooled ReLU-h2 embeddings for many clips in few device calls.
 
     Equivalent to calling :func:`extract_embedding_from_features` per clip
     (same normalization contract) but batched with window-count bucketing —
-    one device dispatch per bucket instead of per clip.
+    one device dispatch per bucket instead of per clip.  With ``mesh`` the
+    clip axis is sharded across the data mesh (SPMD via pjit).
     """
     if not clips:
         return []
@@ -95,9 +106,8 @@ def batch_clip_embeddings(net: SpeakerNet, clips) -> list:
         for row, i in enumerate(idxs):
             batch[row, : len(arrs[i])] = arrs[i]
             lens[row] = len(arrs[i])
-        embs = np.asarray(
-            _fembed_mean_batch(net.params, jnp.asarray(batch), jnp.asarray(lens))
-        )
+        batch_d, lens_d = _put_bucket(batch, lens, mesh)
+        embs = np.asarray(_fembed_mean_batch(net.params, batch_d, lens_d))
         for row, i in enumerate(idxs):
             out[i] = normalize(embs[row])
     return out
@@ -126,11 +136,12 @@ def _fembed_median_batch(params, windows, n_valid):
     return ((lo + hi) / 2.0)[:, 0, :]
 
 
-def batch_median_embeddings(net: SpeakerNet, clips) -> list:
+def batch_median_embeddings(net: SpeakerNet, clips, mesh=None) -> list:
     """Median-pooled ReLU-h2 embeddings for many clips, bucketed+batched.
 
     Equivalent to :func:`median_embedding_from_features` per clip (including
     the even-count midpoint rule, src/lib.rs:1483-1492), L2-normalized.
+    With ``mesh`` the clip axis is sharded across the data mesh.
     """
     if not clips:
         return []
@@ -152,9 +163,8 @@ def batch_median_embeddings(net: SpeakerNet, clips) -> list:
         for row, i in enumerate(idxs):
             batch[row, : len(arrs[i])] = arrs[i]
             lens[row] = len(arrs[i])
-        embs = np.asarray(
-            _fembed_median_batch(net.params, jnp.asarray(batch), jnp.asarray(lens))
-        )
+        batch_d, lens_d = _put_bucket(batch, lens, mesh)
+        embs = np.asarray(_fembed_median_batch(net.params, batch_d, lens_d))
         for row, i in enumerate(idxs):
             out[i] = normalize(embs[row])
     return out

@@ -16,7 +16,7 @@ overlap), which is cheaper than a halo exchange of MFCC frames.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,7 @@ from streamz_tpu.nn.model import forward, forward_embedding
 from streamz_tpu.parallel import comm
 
 
+@lru_cache(maxsize=8)
 def make_sharded_vote_step(mesh: Mesh):
     """Vote-sum aggregation with windows sharded across chips.
 
@@ -34,23 +35,26 @@ def make_sharded_vote_step(mesh: Mesh):
     ``identify_speaker``'s global sum (src/lib.rs:1290-1297) exactly.
     """
 
+    axis = mesh.axis_names[0]  # "window", or the CLI's "data" mesh reused
+
     def _local(params, windows, valid, num_speakers):
         probs = forward(params, windows, num_speakers)  # [w_local, capacity]
         probs = probs * valid[:, None]
-        sums = comm.psum(jnp.sum(probs, axis=0), comm.WINDOW_AXIS)
-        count = comm.psum(jnp.sum(valid), comm.WINDOW_AXIS)
+        sums = comm.psum(jnp.sum(probs, axis=0), axis)
+        count = comm.psum(jnp.sum(valid), axis)
         return sums, count
 
     shard = partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(comm.WINDOW_AXIS), P(comm.WINDOW_AXIS), P()),
+        in_specs=(P(), P(axis), P(axis), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
     return jax.jit(shard(_local))
 
 
+@lru_cache(maxsize=8)
 def make_sharded_embedding_step(mesh: Mesh):
     """Mean ReLU-h2 clip embedding with windows sharded across chips.
 
@@ -60,17 +64,19 @@ def make_sharded_embedding_step(mesh: Mesh):
     separate ``normalize`` call sites).
     """
 
+    axis = mesh.axis_names[0]  # "window", or the CLI's "data" mesh reused
+
     def _local(params, windows, valid):
         emb = forward_embedding(params, windows)  # [w_local, h2]
         emb = emb * valid[:, None]
-        total = comm.psum(jnp.sum(emb, axis=0), comm.WINDOW_AXIS)
-        count = comm.psum(jnp.sum(valid), comm.WINDOW_AXIS)
+        total = comm.psum(jnp.sum(emb, axis=0), axis)
+        count = comm.psum(jnp.sum(valid), axis)
         return total / jnp.maximum(count, 1.0)
 
     shard = partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(comm.WINDOW_AXIS), P(comm.WINDOW_AXIS)),
+        in_specs=(P(), P(axis), P(axis)),
         out_specs=P(),
         check_vma=False,
     )
