@@ -1,0 +1,335 @@
+"""Device-resident incremental loop: the whole corpus in a few dispatches.
+
+Round 1's incremental loop paid ~2 blocking device round-trips per file
+(embedding fetch → host match → train dispatch) — ~40 ms/file against a
+remote TPU vs ~1 ms of compute (VERDICT.md weak #6).  This rewrite moves the
+*entire* per-file body of the reference's hot loop C
+(``streamz-rs/src/main.rs:750-835``) onto the device:
+
+    embed (mean ReLU-h2, normalize)            src/main.rs:764-768
+    → cosine match vs centroids                src/lib.rs:1499-1529
+    → burn-in / labeled / new-class decision   src/main.rs:779-800
+    → 5-epoch batch-8 training scan            src/main.rs:802-815
+    → centroid running-mean update             src/main.rs:818-824
+
+and then ``lax.scan``s that body over *files*: consecutive files whose padded
+window counts share a bucket run as ONE dispatch (chunks of up to 64 files,
+padded with inactive rows).  All decision state (``num_speakers``, centroid
+sums/counts) lives on device, so nothing blocks until the single fetch at
+the end.  Class growth is pure arithmetic on the device scalar: capacity is
+pre-sized once (``SpeakerNet.ensure_capacity``), so no recompiles happen
+mid-loop.
+
+Semantics notes (vs the host formulation in app/incremental.py, which is
+kept as the test oracle):
+
+- The every-100-files centroid refresh (``src/main.rs:826-829``) is a no-op
+  here by construction: centroids are exact running means of this run's
+  embeddings at every step — precisely what the refresh recomputed.
+- Matching uses the cosine against the *unnormalized* running sum — cosine
+  is scale-invariant, so this equals the host's match against the
+  normalized mean (``average_vectors``).
+- Inactive padding rows train with ``n_valid = 0`` (no windows survive the
+  mask → zero update, zero loss) and add zero to the centroids, so padding
+  never perturbs state.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamz_tpu import config
+from streamz_tpu.infer.embed import average_vectors
+from streamz_tpu.nn.drivers import _fresh_key, _pad_windows
+from streamz_tpu.nn.model import SpeakerNet, forward_embedding
+from streamz_tpu.nn.train import train_on_windows_impl
+from streamz_tpu.runtime.progress import progress
+
+# Files per fused dispatch.  Consecutive same-bucket files are chunked to
+# power-of-two lengths up to this cap, bounding both the number of compiled
+# variants (one per (window-bucket, chunk-length) pair) and the padding waste.
+MAX_SCAN_FILES = 64
+
+
+def _file_body(
+    carry, x, seed_cent, seed_mask, max_speakers, dropout, *, epochs, batch_size
+):
+    """One file of the incremental loop; shapes are per-bucket static."""
+    params, num_speakers, run_sum, run_cnt = carry
+    windows, n_valid, label, burn_phase, threshold, lr, key, active = x
+    W = windows.shape[0]
+    capacity = params["b3"].shape[0]
+    is_active = active > 0
+    n_valid = jnp.where(is_active, n_valid, 0)  # inactive rows: no-op train
+
+    # --- clip embedding: masked mean ReLU-h2, L2-normalized ---------------
+    e = forward_embedding(params, windows)  # [W, h2]
+    valid = (jnp.arange(W) < n_valid).astype(jnp.float32)
+    s = (e * valid[:, None]).sum(0) / jnp.maximum(n_valid.astype(jnp.float32), 1.0)
+    norm = jnp.sqrt((s * s).sum())
+    emb = jnp.where(norm > 1e-6, s / norm, s)
+
+    # --- cosine match vs current centroids (src/lib.rs:1499-1529) ---------
+    ids = jnp.arange(capacity)
+    seen = run_cnt > 0
+    cent = jnp.where(seen[:, None], run_sum, seed_cent)
+    valid_id = (seed_mask | seen) & (ids < num_speakers)
+    ne = jnp.sqrt((emb * emb).sum())
+    nc = jnp.sqrt((cent * cent).sum(axis=1))
+    denom = ne * nc
+    sims = jnp.where(denom > 0.0, (cent @ emb) / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+    sims = jnp.where(valid_id, sims, -jnp.inf)
+    n_ids = valid_id.sum()
+    best = jnp.argmax(sims).astype(jnp.int32)
+    dyn = jnp.where(n_ids < 20, 0.7 * threshold, threshold)
+    matched_ok = (n_ids > 0) & (sims[best] > dyn)
+
+    # --- label decision (src/main.rs:779-800 + --max-speakers doc) --------
+    at_cap = num_speakers >= max_speakers
+    is_labeled = label >= 0
+    new_burn = burn_phase & (~is_labeled) & (~at_cap)
+    unl = (~is_labeled) & (~new_burn)
+    new_class = unl & (~matched_ok) & (~at_cap)
+    best_forced = jnp.where(n_ids > 0, best, 0)  # at-cap: best centroid outright
+    sid = jnp.where(
+        is_labeled,
+        label,
+        jnp.where(
+            new_burn | new_class,
+            num_speakers,
+            jnp.where(matched_ok, best, best_forced),
+        ),
+    ).astype(jnp.int32)
+    sid = jnp.where(is_active, sid, 0)
+    grow = (new_burn | new_class) & is_active
+    ns_new = num_speakers + grow.astype(jnp.int32)
+
+    # --- train (pretrain_from_features semantics, src/main.rs:802-815) ----
+    # _target_vec rule (src/lib.rs:592-594): one-hot only when the class is
+    # in range — an out-of-range given label trains with a zero target.
+    tvec = jax.nn.one_hot(sid, capacity, dtype=jnp.float32)
+    tvec = tvec * (sid < ns_new).astype(jnp.float32)
+    params, loss = train_on_windows_impl(
+        params, windows, n_valid, tvec, ns_new, key, lr, dropout,
+        epochs=epochs, batch_size=batch_size,
+    )
+
+    # --- centroid updates (zero for inactive rows) -------------------------
+    gain = is_active.astype(jnp.float32)
+    run_sum = run_sum.at[sid].add(emb * gain)
+    run_cnt = run_cnt.at[sid].add(gain)
+    out_sid = jnp.where(is_active, sid, -1)
+    return (params, ns_new, run_sum, run_cnt), (out_sid, loss, emb)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("epochs", "batch_size"),
+    donate_argnums=(0, 1, 2, 3),
+)
+def incremental_scan(
+    params,
+    num_speakers,     # int32 scalar (device-resident class count)
+    run_sum,          # [capacity, h2] running embedding sums per speaker
+    run_cnt,          # [capacity] counts of embeddings accumulated this run
+    seed_cent,        # [capacity, h2] centroids seeded from net.embeddings
+    seed_mask,        # [capacity] bool: seed present
+    max_speakers,     # int32 cap (2**30 when unbounded)
+    dropout,          # f32 (loop constant)
+    windows,          # [L, W_pad, F] padded windows, one row per file
+    n_valids,         # [L] int32 true window counts
+    labels,           # [L] int32 given labels, -1 if unlabeled
+    burns,            # [L] bool burn-phase flags (host-known clock)
+    thresholds,       # [L] f32 (0.5 during burn-in else --threshold)
+    lrs,              # [L] f32 (host-known from the processed-file clock)
+    keys,             # [L] PRNG keys
+    actives,          # [L] int32: 0 = padding row, ignore
+    *,
+    epochs: int,
+    batch_size: int,
+):
+    """Fused scan over up to MAX_SCAN_FILES files — one dispatch."""
+    body = partial(
+        _file_body,
+        seed_cent=seed_cent,
+        seed_mask=seed_mask,
+        max_speakers=max_speakers,
+        dropout=dropout,
+        epochs=epochs,
+        batch_size=batch_size,
+    )
+    carry = (params, num_speakers, run_sum, run_cnt)
+    xs = (windows, n_valids, labels, burns, thresholds, lrs, keys, actives)
+    (params, num_speakers, run_sum, run_cnt), (sids, losses, embs) = jax.lax.scan(
+        body, carry, xs
+    )
+    return params, num_speakers, run_sum, run_cnt, sids, losses, embs
+
+
+def _pow2_chunks(n: int) -> List[int]:
+    """Split n into chunk lengths: MAX_SCAN_FILES-sized chunks plus one
+    power-of-two remainder (bounds compiled variants to log2 sizes)."""
+    out = []
+    while n >= MAX_SCAN_FILES:
+        out.append(MAX_SCAN_FILES)
+        n -= MAX_SCAN_FILES
+    if n > 0:
+        p = 1
+        while p < n:
+            p *= 2
+        out.append(p)  # padded with inactive rows
+    return out
+
+
+def run_incremental_device(
+    net: SpeakerNet,
+    train_files: List[Tuple[str, Optional[int]]],
+    feature_map: Dict[str, np.ndarray],
+    *,
+    burn_in_limit: int,
+    conf_threshold: float,
+    dropout: float,
+    batch_size: int,
+    epochs: int,
+    max_speakers: Optional[int],
+    show_progress: bool = True,
+):
+    """Chunk the file sequence, enqueue one fused scan per chunk, fetch all
+    results once at the end.
+
+    Returns ``(total_loss, processed, speaker_features, speaker_embeddings)``
+    and mutates ``net`` / the labels in ``train_files`` like the host loop.
+    """
+    jobs = []  # (orig_index, path, label, padded_windows, n_valid)
+    for i, (path, label) in enumerate(train_files):
+        windows = feature_map.get(path)
+        if windows is None:
+            print(f"Missing audio for {path}")
+            continue
+        if len(windows) < 5:
+            print(f"Skipping {path}, too short")
+            continue
+        padded, n_valid = _pad_windows(np.asarray(windows, np.float32), batch_size)
+        jobs.append((i, path, label, padded, n_valid))
+
+    h2 = net.embedding_size()
+    seed_embeddings = {
+        i: np.asarray(mean, np.float32) for i, (mean, _, _) in enumerate(net.embeddings)
+    }
+    if not jobs:
+        return 0.0, 0, {}, seed_embeddings
+
+    # Pre-size capacity: every unlabeled file could spawn a class, and
+    # explicit labels must be addressable.
+    n_unlabeled = sum(1 for _, _, label, _, _ in jobs if label is None)
+    max_label = max(
+        (label for _, _, label, _, _ in jobs if label is not None), default=-1
+    )
+    needed = net.num_speakers + n_unlabeled
+    max_sp = 2**30 if max_speakers is None else int(max_speakers)
+    needed = min(needed, max(max_sp, net.num_speakers))
+    needed = max(needed, max_label + 1)
+    net.ensure_capacity(max(needed, 1))
+    capacity = net.capacity
+
+    seed_cent = np.zeros((capacity, h2), np.float32)
+    seed_mask = np.zeros((capacity,), bool)
+    for i, mean in seed_embeddings.items():
+        if i < capacity:
+            seed_cent[i] = mean
+            seed_mask[i] = True
+    seed_cent = jnp.asarray(seed_cent)
+    seed_mask = jnp.asarray(seed_mask)
+
+    params = net.params
+    ns = jnp.int32(net.num_speakers)
+    run_sum = jnp.zeros((capacity, h2), jnp.float32)
+    run_cnt = jnp.zeros((capacity,), jnp.float32)
+    N = len(jobs)
+    base_key = _fresh_key()
+    all_keys = jax.vmap(lambda k: jax.random.fold_in(base_key, k))(jnp.arange(N))
+
+    # Group consecutive files by window bucket, then chunk each run.
+    runs: List[List[int]] = []  # lists of job indices
+    for k in range(N):
+        w_pad = jobs[k][3].shape[0]
+        if runs and jobs[runs[-1][-1]][3].shape[0] == w_pad:
+            runs[-1].append(k)
+        else:
+            runs.append([k])
+
+    chunks: List[Tuple[List[int], int]] = []  # (job indices, padded length)
+    for run in runs:
+        pos = 0
+        for clen in _pow2_chunks(len(run)):
+            chunks.append((run[pos: pos + min(clen, len(run) - pos)], clen))
+            pos += clen
+
+    out_parts = []  # (job_ks, sids_dev, losses_dev, embs_dev, n_real)
+    for job_ks, L in progress(chunks, desc="incremental", enabled=show_progress):
+        w_pad = jobs[job_ks[0]][3].shape[0]
+        feat = jobs[job_ks[0]][3].shape[1]
+        n_real = len(job_ks)
+        wins = np.zeros((L, w_pad, feat), np.float32)
+        n_valids = np.zeros((L,), np.int32)
+        labels_a = np.full((L,), -1, np.int32)
+        burns = np.zeros((L,), bool)
+        thrs = np.zeros((L,), np.float32)
+        lrs = np.zeros((L,), np.float32)
+        actives = np.zeros((L,), np.int32)
+        key_rows = np.zeros((L,), np.int32)
+        for row, k in enumerate(job_ks):
+            _, _, label, padded, n_valid = jobs[k]
+            wins[row] = padded
+            n_valids[row] = n_valid
+            labels_a[row] = -1 if label is None else int(label)
+            burn = k < burn_in_limit
+            burns[row] = burn
+            thrs[row] = 0.5 if burn else conf_threshold
+            lrs[row] = (
+                config.LR_EARLY if k < config.LR_SWITCH_COUNT else config.LR_LATE
+            )
+            actives[row] = 1
+            key_rows[row] = k
+        keys = all_keys[jnp.asarray(key_rows)]
+
+        (params, ns, run_sum, run_cnt, sids, losses, embs) = incremental_scan(
+            params, ns, run_sum, run_cnt, seed_cent, seed_mask,
+            jnp.int32(max_sp), jnp.float32(dropout),
+            jnp.asarray(wins), jnp.asarray(n_valids), jnp.asarray(labels_a),
+            jnp.asarray(burns), jnp.asarray(thrs), jnp.asarray(lrs),
+            keys, jnp.asarray(actives),
+            epochs=int(epochs), batch_size=int(batch_size),
+        )
+        out_parts.append((job_ks, sids, losses, embs, n_real))
+
+    # Single synchronization point: fetch everything at once.
+    net.params = params
+    net.num_speakers = int(np.asarray(ns))
+    while len(net.file_lists) < net.num_speakers:
+        net.file_lists.append([])
+
+    total_loss = 0.0
+    speaker_features: Dict[int, List[np.ndarray]] = {}
+    for job_ks, sids, losses, embs, n_real in out_parts:
+        sids = np.asarray(sids)[:n_real]
+        losses = np.asarray(losses)[:n_real]
+        embs = np.asarray(embs)[:n_real]
+        total_loss += float(losses.sum())
+        for row, k in enumerate(job_ks):
+            i, path, _, _, _ = jobs[k]
+            sid = int(sids[row])
+            train_files[i] = (path, sid)
+            net.record_training_file(sid, path)
+            speaker_features.setdefault(sid, []).append(embs[row])
+
+    speaker_embeddings = dict(seed_embeddings)
+    for sid, feats in speaker_features.items():
+        speaker_embeddings[sid] = average_vectors(feats)
+
+    return total_loss, N, speaker_features, speaker_embeddings

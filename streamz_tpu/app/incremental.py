@@ -77,10 +77,78 @@ def run_incremental(
 ) -> IncrementalResult:
     """Mutates ``net`` and the labels inside ``train_files``; returns stats.
 
-    With ``mesh``, clips whose window count reaches
-    ``LONG_CLIP_WINDOW_THRESHOLD`` extract their embedding with the window
-    axis sharded across the mesh (the CP analogue, SURVEY.md §5.7) — short
-    clips stay single-device so results are identical to the unsharded run.
+    Default path: the device-resident fused loop
+    (:mod:`streamz_tpu.app.device_loop`) — one async dispatch per file, one
+    synchronization at the end, so remote-TPU dispatch latency pipelines
+    instead of stacking per file.
+
+    Exception: when a ``mesh`` is active and the run contains clips at or
+    above ``LONG_CLIP_WINDOW_THRESHOLD`` windows, the host-stepped loop runs
+    instead so those clips' embeddings use the window-sharded step
+    (the CP analogue, SURVEY.md §5.7) — long clips are compute-bound, not
+    dispatch-bound, so the fused loop's advantage doesn't apply there.
+    """
+    long_run = mesh is not None and any(
+        feature_map.get(p) is not None
+        and len(feature_map[p]) >= LONG_CLIP_WINDOW_THRESHOLD
+        for p, _ in train_files
+    )
+    if not long_run:
+        from streamz_tpu.app.device_loop import run_incremental_device
+
+        total_loss, processed, sf, se = run_incremental_device(
+            net,
+            train_files,
+            feature_map,
+            burn_in_limit=burn_in_limit,
+            conf_threshold=conf_threshold,
+            dropout=dropout,
+            batch_size=batch_size,
+            epochs=epochs,
+            max_speakers=max_speakers,
+            show_progress=show_progress,
+        )
+        return IncrementalResult(
+            total_loss=total_loss,
+            processed=processed,
+            speaker_features=sf,
+            speaker_embeddings=se,
+        )
+    return run_incremental_host(
+        net,
+        train_files,
+        feature_map,
+        burn_in_limit=burn_in_limit,
+        conf_threshold=conf_threshold,
+        dropout=dropout,
+        batch_size=batch_size,
+        epochs=epochs,
+        max_speakers=max_speakers,
+        show_progress=show_progress,
+        mesh=mesh,
+    )
+
+
+def run_incremental_host(
+    net: SpeakerNet,
+    train_files: List[Tuple[str, Optional[int]]],
+    feature_map: Dict[str, np.ndarray],
+    *,
+    burn_in_limit: int,
+    conf_threshold: float = config.DEFAULT_CONF_THRESHOLD,
+    dropout: float = config.DEFAULT_DROPOUT,
+    batch_size: int = config.BATCH_SIZE,
+    epochs: int = config.INCREMENTAL_EPOCHS,
+    max_speakers: Optional[int] = None,
+    show_progress: bool = True,
+    mesh=None,
+) -> IncrementalResult:
+    """Host-stepped formulation of the same loop.
+
+    Kept as (a) the long-clip path — with ``mesh`` it extracts embeddings of
+    clips over ``LONG_CLIP_WINDOW_THRESHOLD`` windows via the window-sharded
+    step — and (b) the behavioral oracle the fused device loop is tested
+    against (``tests/test_device_loop.py``).
     """
 
     # Seed the centroid map from the model's stored embeddings

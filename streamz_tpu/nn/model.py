@@ -211,6 +211,14 @@ class SpeakerNet:
             self.file_lists.append([])
         self.num_speakers += 1
 
+    def ensure_capacity(self, n: int) -> None:
+        """Grow the padded ``w3`` capacity to hold at least ``n`` classes.
+
+        Used to pre-size the layout before the device-resident incremental
+        loop so on-device class growth never needs a recompile."""
+        if n > self.capacity:
+            self._grow_capacity(n)
+
     def _grow_capacity(self, new_capacity: int) -> None:
         new_capacity = round_capacity(new_capacity)
         h2 = self.embedding_size()

@@ -71,8 +71,7 @@ def train_batch(
     return jax.tree_util.tree_map(lambda p, g: p - scale * g, params, grads)
 
 
-@partial(jax.jit, static_argnames=("epochs", "batch_size"), donate_argnums=(0,))
-def train_on_windows(
+def train_on_windows_impl(
     params: Params,
     windows: jax.Array,   # [N_pad, F] feature windows (padded)
     n_valid: jax.Array,   # scalar count of real windows
@@ -90,6 +89,9 @@ def train_on_windows(
     ``target_vec`` is the capacity-length target; the reference builds it as a
     one-hot only when ``target_class < num_classes`` (src/lib.rs:592-594) —
     callers replicate that rule in :mod:`streamz_tpu.nn.drivers`.
+
+    Un-jitted implementation so larger fused steps (the device-resident
+    incremental loop) can inline it; use :func:`train_on_windows` standalone.
 
     Returns (new_params, mean reported loss over all processed windows).
     """
@@ -160,6 +162,10 @@ def train_on_windows(
     )
     mean_loss = jnp.where(loss_cnt > 0, loss_sum / jnp.maximum(loss_cnt, 1.0), 0.0)
     return params, mean_loss
+
+
+train_on_windows = partial(jax.jit, static_argnames=("epochs", "batch_size"),
+                           donate_argnums=(0,))(train_on_windows_impl)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,149 @@
+"""Fused device-resident incremental loop vs the host-stepped oracle.
+
+The device loop (app/device_loop.py) moves embed→match→grow→train→centroid
+into one dispatch per file with all decision state on device.  These tests
+pin its behavior to the host formulation on well-separated synthetic data
+(dropout 0 so the two loops' different RNG streams can't diverge the
+trajectories) and cover the decision branches.
+"""
+
+import numpy as np
+import pytest
+
+from streamz_tpu.app.incremental import run_incremental, run_incremental_host
+from streamz_tpu.nn.model import SpeakerNet
+
+
+def _corpus(n_files, n_clusters, rng, windows_per_file=8, dim=60, noise=0.1):
+    centers = rng.normal(size=(n_clusters, dim)).astype(np.float32) * 3.0
+    files, fm = [], {}
+    for i in range(n_files):
+        c = i % n_clusters
+        wins = (centers[c] + rng.normal(0, noise, size=(windows_per_file, dim))
+                ).astype(np.float32)
+        path = f"clip_{i}.wav"
+        files.append((path, None))
+        fm[path] = wins
+    return files, fm
+
+
+def _run_both(files, fm, **kw):
+    rng_files_d = [tuple(f) for f in files]
+    rng_files_h = [tuple(f) for f in files]
+    net_d = SpeakerNet.new(output=1, seed=0)
+    net_h = SpeakerNet.new(output=1, seed=0)
+    res_d = run_incremental(net_d, rng_files_d, dict(fm), show_progress=False, **kw)
+    res_h = run_incremental_host(net_h, rng_files_h, dict(fm), show_progress=False, **kw)
+    return (net_d, rng_files_d, res_d), (net_h, rng_files_h, res_h)
+
+
+def test_device_loop_matches_host_labels():
+    rng = np.random.default_rng(0)
+    files, fm = _corpus(30, 3, rng)
+    files[0] = (files[0][0], 0)
+    (net_d, fd, rd), (net_h, fh, rh) = _run_both(
+        files, fm, burn_in_limit=6, conf_threshold=0.8, dropout=0.0, epochs=1
+    )
+    assert [c for _, c in fd] == [c for _, c in fh]
+    assert net_d.output_size() == net_h.output_size()
+    assert rd.processed == rh.processed == 30
+    # centroids agree
+    for sid, c in rh.speaker_embeddings.items():
+        np.testing.assert_allclose(
+            rd.speaker_embeddings[sid], c, rtol=1e-3, atol=1e-5
+        )
+
+
+def test_device_loop_matches_host_with_seeds_and_labels():
+    """Pre-seeded centroids (resume) + a mix of labeled files."""
+    rng = np.random.default_rng(3)
+    files, fm = _corpus(16, 2, rng)
+    for i in (0, 1, 4):
+        files[i] = (files[i][0], i % 2)
+
+    def fresh_net():
+        net = SpeakerNet.new(output=2, seed=1)
+        net.set_embeddings(
+            [
+                (np.ones(net.embedding_size(), np.float32) / 16.0, 0.9, 0.05),
+                (-np.ones(net.embedding_size(), np.float32) / 16.0, 0.9, 0.05),
+            ]
+        )
+        return net
+
+    fd = [tuple(f) for f in files]
+    fh = [tuple(f) for f in files]
+    nd, nh = fresh_net(), fresh_net()
+    run_incremental(nd, fd, dict(fm), burn_in_limit=2, conf_threshold=0.8,
+                    dropout=0.0, epochs=1, show_progress=False)
+    run_incremental_host(nh, fh, dict(fm), burn_in_limit=2, conf_threshold=0.8,
+                         dropout=0.0, epochs=1, show_progress=False)
+    assert [c for _, c in fd] == [c for _, c in fh]
+    assert nd.output_size() == nh.output_size()
+    assert nd.file_lists == nh.file_lists
+
+
+def test_device_loop_max_speakers_cap():
+    rng = np.random.default_rng(2)
+    files, fm = _corpus(12, 6, rng)
+    net = SpeakerNet.new(output=1, seed=0)
+    files[0] = (files[0][0], 0)
+    run_incremental(
+        net, files, fm, burn_in_limit=12, conf_threshold=0.99,
+        epochs=1, max_speakers=4, show_progress=False, dropout=0.0,
+    )
+    assert net.output_size() <= 4
+    assert all(c is not None and c < 4 for _, c in files)
+
+
+def test_device_loop_out_of_range_label_trains_zero_target():
+    """A given label beyond the live classes must not grow the model
+    (the reference's zero-target quirk, src/lib.rs:592-594)."""
+    rng = np.random.default_rng(4)
+    files, fm = _corpus(3, 1, rng)
+    files = [(p, 7) for p, _ in files]  # label 7 >> output_size 1
+    net = SpeakerNet.new(output=1, seed=0)
+    run_incremental(net, files, fm, burn_in_limit=0, epochs=1,
+                    dropout=0.0, show_progress=False)
+    assert net.output_size() == 1  # no growth for labeled files
+    assert all(c == 7 for _, c in files)
+
+
+def test_device_loop_few_dispatches(monkeypatch):
+    """The fused loop must batch files into scan dispatches, not dispatch
+    (let alone synchronize) per file — the dispatch-tax regression guard."""
+    from streamz_tpu.app import device_loop as dl
+
+    rng = np.random.default_rng(5)
+    files, fm = _corpus(10, 2, rng)
+    files[0] = (files[0][0], 0)
+    net = SpeakerNet.new(output=1, seed=0)
+
+    calls = {"n": 0}
+    real_scan = dl.incremental_scan
+
+    def counting_scan(*a, **kw):
+        calls["n"] += 1
+        return real_scan(*a, **kw)
+
+    monkeypatch.setattr(dl, "incremental_scan", counting_scan)
+    dl.run_incremental_device(
+        net, files, fm, burn_in_limit=2, conf_threshold=0.8, dropout=0.0,
+        batch_size=8, epochs=1, max_speakers=None, show_progress=False,
+    )
+    # 10 same-bucket files -> one padded-to-16 scan dispatch.
+    assert calls["n"] == 1
+
+
+def test_pow2_chunking():
+    from streamz_tpu.app.device_loop import MAX_SCAN_FILES, _pow2_chunks
+
+    assert _pow2_chunks(1) == [1]
+    assert _pow2_chunks(10) == [16]
+    assert _pow2_chunks(64) == [64]
+    assert _pow2_chunks(150) == [64, 64, 32]
+    assert sum(_pow2_chunks(64)) == MAX_SCAN_FILES
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
