@@ -50,6 +50,29 @@ def main() -> None:
     x = rng.normal(size=(5, 6)).astype(np.float32)
     np.save(os.path.join(FIX, "golden_model_input.npy"), x)
     np.save(os.path.join(FIX, "golden_model_probs.npy"), net.forward(x))
+
+    # Full ingest-chain fixture: one bundled 32 kHz Common Voice clip through
+    # MP3 decode → downmix → resample → features (tests/test_ingest_parity.py).
+    ref_clip = (
+        "/root/reference/streamz-rs/examples/training_data/"
+        "common_voice_fr_41911269.mp3"
+    )
+    if os.path.isfile(ref_clip):
+        import tempfile
+
+        from streamz_tpu.io.audio import load_and_resample_file
+
+        cwd = os.getcwd()
+        os.chdir(tempfile.mkdtemp())
+        try:
+            _, pcm = load_and_resample_file(ref_clip)
+        finally:
+            os.chdir(cwd)
+        np.save(
+            os.path.join(FIX, "golden_ingest_features.npy"),
+            extract_features_np(np.asarray(pcm, np.int16)),
+        )
+
     print("fixtures regenerated")
 
 
