@@ -52,3 +52,139 @@ def test_build_window_pool():
     x, y = build_window_pool(fm, [("a", 0), ("b", 1), ("c", 5), ("missing", 2)])
     assert x.shape == (5, 60)
     assert y.tolist() == [0, 0, 0, 5, 5]
+
+
+# ---------------------------------------------------------------------------
+# 1 -> 1000 class growth through the incremental loop: recompile accounting.
+#
+# Capacity changes are what force XLA recompiles (w3/b3 change shape); the
+# tests count ``_grow_capacity`` events as the recompile proxy.
+# ---------------------------------------------------------------------------
+
+
+def _count_growth(monkeypatch):
+    from streamz_tpu.nn.model import SpeakerNet as SN
+
+    calls = []
+    orig = SN._grow_capacity
+
+    def patched(self, n):
+        calls.append(n)
+        return orig(self, n)
+
+    monkeypatch.setattr(SN, "_grow_capacity", patched)
+    return calls
+
+
+def test_incremental_growth_to_1000_single_presize(monkeypatch):
+    """The device-resident loop grows 1 -> 1001 speakers with exactly ONE
+    capacity event (pre-sized up front), i.e. zero mid-run recompiles."""
+    from streamz_tpu.app.incremental import run_incremental
+
+    rng = np.random.default_rng(0)
+    files = [(f"f{i:04d}.wav", None) for i in range(1000)]
+    fm = {p: rng.normal(size=(8, 60)).astype(np.float32) for p, _ in files}
+    net = SpeakerNet.new(output=1, seed=0)
+    calls = _count_growth(monkeypatch)
+
+    res = run_incremental(net, files, fm, burn_in_limit=1000, show_progress=False)
+
+    assert res.processed == 1000
+    assert net.output_size() == 1001
+    assert net.capacity >= 1001
+    assert len(calls) == 1  # one pre-size, no growth inside the loop
+    # every file got a distinct burn-in label written back
+    labels = [c for _, c in files]
+    assert sorted(labels) == list(range(1, 1001))
+
+
+def test_host_loop_growth_is_log_n(monkeypatch):
+    """The host-stepped loop doubles capacity O(log n) times: 301 speakers
+    from capacity 128 is exactly 2 doublings (256, 512)."""
+    from streamz_tpu.app.incremental import run_incremental_host
+
+    rng = np.random.default_rng(1)
+    files = [(f"g{i:04d}.wav", None) for i in range(300)]
+    fm = {p: rng.normal(size=(8, 60)).astype(np.float32) for p, _ in files}
+    net = SpeakerNet.new(output=1, seed=0)
+    calls = _count_growth(monkeypatch)
+
+    run_incremental_host(net, files, fm, burn_in_limit=300, show_progress=False)
+
+    assert net.output_size() == 301
+    assert calls == [256, 512]
+
+
+# ---------------------------------------------------------------------------
+# Both branches of the adaptive gate's speaker-count factor
+# (infer/cosine.py; reference src/lib.rs:1604-1631: f = 0.3 under 200
+# speakers, else 1.0).
+# ---------------------------------------------------------------------------
+
+
+def _gate_fixture(n_speakers: int):
+    """Centroid 0 gets sim 0.45 to the probe — between mean+0.3*std (0.43)
+    and mean+1.0*std (0.5), and not above the 0.5 shortcut — so the factor
+    branch alone decides acceptance."""
+    rng = np.random.default_rng(2)
+    dim = 64
+    e0 = np.zeros(dim, np.float32)
+    e0[0] = 1.0
+    stats = [(e0, 0.4, 0.1)]
+    for _ in range(n_speakers - 1):
+        v = rng.normal(size=dim).astype(np.float32)
+        v[0] = 0.0  # orthogonal to the probe: sim 0 -> fails the 0.35 gate
+        stats.append((v / np.linalg.norm(v), 0.4, 0.1))
+    emb = np.zeros(dim, np.float32)
+    emb[0], emb[1] = 0.45, np.sqrt(1 - 0.45**2)
+    return emb, stats
+
+
+def test_adaptive_gate_factor_small_population():
+    from streamz_tpu.infer.cosine import _adaptive_match
+
+    emb, stats = _gate_fixture(150)  # < 200 -> factor 0.3 -> accepted
+    assert _adaptive_match(emb, stats, 0.35) == 0
+
+
+def test_adaptive_gate_factor_large_population():
+    from streamz_tpu.infer.cosine import _adaptive_match
+
+    emb, stats = _gate_fixture(250)  # >= 200 -> factor 1.0 -> rejected
+    assert _adaptive_match(emb, stats, 0.35) is None
+
+
+# ---------------------------------------------------------------------------
+# Eval at the 1000-speaker stretch config stays batched (one GEMM), not a
+# per-centroid Python loop: runtime sanity.
+# ---------------------------------------------------------------------------
+
+
+def test_evaluate_1000_speakers_runtime():
+    import time
+
+    from streamz_tpu.app.evaluate import evaluate
+
+    rng = np.random.default_rng(3)
+    net = SpeakerNet.new(output=1000, seed=0)
+    h2 = net.embedding_size()
+    net.set_embeddings(
+        [
+            (rng.normal(size=h2).astype(np.float32), 0.5, 0.05)
+            for _ in range(1000)
+        ]
+    )
+    targets = [(f"e{i:03d}.wav", i % 1000) for i in range(100)]
+    fm = {p: rng.normal(size=(6, 60)).astype(np.float32) for p, _ in targets}
+
+    start = time.time()
+    metrics = evaluate(net, fm, targets, threshold=0.8, verbose=False)
+    elapsed = time.time() - start
+    assert elapsed < 60.0, elapsed
+    assert set(metrics) >= {"accuracy", "precision", "recall", "f1"}
+    total = (
+        metrics["true_positive"]
+        + metrics["false_positive"]
+        + metrics["false_negative"]
+    )
+    assert total == 100
