@@ -18,6 +18,11 @@ the Rust binary executes per clip (its end-to-end hot path):
 ``value`` is the device (TPU when available) throughput of the batched
 jit-fused pipeline (Pallas/XLA frontend + batched forward + on-device vote
 sums) in windows/s; ``vs_baseline`` is the speedup over the CPU spec.
+Extra keys on the same line: ``frontend`` (the measured-winner backend,
+benchmarks/ROOFLINE.md), ``algo_tflops``/``mfu`` (algorithmic FLOP/s and
+its fraction of bf16 peak — the MFU convention) and ``hw_util`` (executed
+FLOP/s incl. padding and multi-pass bf16 emulation, over the same peak —
+what the MXU actually streams).
 """
 
 from __future__ import annotations
@@ -48,13 +53,43 @@ def _enable_compile_cache() -> None:
         pass
 
 
-def _bench_device(net, batch_clips: int = 32, clip_seconds: float = 10.0,
-                  iters: int = 50):
+# bf16 peak TFLOP/s per chip, keyed on device_kind substring (public specs).
+_BF16_PEAK_TFLOPS = (
+    ("v6", 918.0), ("v5p", 459.0), ("v5", 197.0), ("v4", 275.0),
+    ("v3", 123.0), ("v2", 45.0),
+)
+
+
+def _bf16_peak() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for tag, peak in _BF16_PEAK_TFLOPS:
+        if tag in kind:
+            return peak * 1e12
+    return 197.0e12  # assume v5e-class when unknown
+
+
+def _pick_frontend():
+    """The measured winner (XLA vs Pallas v3) on this chip; see
+    benchmarks/ROOFLINE.md for the policy."""
+    from streamz_tpu.dsp import features as feats
+    from streamz_tpu.dsp.mfcc import mfcc_features
+
+    try:
+        name = feats.autotune_frontend()
+        return name, feats._core_for(name)
+    except Exception:
+        return "jax", mfcc_features
+
+
+def _bench_device(net, frontend_core, batch_clips: int = 32,
+                  clip_seconds: float = 10.0, iters: int = 50):
     import jax
     import jax.numpy as jnp
 
     from streamz_tpu import config
-    from streamz_tpu.dsp.mfcc import mfcc_features, window_count
+    from streamz_tpu.dsp.mfcc import window_count
     from streamz_tpu.nn.model import forward
 
     rate = config.DEFAULT_SAMPLE_RATE
@@ -71,7 +106,7 @@ def _bench_device(net, batch_clips: int = 32, clip_seconds: float = 10.0,
     num_speakers = net.num_speakers
 
     def pipeline(pcm, n_samples):
-        feats = mfcc_features(pcm, n_samples)             # [B, W, 60]
+        feats = frontend_core(pcm, n_samples)             # [B, W, 60]
         probs = forward(params, feats, num_speakers)      # [B, W, cap]
         valid = (
             jnp.arange(feats.shape[1])[None, :]
@@ -97,7 +132,29 @@ def _bench_device(net, batch_clips: int = 32, clip_seconds: float = 10.0,
         start = time.perf_counter()
         float(chained(pcm, n_samples))
         best = min(best, (time.perf_counter() - start) / iters)
-    return batch_clips * n_win / best
+
+    # Two FLOP counts per invocation (see benchmarks/ROOFLINE.md):
+    # - algorithmic (MFU convention — useful math only, unpadded, one pass):
+    #   DFT 2*400*(2*401) + mel 2*401*20 + DCT 2*20*20 + classifier
+    #   2*(60*128 + 128*128 + 128*live)
+    # - executed, from XLA cost_analysis (includes padding and the Pallas
+    #   kernel's bf16x3 passes): what the MXU actually streams.
+    live = int(net.num_speakers)
+    algo_per_win = (
+        2 * 400 * (2 * 401) + 2 * 401 * 20 + 2 * 20 * 20
+        + 2 * (60 * 128 + 128 * 128 + 128 * live)
+    )
+    algo_flops = batch_clips * n_win * algo_per_win
+    try:
+        cost = jax.jit(pipeline).lower(pcm, n_samples).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        exec_flops = float(cost["flops"])
+        if not exec_flops > 0:
+            raise ValueError(exec_flops)
+    except Exception:
+        exec_flops = algo_flops
+    return batch_clips * n_win / best, algo_flops / best, exec_flops / best
 
 
 def _bench_cpu_baseline(net, clip_seconds: float = 3.0, iters: int = 2):
@@ -165,8 +222,10 @@ def main() -> None:
     _wait_device_healthy()
     _enable_compile_cache()
     net = _make_net()
-    device_rate = _bench_device(net)
+    frontend_name, frontend_core = _pick_frontend()
+    device_rate, algo_fps, exec_fps = _bench_device(net, frontend_core)
     cpu_rate = _bench_cpu_baseline(net)
+    peak = _bf16_peak()
     print(
         json.dumps(
             {
@@ -174,6 +233,10 @@ def main() -> None:
                 "value": round(device_rate, 1),
                 "unit": "windows/s",
                 "vs_baseline": round(device_rate / cpu_rate, 2),
+                "frontend": frontend_name,
+                "algo_tflops": round(algo_fps / 1e12, 2),
+                "mfu": round(algo_fps / peak, 4),
+                "hw_util": round(exec_fps / peak, 4),
             }
         )
     )

@@ -55,6 +55,7 @@ def bench_frontends(B=32, seconds=10.0):
     from streamz_tpu.dsp.pallas_mfcc import (
         mfcc_features_pallas,
         mfcc_features_pallas_v2,
+        mfcc_features_pallas_v3,
     )
 
     t = int(seconds * config.DEFAULT_SAMPLE_RATE)
@@ -69,6 +70,7 @@ def bench_frontends(B=32, seconds=10.0):
         ("xla", mfcc_features),
         ("pallas", mfcc_features_pallas),
         ("pallas_v2", mfcc_features_pallas_v2),
+        ("pallas_v3", mfcc_features_pallas_v3),
     ):
         dt = _chain_time(lambda c, fn=fn: fn(pcm + c, ns))
         out[f"mfcc_{name}_windows_per_sec"] = B * n_win / dt

@@ -5,11 +5,21 @@ Mirrors the reference's ``FeatureExtractor`` (``streamz-rs/src/lib.rs:231-264``)
 (``:558-579``).  On TPU there is no per-thread FFT plan to cache — the jitted
 frontend is process-global — so the "extractor" is a thin stateless facade and
 ``with_thread_extractor`` simply hands it out.
+
+Backend selection is **by measurement, not hardcoding**: the default
+``'auto'`` backend times the XLA formulation against the fused Pallas v3
+kernel on the first TPU use and keeps the winner (cached per device kind in
+``/tmp/streamz_frontend_autotune.json`` so later processes skip the probe).
+On non-TPU backends the XLA formulation is used directly — the Pallas kernels
+only run there in interpret mode, which is for testing, not speed.
 """
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence, TypeVar
+import json
+import os
+import time
+from typing import Callable, List, Optional, Sequence, TypeVar
 
 import numpy as np
 
@@ -18,27 +28,129 @@ from streamz_tpu.io import audio
 
 R = TypeVar("R")
 
+_BACKENDS = ("auto", "jax", "pallas", "pallas_v2", "pallas_v3", "numpy")
+_AUTOTUNE_CACHE = os.environ.get(
+    "STREAMZ_AUTOTUNE_CACHE", "/tmp/streamz_frontend_autotune.json"
+)
+_autotune_choice: Optional[str] = None
+
+
+def _core_for(backend: str):
+    if backend == "pallas":
+        from streamz_tpu.dsp.pallas_mfcc import mfcc_features_pallas
+
+        return mfcc_features_pallas
+    if backend == "pallas_v2":
+        from streamz_tpu.dsp.pallas_mfcc import mfcc_features_pallas_v2
+
+        return mfcc_features_pallas_v2
+    if backend == "pallas_v3":
+        from streamz_tpu.dsp.pallas_mfcc import mfcc_features_pallas_v3
+
+        return mfcc_features_pallas_v3
+    return mfcc.mfcc_features
+
+
+def _time_frontend(core, pcm, n_samples, iters: int = 8) -> float:
+    """Median-of-3 time of ``iters`` chained frontend calls (dispatch-
+    amortized: the iterations run inside one jitted scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(p, n):
+        def body(c, _):
+            r = core(p + c, n)
+            return jnp.sum(r) * 1e-20, None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    float(chained(pcm, n_samples))  # compile + warm
+    times = []
+    for _ in range(3):
+        start = time.perf_counter()
+        float(chained(pcm, n_samples))
+        times.append(time.perf_counter() - start)
+    return sorted(times)[1]
+
+
+def autotune_frontend(force: bool = False) -> str:
+    """Measure XLA vs Pallas-v3 on this device and return the winner
+    ('jax' or 'pallas_v3').  Non-TPU backends return 'jax' without probing.
+    The result is cached in-process and on disk per device kind."""
+    global _autotune_choice
+    if _autotune_choice is not None and not force:
+        return _autotune_choice
+
+    import jax
+
+    dev = jax.devices()[0]
+    on_tpu = jax.default_backend() == "tpu" or "axon" in str(dev.platform)
+    if not on_tpu:
+        _autotune_choice = "jax"
+        return _autotune_choice
+
+    key = f"{dev.device_kind}"
+    if not force:
+        try:
+            with open(_AUTOTUNE_CACHE) as f:
+                cached = json.load(f)
+            if key in cached:
+                _autotune_choice = cached[key]
+                return _autotune_choice
+        except Exception:
+            pass
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    # Probe at a compute-bound scale (32 clips x 10 s).  Smaller probes are
+    # dispatch-bound through the tunnel and measure a tie (measured: at
+    # 8x80k both frontends read 0.5M win/s; at this size the difference is
+    # real — see benchmarks/ROOFLINE.md).
+    B, T = 32, 441600
+    pcm = jnp.asarray(rng.normal(0, 0.1, size=(B, T)).astype(np.float32))
+    ns = jnp.full((B,), T, jnp.int32)
+
+    t_jax = _time_frontend(_core_for("jax"), pcm, ns, iters=16)
+    t_v3 = _time_frontend(_core_for("pallas_v3"), pcm, ns, iters=16)
+    _autotune_choice = "pallas_v3" if t_v3 < t_jax else "jax"
+
+    try:
+        cached = {}
+        if os.path.exists(_AUTOTUNE_CACHE):
+            with open(_AUTOTUNE_CACHE) as f:
+                cached = json.load(f)
+        cached[key] = _autotune_choice
+        with open(_AUTOTUNE_CACHE, "w") as f:
+            json.dump(cached, f)
+    except Exception:
+        pass
+    return _autotune_choice
+
 
 class FeatureExtractor:
     """Stateless MFCC frontend facade.
 
-    ``backend='jax'`` (default) runs the batched XLA frontend;
-    ``backend='pallas'`` runs the fused Pallas kernel
-    (:mod:`streamz_tpu.dsp.pallas_mfcc`); ``backend='numpy'`` runs the golden
-    CPU spec (parity tests and the bench baseline).
+    ``backend='auto'`` (default) measures the XLA formulation against the
+    fused Pallas v3 kernel on first TPU use and keeps the winner;
+    ``'jax'``/``'pallas'``/``'pallas_v2'``/``'pallas_v3'`` force a specific
+    frontend; ``'numpy'`` runs the golden CPU spec (parity tests and the
+    bench baseline).
     """
 
-    def __init__(self, backend: str = "jax"):
-        if backend not in ("jax", "pallas", "numpy"):
+    def __init__(self, backend: str = "auto"):
+        if backend not in _BACKENDS:
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
 
-    def _core(self):
-        if self.backend == "pallas":
-            from streamz_tpu.dsp.pallas_mfcc import mfcc_features_pallas
+    def _resolved(self) -> str:
+        if self.backend == "auto":
+            return autotune_frontend()
+        return self.backend
 
-            return mfcc_features_pallas
-        return mfcc.mfcc_features
+    def _core(self):
+        return _core_for(self._resolved())
 
     def extract(self, samples: np.ndarray) -> np.ndarray:
         """PCM (i16 or f32) → [n_windows, 60] float32."""
@@ -50,11 +162,11 @@ class FeatureExtractor:
         self, clips: Sequence[np.ndarray], mesh=None
     ) -> List[np.ndarray]:
         """Batched extraction; with ``mesh`` the clip axis is sharded across
-        the data mesh (jax backend only — the Pallas kernel and the numpy
+        the data mesh (XLA core only — the Pallas kernels and the numpy
         spec run unsharded)."""
         if self.backend == "numpy":
             return [mfcc_ref.extract_features_np(c) for c in clips]
-        if self.backend != "jax":
+        if self._resolved() != "jax":
             mesh = None
         return mfcc.extract_features_batch(clips, core=self._core(), mesh=mesh)
 

@@ -295,3 +295,182 @@ def mfcc_features_pallas_v2(pcm: jax.Array, n_samples: jax.Array) -> jax.Array:
 
     base = mfcc_base_pallas_v2(pcm)
     return deltas_and_norm(base, window_count(n_samples))
+
+
+# ---------------------------------------------------------------------------
+# v3: pipelined-halo kernel — v2's block-centric math with the two structural
+# overheads removed (measured on v5e, see benchmarks/ROOFLINE.md):
+#
+# 1. **No pad copy.** v2 zero-pads the [rows, 400] block view to [rows, 512]
+#    with jnp.pad — a full HBM round trip of the PCM (~3.6 KB/window).  v3
+#    feeds the reshape *view* directly; Mosaic handles the 400-wide (K=400)
+#    contraction.
+# 2. **No serialized DMA.** v2 issues a blocking make_async_copy per tile
+#    (copy.start(); copy.wait()) because its halo needs rows the BlockSpec
+#    grid can't express.  v3 expresses the +1-block halo as a SECOND input
+#    spec — an 8-row block mapped to the next tile's first rows — so the
+#    Pallas grid machinery double-buffers both streams automatically.
+# 3. **bf16x3 mel GEMM** (VERDICT #4): the two same-LHS passes fused into one
+#    N-concat GEMM; full-f32 HIGHEST only for the tiny DCT.
+#
+# Accuracy: bf16x3 everywhere keeps the golden-spec parity at ~3.5e-5
+# (bf16x2 variants measure ~1.4-3e-3 — outside the 1e-3 gate; measured in
+# round 2, see ROOFLINE.md).
+# ---------------------------------------------------------------------------
+
+_TILE3 = 512
+_HALO3 = 8  # one sublane-aligned halo block-row; only row +1 is consumed
+
+
+@lru_cache(maxsize=1)
+def _kernel3_constants():
+    from streamz_tpu.dsp.mel import bin_parity_sign, dct2_matrix, mel_filterbank
+    from streamz_tpu.dsp.mel import dft_block_matrices
+
+    import ml_dtypes
+
+    ct, _cb, st, _sb = dft_block_matrices()
+    n_bins = ct.shape[1]  # 401
+
+    def pad_bins(m):
+        out = np.zeros((_BLOCK, _BINS_PAD), np.float32)
+        out[:, :n_bins] = m
+        return out
+
+    dft = np.concatenate([pad_bins(ct), pad_bins(st)], axis=1)  # [400, 1024]
+    dft_hi = dft.astype(ml_dtypes.bfloat16)
+    dft_lo = (dft - dft_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+
+    sign = np.zeros((1, _BINS_PAD), np.float32)
+    sign[0, :n_bins] = bin_parity_sign()
+
+    mel = np.zeros((_BINS_PAD, _CH_PAD), np.float32)
+    mel[:n_bins, : config.N_MELS] = mel_filterbank().T
+    mel_hi = mel.astype(ml_dtypes.bfloat16)
+    mel_lo = (mel - mel_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    # Same-LHS passes ph@mel_hi + ph@mel_lo as ONE N-concat GEMM.
+    mel_cat = np.concatenate([mel_hi, mel_lo], axis=1)  # [512, 64] bf16
+
+    dct = np.zeros((_CH_PAD, _CH_PAD), np.float32)
+    dct[: config.N_MELS, : config.MFCC_SIZE] = dct2_matrix().T
+    return dft_hi, dft_lo, sign, mel_cat, mel_hi, dct
+
+
+def _mfcc_kernel_v3(main_ref, halo_ref, dft_hi_ref, dft_lo_ref, sign_ref,
+                    mel_cat_ref, mel_hi_ref, dct_ref, out_ref):
+    x = jnp.concatenate([main_ref[:], halo_ref[:]], axis=0)  # [TILE3+8, 400]
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    parts = jnp.dot(x_hi, dft_hi_ref[:], preferred_element_type=jnp.float32)
+    parts += jnp.dot(x_lo, dft_hi_ref[:], preferred_element_type=jnp.float32)
+    parts += jnp.dot(x_hi, dft_lo_ref[:], preferred_element_type=jnp.float32)
+
+    cos_p = parts[:, :_BINS_PAD]
+    sin_p = parts[:, _BINS_PAD:]
+    sign = sign_ref[:]
+    re = cos_p[0:_TILE3] + sign * cos_p[1 : _TILE3 + 1]
+    im = sin_p[0:_TILE3] + sign * sin_p[1 : _TILE3 + 1]
+    power = re * re + im * im  # [TILE3, 512] f32
+
+    p_hi = power.astype(jnp.bfloat16)
+    p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    both = jnp.dot(p_hi, mel_cat_ref[:], preferred_element_type=jnp.float32)
+    mel_e = both[:, :_CH_PAD] + both[:, _CH_PAD:]
+    mel_e += jnp.dot(p_lo, mel_hi_ref[:], preferred_element_type=jnp.float32)
+
+    mel_log = jnp.log(jnp.maximum(mel_e, 1e-12))
+    out_ref[:] = jnp.dot(
+        mel_log, dct_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu" and "axon" not in str(
+        jax.devices()[0].platform
+    )
+
+
+def _v3_call(blocks: jax.Array, n_tiles: int) -> jax.Array:
+    """Invoke the v3 kernel over ``n_tiles`` tiles of ``blocks`` (whose row
+    count must cover ``n_tiles*_TILE3 + _HALO3`` rows)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dft_hi, dft_lo, sign, mel_cat, mel_hi, dct = (
+        jnp.asarray(a) for a in _kernel3_constants()
+    )
+    hb = _TILE3 // _HALO3  # halo block-rows per tile step
+    return pl.pallas_call(
+        _mfcc_kernel_v3,
+        interpret=_use_interpret(),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((_TILE3, _BLOCK), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_HALO3, _BLOCK), lambda j: (hb * (j + 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK, 2 * _BINS_PAD), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK, 2 * _BINS_PAD), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BINS_PAD), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BINS_PAD, 2 * _CH_PAD), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BINS_PAD, _CH_PAD), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CH_PAD, _CH_PAD), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TILE3, _CH_PAD), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * _TILE3, _CH_PAD), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * n_tiles * _TILE3 * _BLOCK * 2 * _BINS_PAD,
+            bytes_accessed=n_tiles * _TILE3 * (_BLOCK + _CH_PAD) * 4,
+            transcendentals=n_tiles * _TILE3 * _CH_PAD,
+        ),
+    )(blocks, blocks, dft_hi, dft_lo, sign, mel_cat, mel_hi, dct)
+
+
+@jax.jit
+def mfcc_base_pallas_v3(pcm: jax.Array) -> jax.Array:
+    """Pipelined-halo fused MFCC base. pcm: [B, T] f32 → [B, W, 20].
+
+    The bulk of the block rows is fed to the kernel as the raw reshape view
+    (no pad copy); only the tail tile — the rows the halo spec would read
+    past the end of — goes through a tiny (≤ _TILE3+_HALO3 rows) padded
+    second call.
+    """
+    B, T = pcm.shape
+    nb = T // _BLOCK
+    rows = B * nb
+    blocks = pcm[:, : nb * _BLOCK].reshape(rows, _BLOCK)  # a view, no copy
+
+    # Tiles whose main+halo reads stay inside the unpadded array.
+    n_full = max((rows - _HALO3) // _TILE3, 0)
+    outs = []
+    if n_full > 0:
+        outs.append(_v3_call(blocks, n_full))
+
+    tail_rows = rows - n_full * _TILE3  # in (0, _TILE3 + _HALO3)
+    if tail_rows > 0:
+        tail = blocks[n_full * _TILE3 :]
+        tail = jnp.pad(
+            tail, ((0, _TILE3 + _HALO3 - tail_rows), (0, 0))
+        )
+        outs.append(_v3_call(tail, 1)[:tail_rows])
+
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    base = out[:rows].reshape(B, nb, _CH_PAD)
+    return base[:, : nb - 1, : config.MFCC_SIZE]
+
+
+@jax.jit
+def mfcc_features_pallas_v3(pcm: jax.Array, n_samples: jax.Array) -> jax.Array:
+    """Full frontend with the pipelined-halo kernel: [B,T]+[B] → [B,W,60]."""
+    from streamz_tpu.dsp.mfcc import deltas_and_norm, window_count
+
+    base = mfcc_base_pallas_v3(pcm)
+    return deltas_and_norm(base, window_count(n_samples))

@@ -63,3 +63,60 @@ def test_v2_block_kernel_matches_golden():
         want = mfcc_ref.extract_features_np(pcm_i16[b][:n])
         nw = want.shape[0]
         np.testing.assert_allclose(got[b][:nw], want, atol=2e-3, rtol=1e-3)
+
+
+def test_v3_pipelined_kernel_matches_golden():
+    from streamz_tpu.dsp.pallas_mfcc import mfcc_features_pallas_v3
+
+    B, T = 2, 12000
+    rng = np.random.default_rng(1)
+    pcm_i16 = rng.normal(0, 3000, (B, T)).astype(np.int16)
+    pcm = jnp.asarray(pcm_i16.astype(np.float32) / 32767.0)
+    ns = jnp.asarray([T, 9000], jnp.int32)
+    got = np.asarray(mfcc_features_pallas_v3(pcm, ns))
+    for b, n in enumerate([T, 9000]):
+        want = mfcc_ref.extract_features_np(pcm_i16[b][:n])
+        nw = want.shape[0]
+        np.testing.assert_allclose(got[b][:nw], want, atol=1e-3, rtol=1e-3)
+
+
+def test_v3_tail_split_shapes():
+    """Exercise both the bulk-tiles and tail-only paths of the v3 launcher."""
+    from streamz_tpu.dsp.mfcc import mfcc_base
+    from streamz_tpu.dsp.pallas_mfcc import mfcc_base_pallas_v3
+
+    rng = np.random.default_rng(2)
+    for B, T in [(1, 800), (1, 2000), (2, 4000), (1, 208000), (3, 208000)]:
+        pcm = jnp.asarray(rng.normal(0, 0.1, (B, T)).astype(np.float32))
+        a = np.asarray(mfcc_base(pcm))
+        b = np.asarray(mfcc_base_pallas_v3(pcm))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_autotune_backend_selection(monkeypatch, tmp_path):
+    """'auto' resolves to the XLA frontend off-TPU without probing, and the
+    disk cache round-trips a stored decision."""
+    import streamz_tpu.dsp.features as feats
+
+    monkeypatch.setattr(feats, "_autotune_choice", None)
+    monkeypatch.setattr(feats, "_AUTOTUNE_CACHE", str(tmp_path / "tune.json"))
+    assert feats.autotune_frontend(force=True) == "jax"  # CPU mesh here
+
+    ex = feats.FeatureExtractor("auto")
+    rng = np.random.default_rng(3)
+    clip = rng.normal(0, 3000, 4000).astype(np.int16)
+    np.testing.assert_allclose(
+        ex.extract(clip), feats.FeatureExtractor("jax").extract(clip)
+    )
+
+
+def test_extractor_accepts_v3_backend():
+    from streamz_tpu.dsp.features import FeatureExtractor
+
+    rng = np.random.default_rng(4)
+    clip = rng.normal(0, 3000, 6000).astype(np.int16)
+    a = FeatureExtractor("pallas_v3").extract(clip)
+    b = FeatureExtractor("numpy").extract(clip)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-3)
