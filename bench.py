@@ -136,13 +136,16 @@ def _bench_device(net, frontend_core, batch_clips: int = 32,
     # Two FLOP counts per invocation (see benchmarks/ROOFLINE.md):
     # - algorithmic (MFU convention — useful math only, unpadded, one pass):
     #   DFT 2*400*(2*401) + mel 2*401*20 + DCT 2*20*20 + classifier
-    #   2*(60*128 + 128*128 + 128*live)
+    #   2*(60*H1 + H1*H2 + H2*live)
     # - executed, from XLA cost_analysis (includes padding and the Pallas
     #   kernel's bf16x3 passes): what the MXU actually streams.
+    from streamz_tpu import config as _cfg
+
     live = int(net.num_speakers)
     algo_per_win = (
         2 * 400 * (2 * 401) + 2 * 401 * 20 + 2 * 20 * 20
-        + 2 * (60 * 128 + 128 * 128 + 128 * live)
+        + 2 * (60 * _cfg.HIDDEN1 + _cfg.HIDDEN1 * _cfg.HIDDEN2
+               + _cfg.HIDDEN2 * live)
     )
     algo_flops = batch_clips * n_win * algo_per_win
     try:
