@@ -103,7 +103,7 @@ def bench_identify(B=32, seconds=10.0, classes=64):
     return {"identify_pipeline_windows_per_sec": B * n_win / dt}
 
 
-def bench_corpus_train(batch=8192, feat=60, classes=64):
+def bench_corpus_train(batch=65536, feat=60, classes=64):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -121,27 +121,36 @@ def bench_corpus_train(batch=8192, feat=60, classes=64):
     net = SpeakerNet.new(input_size=feat, output=classes, seed=0)
 
     # One scanned epoch = one device dispatch: per-call dispatch latency over
-    # the axon tunnel (~hundreds of ms) would otherwise dominate.
+    # the axon tunnel (~hundreds of ms) would otherwise dominate.  The batch
+    # is sized so one dispatch carries well past the tunnel RTT (the old
+    # 8192-window batch measured the tunnel floor, not the chip).
     steps = 50
-    epoch = dp.make_dp_train_epoch(mesh, steps=steps)
     sh = NamedSharding(mesh, P(None, comm.DATA_AXIS))
     xb = jax.device_put(np.broadcast_to(x, (steps, *x.shape)).copy(), sh)
     yb = jax.device_put(np.broadcast_to(y, (steps, *y.shape)).copy(), sh)
     wb = jax.device_put(np.broadcast_to(w, (steps, *w.shape)).copy(), sh)
 
-    params, losses = epoch(
-        net.params, xb, yb, wb, jnp.int32(classes), jnp.float32(0.01)
-    )
-    float(np.asarray(losses)[-1])
-    best = float("inf")
-    for _ in range(2):
-        start = time.perf_counter()
+    out = {"devices": n_dev}
+    for backend in ("xla", "pallas"):
+        epoch = dp.make_dp_train_epoch(mesh, steps=steps, backend=backend)
         params, losses = epoch(
-            params, xb, yb, wb, jnp.int32(classes), jnp.float32(0.01)
+            net.params, xb, yb, wb, jnp.int32(classes), jnp.float32(0.01)
         )
-        float(np.asarray(losses)[-1])  # scalar-ish readback forces the chain
-        best = min(best, (time.perf_counter() - start) / steps)
-    return {"corpus_train_windows_per_sec": batch / best, "devices": n_dev}
+        float(np.asarray(losses)[-1])
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            params, losses = epoch(
+                params, xb, yb, wb, jnp.int32(classes), jnp.float32(0.01)
+            )
+            float(np.asarray(losses)[-1])  # scalar readback forces the chain
+            best = min(best, (time.perf_counter() - start) / steps)
+        out[f"corpus_train_{backend}_windows_per_sec"] = batch / best
+    out["corpus_train_windows_per_sec"] = max(
+        out["corpus_train_xla_windows_per_sec"],
+        out["corpus_train_pallas_windows_per_sec"],
+    )
+    return out
 
 
 def bench_cpu_baselines(seconds=3.0, classes=64):

@@ -8,18 +8,16 @@ frontend is process-global — so the "extractor" is a thin stateless facade and
 
 Backend selection is **by measurement, not hardcoding**: the default
 ``'auto'`` backend times the XLA formulation against the fused Pallas v3
-kernel on the first TPU use and keeps the winner (cached per device kind in
-``/tmp/streamz_frontend_autotune.json`` so later processes skip the probe).
+kernel on the first TPU use and keeps the winner (cached per device kind by
+:mod:`streamz_tpu.runtime.autotune` so later processes skip the probe).
 On non-TPU backends the XLA formulation is used directly — the Pallas kernels
 only run there in interpret mode, which is for testing, not speed.
 """
 
 from __future__ import annotations
 
-import json
-import os
 import time
-from typing import Callable, List, Optional, Sequence, TypeVar
+from typing import Callable, List, Sequence, TypeVar
 
 import numpy as np
 
@@ -29,10 +27,6 @@ from streamz_tpu.io import audio
 R = TypeVar("R")
 
 _BACKENDS = ("auto", "jax", "pallas", "pallas_v2", "pallas_v3", "numpy")
-_AUTOTUNE_CACHE = os.environ.get(
-    "STREAMZ_AUTOTUNE_CACHE", "/tmp/streamz_frontend_autotune.json"
-)
-_autotune_choice: Optional[str] = None
 
 
 def _core_for(backend: str):
@@ -78,55 +72,31 @@ def autotune_frontend(force: bool = False) -> str:
     """Measure XLA vs Pallas-v3 on this device and return the winner
     ('jax' or 'pallas_v3').  Non-TPU backends return 'jax' without probing.
     The result is cached in-process and on disk per device kind."""
-    global _autotune_choice
-    if _autotune_choice is not None and not force:
-        return _autotune_choice
+    from streamz_tpu.runtime import autotune
 
-    import jax
+    def probe_for(backend):
+        def probe():
+            import jax.numpy as jnp
 
-    dev = jax.devices()[0]
-    on_tpu = jax.default_backend() == "tpu" or "axon" in str(dev.platform)
-    if not on_tpu:
-        _autotune_choice = "jax"
-        return _autotune_choice
+            rng = np.random.default_rng(0)
+            # Probe at a compute-bound scale (32 clips x 10 s).  Smaller
+            # probes are dispatch-bound through the tunnel and measure a
+            # tie (measured: at 8x80k both frontends read 0.5M win/s; at
+            # this size the difference is real — benchmarks/ROOFLINE.md).
+            B, T = 32, 441600
+            pcm = jnp.asarray(
+                rng.normal(0, 0.1, size=(B, T)).astype(np.float32)
+            )
+            ns = jnp.full((B,), T, jnp.int32)
+            return _time_frontend(_core_for(backend), pcm, ns, iters=16)
+        return probe
 
-    key = f"{dev.device_kind}"
-    if not force:
-        try:
-            with open(_AUTOTUNE_CACHE) as f:
-                cached = json.load(f)
-            if key in cached:
-                _autotune_choice = cached[key]
-                return _autotune_choice
-        except Exception:
-            pass
-
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(0)
-    # Probe at a compute-bound scale (32 clips x 10 s).  Smaller probes are
-    # dispatch-bound through the tunnel and measure a tie (measured: at
-    # 8x80k both frontends read 0.5M win/s; at this size the difference is
-    # real — see benchmarks/ROOFLINE.md).
-    B, T = 32, 441600
-    pcm = jnp.asarray(rng.normal(0, 0.1, size=(B, T)).astype(np.float32))
-    ns = jnp.full((B,), T, jnp.int32)
-
-    t_jax = _time_frontend(_core_for("jax"), pcm, ns, iters=16)
-    t_v3 = _time_frontend(_core_for("pallas_v3"), pcm, ns, iters=16)
-    _autotune_choice = "pallas_v3" if t_v3 < t_jax else "jax"
-
-    try:
-        cached = {}
-        if os.path.exists(_AUTOTUNE_CACHE):
-            with open(_AUTOTUNE_CACHE) as f:
-                cached = json.load(f)
-        cached[key] = _autotune_choice
-        with open(_AUTOTUNE_CACHE, "w") as f:
-            json.dump(cached, f)
-    except Exception:
-        pass
-    return _autotune_choice
+    return autotune.measured_choice(
+        "frontend",
+        {"jax": probe_for("jax"), "pallas_v3": probe_for("pallas_v3")},
+        default="jax",
+        force=force,
+    )
 
 
 class FeatureExtractor:

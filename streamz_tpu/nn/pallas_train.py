@@ -1,0 +1,234 @@
+"""Fused Pallas training step: forward + hand-rolled backward in VMEM.
+
+The XLA ``corpus_step`` (``nn/train.py:202``) is HBM-bound: it materializes
+h1 [B,512], h2 [B,256], logits [B,128] f32 plus their backward counterparts —
+~12 KB of HBM round trips per window against ~1.3 MFLOP of useful math
+(measured ~30 ns/window at B=131k on v5e; the MXU bound is ~7 ns).  This
+kernel runs the whole chain per 512-row tile inside VMEM and accumulates the
+weight gradients across grid steps in the output refs, so HBM traffic drops
+to the feature read (256 B/window) plus the (tiny, tile-invariant) gradient
+tensors written once.
+
+Semantics are identical to ``corpus_step``'s gradient: the surrogate loss
+``sum_i w_i * (logsumexp(logits_i) - <t_i, logits_i>)`` whose gradient is the
+reference's hand-written delta ``softmax - target`` chain
+(``streamz-rs/src/lib.rs:954-1060``), with out-of-range labels yielding a
+zero target vector (``src/lib.rs:592-594``) and capacity columns masked
+exactly as :func:`streamz_tpu.nn.model.forward_logits` does.
+
+The reported loss value and valid count ride along in a stats output, so the
+step needs no second forward pass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from streamz_tpu.nn.model import MASK_LOGIT, Params
+
+_TILE = 512
+_IN_PAD = 64  # 60-dim features padded to a lane-friendly width
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu" and "axon" not in str(
+        jax.devices()[0].platform
+    )
+
+
+def _dotT_rows(a: jax.Array, b: jax.Array) -> jax.Array:
+    """a.T @ b contracting the row (batch) axis: [T,M],[T,N] -> [M,N]."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dotT_cols(a: jax.Array, b: jax.Array) -> jax.Array:
+    """a @ b.T contracting the column axis: [T,N],[M,N] -> [T,M]."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _train_kernel(ns_ref, x_ref, lab_ref, w_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                  dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
+                  stats_ref):
+    j = pl.program_id(0)
+
+    x = x_ref[:]                                    # [T, 64]
+    labels = lab_ref[:]                             # [T, 1] int32
+    wvec = w_ref[:]                                 # [T, 1] f32
+
+    # Forward (DEFAULT = 1-pass bf16 on the MXU, matching XLA's inference
+    # and training precision on TPU).
+    h1 = jnp.maximum(
+        jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[:], 0.0)                           # [T, 512]
+    h2 = jnp.tanh(
+        jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32)
+        + b2_ref[:])                                # [T, 256]
+    logits = (jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
+              + b3_ref[:])                          # [T, cap]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    ns = ns_ref[0]
+    logits = jnp.where(col < ns, logits, MASK_LOGIT)
+
+    # Target: one-hot of the label, zeroed when the label is out of range
+    # (the reference's pretrain_from_features quirk).
+    target = jnp.where(
+        (col == labels) & (labels < ns), 1.0, 0.0
+    ).astype(jnp.float32)                           # [T, cap]
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    se = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / se
+    lse = m + jnp.log(se)                           # [T, 1]
+
+    # Reported per-sample surrogate loss and the delta that IS the gradient.
+    per = lse - jnp.sum(target * logits, axis=-1, keepdims=True)  # [T, 1]
+    delta = (probs - target) * wvec                 # [T, cap]
+
+    # Backward, all in VMEM.
+    dh2 = _dotT_cols(delta, w3_ref[:]) * (1.0 - h2 * h2)        # [T, 256]
+    dh1 = _dotT_cols(dh2, w2_ref[:]) * (h1 > 0.0).astype(jnp.float32)
+
+    dw3 = _dotT_rows(h2, delta)                     # [256, cap]
+    dw2 = _dotT_rows(h1, dh2)                       # [512, 256]
+    dw1 = _dotT_rows(x, dh1)                        # [64, 512]
+    db3 = jnp.sum(delta, axis=0, keepdims=True)
+    db2 = jnp.sum(dh2, axis=0, keepdims=True)
+    db1 = jnp.sum(dh1, axis=0, keepdims=True)
+
+    loss = jnp.sum(per * wvec, axis=0, keepdims=True)     # [1, 1]
+    count = jnp.sum(wvec, axis=0, keepdims=True)          # [1, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    stats = (jnp.where(lane == 0, loss, 0.0)
+             + jnp.where(lane == 1, count, 0.0))
+
+    @pl.when(j == 0)
+    def _init():
+        dw1_ref[:] = dw1
+        db1_ref[:] = db1
+        dw2_ref[:] = dw2
+        db2_ref[:] = db2
+        dw3_ref[:] = dw3
+        db3_ref[:] = db3
+        stats_ref[:] = stats
+
+    @pl.when(j != 0)
+    def _accum():
+        dw1_ref[:] += dw1
+        db1_ref[:] += db1
+        dw2_ref[:] += dw2
+        db2_ref[:] += db2
+        dw3_ref[:] += dw3
+        db3_ref[:] += db3
+        stats_ref[:] += stats
+
+
+def corpus_grads_pallas(
+    params: Params,
+    batch: jax.Array,     # [B, F] f32, F <= 64
+    labels: jax.Array,    # [B] int32
+    weights: jax.Array,   # [B] f32 0/1
+    num_speakers,
+):
+    """Summed gradients + (loss_sum, count) for one labeled batch.
+
+    Drop-in for the ``jax.value_and_grad(summed)`` core of
+    ``train.corpus_step`` — returns the *sum* gradient (callers scale by
+    ``lr/count`` exactly as before).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, F = batch.shape
+    cap = params["b3"].shape[0]
+    h1 = params["w1"].shape[1]
+    h2 = params["w2"].shape[1]
+
+    n_tiles = -(-max(B, 1) // _TILE)
+    b_pad = n_tiles * _TILE
+    xp = jnp.zeros((b_pad, _IN_PAD), jnp.float32).at[:B, :F].set(batch)
+    lp = jnp.full((b_pad, 1), jnp.int32(-1)).at[:B, 0].set(labels)
+    wp = jnp.zeros((b_pad, 1), jnp.float32).at[:B, 0].set(weights)
+    w1p = jnp.zeros((_IN_PAD, h1), jnp.float32).at[:F].set(params["w1"])
+
+    def fixed(shp):
+        return pl.BlockSpec(shp, lambda j, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((_TILE, _IN_PAD), lambda j, *_: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, 1), lambda j, *_: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, 1), lambda j, *_: (j, 0),
+                         memory_space=pltpu.VMEM),
+            fixed((_IN_PAD, h1)), fixed((1, h1)),
+            fixed((h1, h2)), fixed((1, h2)),
+            fixed((h2, cap)), fixed((1, cap)),
+        ],
+        out_specs=[
+            fixed((_IN_PAD, h1)), fixed((1, h1)),
+            fixed((h1, h2)), fixed((1, h2)),
+            fixed((h2, cap)), fixed((1, cap)),
+            fixed((1, 128)),
+        ],
+    )
+    outs = pl.pallas_call(
+        _train_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((_IN_PAD, h1), jnp.float32),
+            jax.ShapeDtypeStruct((1, h1), jnp.float32),
+            jax.ShapeDtypeStruct((h1, h2), jnp.float32),
+            jax.ShapeDtypeStruct((1, h2), jnp.float32),
+            jax.ShapeDtypeStruct((h2, cap), jnp.float32),
+            jax.ShapeDtypeStruct((1, cap), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(
+        jnp.asarray([num_speakers], jnp.int32),
+        xp, lp, wp,
+        w1p, params["b1"][None, :],
+        params["w2"], params["b2"][None, :],
+        params["w3"], params["b3"][None, :],
+    )
+    dw1p, db1, dw2, db2, dw3, db3, stats = outs
+    grads = {
+        "w1": dw1p[:F],
+        "b1": db1[0],
+        "w2": dw2,
+        "b2": db2[0],
+        "w3": dw3,
+        "b3": db3[0],
+    }
+    return grads, stats[0, 0], stats[0, 1]
+
+
+def corpus_step_pallas(
+    params: Params,
+    batch: jax.Array,
+    labels: jax.Array,
+    weights: jax.Array,
+    num_speakers,
+    lr,
+):
+    """Fused-kernel twin of :func:`streamz_tpu.nn.train.corpus_step`."""
+    grads, loss_sum, count = corpus_grads_pallas(
+        params, batch, labels, weights, num_speakers
+    )
+    count = jnp.maximum(count, 1.0)
+    new_params = jax.tree_util.tree_map(
+        lambda p, g: p - (lr / count) * g, params, grads
+    )
+    return new_params, loss_sum / count

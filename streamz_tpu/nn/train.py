@@ -199,15 +199,84 @@ def train_bits_step(params: Params, x: jax.Array, target: jax.Array, lr) -> Para
 # ---------------------------------------------------------------------------
 
 
-def corpus_step(
+def resolve_train_backend(backend: str = "auto") -> str:
+    """'xla' | 'pallas' | 'auto' → concrete backend name.
+
+    'auto' uses the measured decision cached by
+    :func:`autotune_train_kernel` when one exists; otherwise the fused
+    Pallas kernel on TPU (measured ~1.9x the XLA step on v5e — see
+    benchmarks/ROOFLINE.md) and XLA elsewhere (interpret mode is for
+    testing, not speed).  Cache-only, so it is safe inside traced code.
+    """
+    if backend != "auto":
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown train backend {backend!r}")
+        return backend
+    from streamz_tpu.runtime import autotune
+
+    return autotune.cached_choice("train_step", "pallas", "xla")
+
+
+def autotune_train_kernel(force: bool = False) -> str:
+    """Measure the XLA vs fused-Pallas corpus step on this device and cache
+    the winner ('xla' or 'pallas').  Call from application level (outside
+    jit) before long training runs; off-TPU returns 'xla' without probing."""
+    import numpy as np
+
+    from streamz_tpu.runtime import autotune
+
+    def probe_for(backend):
+        def probe():
+            from streamz_tpu.nn.model import init_params
+
+            B = 65536
+            rng = np.random.default_rng(0)
+            x = jnp.asarray(rng.normal(0, 1, (B, 60)).astype(np.float32))
+            labels = jnp.asarray(rng.integers(0, 64, B).astype(np.int32))
+            w = jnp.ones((B,), jnp.float32)
+            params = init_params(60, 512, 256, 64, seed=0)
+
+            @jax.jit
+            def chained(p):
+                def body(p, _):
+                    p2, loss = corpus_step(p, x, labels, w, 64, 0.01,
+                                           backend=backend)
+                    return p2, loss
+                p, losses = jax.lax.scan(body, p, None, length=10)
+                dep = sum(jnp.sum(v) for v in jax.tree_util.tree_leaves(p))
+                return losses[-1] + dep * 1e-20
+
+            float(chained(params))  # compile + warm
+            return autotune.median_time(lambda: float(chained(params)))
+        return probe
+
+    return autotune.measured_choice(
+        "train_step",
+        {"xla": probe_for("xla"), "pallas": probe_for("pallas")},
+        default="xla",
+        force=force,
+    )
+
+
+def corpus_grads(
     params: Params,
     batch: jax.Array,     # [B, F]
     labels: jax.Array,    # [B] int32
     weights: jax.Array,   # [B] 0/1 valid mask
     num_speakers,
-    lr,
-) -> Tuple[Params, jax.Array]:
-    """One SGD step on a large labeled batch; returns (params, mean CE loss)."""
+    backend: str = "auto",
+) -> Tuple[Params, jax.Array, jax.Array]:
+    """Summed surrogate-loss gradients + (loss_sum, valid count) for one
+    labeled batch — the core shared by :func:`corpus_step` and the
+    data-parallel trainers (each device runs this on its shard and psums
+    the results)."""
+    resolved = resolve_train_backend(backend)
+    if resolved == "pallas":
+        from streamz_tpu.nn.pallas_train import corpus_grads_pallas
+
+        return corpus_grads_pallas(params, batch, labels, weights,
+                                   num_speakers)
+
     capacity = params["b3"].shape[0]
     target = jax.nn.one_hot(labels, capacity, dtype=jnp.float32)
     target = target * (labels < num_speakers)[:, None].astype(jnp.float32)
@@ -218,7 +287,23 @@ def corpus_step(
         per = lse - jnp.sum(target * logits, axis=-1)
         return jnp.sum(per * weights)
 
-    loss_val, grads = jax.value_and_grad(summed)(params)
-    count = jnp.maximum(jnp.sum(weights), 1.0)
+    loss_sum, grads = jax.value_and_grad(summed)(params)
+    return grads, loss_sum, jnp.sum(weights)
+
+
+def corpus_step(
+    params: Params,
+    batch: jax.Array,     # [B, F]
+    labels: jax.Array,    # [B] int32
+    weights: jax.Array,   # [B] 0/1 valid mask
+    num_speakers,
+    lr,
+    backend: str = "auto",
+) -> Tuple[Params, jax.Array]:
+    """One SGD step on a large labeled batch; returns (params, mean CE loss)."""
+    grads, loss_sum, count = corpus_grads(
+        params, batch, labels, weights, num_speakers, backend=backend
+    )
+    count = jnp.maximum(count, 1.0)
     params = jax.tree_util.tree_map(lambda p, g: p - (lr / count) * g, params, grads)
-    return params, loss_val / count
+    return params, loss_sum / count

@@ -18,11 +18,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from streamz_tpu.nn.model import forward_logits
+from streamz_tpu.nn import train
 from streamz_tpu.parallel import comm
 
 
-def make_dp_train_step(mesh: Mesh):
+def make_dp_train_step(mesh: Mesh, backend: str = "auto"):
     """Build a jitted data-parallel SGD step.
 
     Returns ``step(params, batch, labels, weights, num_speakers, lr)`` with
@@ -33,23 +33,15 @@ def make_dp_train_step(mesh: Mesh):
     """
 
     def _local_step(params, batch, labels, weights, num_speakers, lr):
-        capacity = params["b3"].shape[0]
-        target = jax.nn.one_hot(labels, capacity, dtype=jnp.float32)
-        target = target * (labels < num_speakers)[:, None].astype(jnp.float32)
-
-        def summed(p):
-            logits = forward_logits(p, batch, num_speakers)
-            lse = jax.nn.logsumexp(logits, axis=-1)
-            per = lse - jnp.sum(target * logits, axis=-1)
-            return jnp.sum(per * weights)
-
-        loss_local, grads_local = jax.value_and_grad(summed)(params)
+        grads_local, loss_local, count_local = train.corpus_grads(
+            params, batch, labels, weights, num_speakers, backend=backend
+        )
         # ICI allreduce: the SPMD replacement for the write-lock serialization.
         grads = jax.tree_util.tree_map(
             lambda g: comm.psum(g, comm.DATA_AXIS), grads_local
         )
         loss = comm.psum(loss_local, comm.DATA_AXIS)
-        count = comm.psum(jnp.sum(weights), comm.DATA_AXIS)
+        count = comm.psum(count_local, comm.DATA_AXIS)
         scale = jnp.where(count > 0, lr / jnp.maximum(count, 1.0), 0.0)
         new_params = jax.tree_util.tree_map(lambda p, g: p - scale * g, params, grads)
         mean_loss = loss / jnp.maximum(count, 1.0)
@@ -65,29 +57,21 @@ def make_dp_train_step(mesh: Mesh):
     return jax.jit(shard(_local_step))
 
 
-def make_dp_train_epoch(mesh: Mesh, *, steps: int):
+def make_dp_train_epoch(mesh: Mesh, *, steps: int, backend: str = "auto"):
     """A jitted multi-step trainer: ``lax.scan`` of the DP step over
     pre-batched data [steps, B, F] (B sharded across devices)."""
 
     def _local_epoch(params, batches, labels, weights, num_speakers, lr):
         def body(params, inp):
             b, l, w = inp
-            capacity = params["b3"].shape[0]
-            target = jax.nn.one_hot(l, capacity, dtype=jnp.float32)
-            target = target * (l < num_speakers)[:, None].astype(jnp.float32)
-
-            def summed(p):
-                logits = forward_logits(p, b, num_speakers)
-                lse = jax.nn.logsumexp(logits, axis=-1)
-                per = lse - jnp.sum(target * logits, axis=-1)
-                return jnp.sum(per * w)
-
-            loss_local, grads_local = jax.value_and_grad(summed)(params)
+            grads_local, loss_local, count_local = train.corpus_grads(
+                params, b, l, w, num_speakers, backend=backend
+            )
             grads = jax.tree_util.tree_map(
                 lambda g: comm.psum(g, comm.DATA_AXIS), grads_local
             )
             loss = comm.psum(loss_local, comm.DATA_AXIS)
-            count = comm.psum(jnp.sum(w), comm.DATA_AXIS)
+            count = comm.psum(count_local, comm.DATA_AXIS)
             scale = jnp.where(count > 0, lr / jnp.maximum(count, 1.0), 0.0)
             params = jax.tree_util.tree_map(
                 lambda p, g: p - scale * g, params, grads

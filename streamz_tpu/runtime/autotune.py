@@ -1,0 +1,129 @@
+"""Measured backend selection, cached per device kind.
+
+The TPU-native rule used throughout this framework: when two formulations of
+a hot stage exist (XLA vs a Pallas kernel), the default is chosen **by
+measurement on the current device**, not hardcoded — absolute rates vary
+across chip generations and even tunnel sessions, and the winner is not
+always the same (see ``benchmarks/ROOFLINE.md``).  Decisions are cached
+in-process and on disk keyed by ``device_kind`` so later processes skip the
+probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+_CACHE_PATH = os.environ.get(
+    "STREAMZ_AUTOTUNE_CACHE", "/tmp/streamz_autotune.json"
+)
+_memory: Dict[str, str] = {}
+
+
+def _disk_get(key: str) -> Optional[str]:
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f).get(key)
+    except Exception:
+        return None
+
+
+def _disk_put(key: str, value: str) -> None:
+    try:
+        cached = {}
+        if os.path.exists(_CACHE_PATH):
+            with open(_CACHE_PATH) as f:
+                cached = json.load(f)
+        cached[key] = value
+        with open(_CACHE_PATH, "w") as f:
+            json.dump(cached, f)
+    except Exception:
+        pass
+
+
+def on_tpu() -> bool:
+    import jax
+
+    dev = jax.devices()[0]
+    return jax.default_backend() == "tpu" or "axon" in str(dev.platform)
+
+
+def median_time(fn: Callable[[], None], reps: int = 3) -> float:
+    times = []
+    for _ in range(reps):
+        start = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - start)
+    return sorted(times)[len(times) // 2]
+
+
+def measured_choice(
+    stage: str,
+    candidates: Dict[str, Callable[[], float]],
+    default: str,
+    force: bool = False,
+) -> str:
+    """Return the name of the fastest candidate for this device.
+
+    ``candidates`` maps name -> zero-arg callable returning a measured time
+    (lower is better); each callable is responsible for its own warmup.
+    Off-TPU the ``default`` is returned without probing (Pallas kernels only
+    run there in interpret mode — for testing, not speed).
+    """
+    import jax
+
+    key = f"{stage}:{jax.devices()[0].device_kind}"
+    if not force:
+        if key in _memory:
+            return _memory[key]
+        if not on_tpu():
+            _memory[key] = default
+            return default
+        cached = _disk_get(key)
+        if cached in candidates:
+            _memory[key] = cached
+            return cached
+    if not on_tpu():
+        _memory[key] = default
+        return default
+
+    best_name, best_t = default, float("inf")
+    for name, probe in candidates.items():
+        try:
+            t = probe()
+        except Exception:
+            continue
+        if t < best_t:
+            best_name, best_t = name, t
+    _memory[key] = best_name
+    _disk_put(key, best_name)
+    return best_name
+
+
+def cached_choice(stage: str, default_tpu: str, default_other: str) -> str:
+    """A no-probe resolve: the cached measured decision when one exists,
+    otherwise a static per-platform default.  Safe to call inside traced
+    code paths where launching a probe would be wrong."""
+    import jax
+
+    key = f"{stage}:{jax.devices()[0].device_kind}"
+    if key in _memory:
+        return _memory[key]
+    if on_tpu():
+        cached = _disk_get(key)
+        if cached is not None:
+            _memory[key] = cached
+            return cached
+        return default_tpu
+    return default_other
+
+
+def reset(stage: Optional[str] = None) -> None:
+    """Drop in-process decisions (tests)."""
+    if stage is None:
+        _memory.clear()
+    else:
+        for k in [k for k in _memory if k.startswith(f"{stage}:")]:
+            del _memory[k]

@@ -98,9 +98,10 @@ def test_autotune_backend_selection(monkeypatch, tmp_path):
     """'auto' resolves to the XLA frontend off-TPU without probing, and the
     disk cache round-trips a stored decision."""
     import streamz_tpu.dsp.features as feats
+    from streamz_tpu.runtime import autotune
 
-    monkeypatch.setattr(feats, "_autotune_choice", None)
-    monkeypatch.setattr(feats, "_AUTOTUNE_CACHE", str(tmp_path / "tune.json"))
+    monkeypatch.setattr(autotune, "_CACHE_PATH", str(tmp_path / "tune.json"))
+    autotune.reset("frontend")
     assert feats.autotune_frontend(force=True) == "jax"  # CPU mesh here
 
     ex = feats.FeatureExtractor("auto")
@@ -109,6 +110,7 @@ def test_autotune_backend_selection(monkeypatch, tmp_path):
     np.testing.assert_allclose(
         ex.extract(clip), feats.FeatureExtractor("jax").extract(clip)
     )
+    autotune.reset("frontend")
 
 
 def test_extractor_accepts_v3_backend():

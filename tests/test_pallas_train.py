@@ -1,0 +1,116 @@
+"""Fused Pallas training kernel vs the XLA corpus step.
+
+The kernel (``nn/pallas_train.py``) must produce the same gradients as
+``train.corpus_step``'s autodiff of the surrogate loss — which itself equals
+the reference's hand-written delta rule (``streamz-rs/src/lib.rs:954-1060``,
+verified against the numpy oracle in ``test_train.py``) — including the
+out-of-range-label zero-target quirk and the capacity masking.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from streamz_tpu.nn.model import SpeakerNet
+from streamz_tpu.nn.train import corpus_step, resolve_train_backend
+from streamz_tpu.nn.pallas_train import corpus_step_pallas
+
+
+def _mk(B=700, classes=5, label_hi=7, seed=1):
+    net = SpeakerNet.new(output=classes, seed=0)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(0, 1, (B, 60)).astype(np.float32))
+    # label_hi > classes: some labels out of range (zero-target quirk)
+    labels = jnp.asarray(rng.integers(0, label_hi, B).astype(np.int32))
+    w = jnp.asarray((rng.uniform(size=B) > 0.1).astype(np.float32))
+    return net, x, labels, w
+
+
+def test_fused_step_matches_xla():
+    net, x, labels, w = _mk()
+    p1, l1 = corpus_step(net.params, x, labels, w, net.num_speakers, 0.05,
+                         backend="xla")
+    p2, l2 = corpus_step_pallas(net.params, x, labels, w, net.num_speakers,
+                                0.05)
+    assert np.allclose(float(l1), float(l2), atol=1e-5)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), atol=1e-5, err_msg=k
+        )
+
+
+def test_fused_step_tile_boundary_and_empty_mask():
+    # Exact tile multiple and a fully-masked batch (no update applied).
+    net, x, labels, _ = _mk(B=1024)
+    w1 = jnp.ones((1024,), jnp.float32)
+    p1, _ = corpus_step(net.params, x, labels, w1, net.num_speakers, 0.05,
+                        backend="xla")
+    p2, _ = corpus_step_pallas(net.params, x, labels, w1, net.num_speakers,
+                               0.05)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), atol=1e-5, err_msg=k
+        )
+
+    w0 = jnp.zeros((1024,), jnp.float32)
+    p3, _ = corpus_step_pallas(net.params, x, labels, w0, net.num_speakers,
+                               0.05)
+    for k in p3:
+        np.testing.assert_allclose(
+            np.asarray(p3[k]), np.asarray(net.params[k]), atol=0,
+            err_msg=k
+        )
+
+
+def test_auto_backend_resolves_to_xla_off_tpu():
+    assert resolve_train_backend("auto") == "xla"  # CPU mesh in tests
+    assert resolve_train_backend("pallas") == "pallas"
+    with pytest.raises(ValueError):
+        resolve_train_backend("cuda")
+
+
+def test_dp_epoch_pallas_equals_xla_on_mesh():
+    from streamz_tpu.parallel import comm
+    from streamz_tpu.parallel import data_parallel as dp
+
+    mesh = comm.make_mesh()
+    assert mesh.devices.size == 8
+
+    net, _, _, _ = _mk()
+    B, steps = 256, 3
+    rng = np.random.default_rng(7)
+    xb = rng.normal(0, 1, (steps, B, 60)).astype(np.float32)
+    yb = rng.integers(0, 5, (steps, B)).astype(np.int32)
+    wb = np.ones((steps, B), np.float32)
+
+    out = {}
+    for backend in ("xla", "pallas"):
+        epoch_fn = dp.make_dp_train_epoch(mesh, steps=steps, backend=backend)
+        params, losses = epoch_fn(
+            net.params, jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(wb),
+            jnp.int32(net.num_speakers), jnp.float32(0.05),
+        )
+        out[backend] = (params, np.asarray(losses))
+
+    np.testing.assert_allclose(out["xla"][1], out["pallas"][1], atol=1e-5)
+    for k in out["xla"][0]:
+        np.testing.assert_allclose(
+            np.asarray(out["xla"][0][k]), np.asarray(out["pallas"][0][k]),
+            atol=1e-5, err_msg=k,
+        )
+
+
+def test_shared_autotune_cache_roundtrip(monkeypatch, tmp_path):
+    from streamz_tpu.runtime import autotune
+
+    monkeypatch.setattr(autotune, "_CACHE_PATH", str(tmp_path / "t.json"))
+    autotune.reset()
+    # Off-TPU: defaults, no probing.
+    assert autotune.measured_choice("train_step", {}, default="xla") == "xla"
+    assert autotune.cached_choice("train_step", "pallas", "xla") == "xla"
+    # A stored decision wins over the static default.
+    autotune._disk_put("train_step:fake", "pallas")
+    autotune.reset()
+    assert autotune._disk_get("train_step:fake") == "pallas"
+    autotune.reset()
