@@ -74,21 +74,31 @@ def autotune_frontend(force: bool = False) -> str:
     The result is cached in-process and on disk per device kind."""
     from streamz_tpu.runtime import autotune
 
+    # Probe at a compute-bound scale (32 clips x 10 s).  Smaller probes are
+    # dispatch-bound through the tunnel and measure a tie (measured: at
+    # 8x80k both frontends read 0.5M win/s; at this size the difference is
+    # real — benchmarks/ROOFLINE.md).  The ~54 MB input is built lazily on
+    # first probe and shared by both candidates.
+    shared = {}
+
+    def _setup():
+        if shared:
+            return
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        B, T = 32, 441600
+        shared["pcm"] = jnp.asarray(
+            rng.normal(0, 0.1, size=(B, T)).astype(np.float32)
+        )
+        shared["ns"] = jnp.full((B,), T, jnp.int32)
+
     def probe_for(backend):
         def probe():
-            import jax.numpy as jnp
-
-            rng = np.random.default_rng(0)
-            # Probe at a compute-bound scale (32 clips x 10 s).  Smaller
-            # probes are dispatch-bound through the tunnel and measure a
-            # tie (measured: at 8x80k both frontends read 0.5M win/s; at
-            # this size the difference is real — benchmarks/ROOFLINE.md).
-            B, T = 32, 441600
-            pcm = jnp.asarray(
-                rng.normal(0, 0.1, size=(B, T)).astype(np.float32)
+            _setup()
+            return _time_frontend(
+                _core_for(backend), shared["pcm"], shared["ns"], iters=16
             )
-            ns = jnp.full((B,), T, jnp.int32)
-            return _time_frontend(_core_for(backend), pcm, ns, iters=16)
         return probe
 
     return autotune.measured_choice(

@@ -122,9 +122,7 @@ def mfcc_base_pallas(pcm: jax.Array) -> jax.Array:
         _mfcc_kernel,
         # Interpret mode on non-TPU backends so the kernel is testable on the
         # CPU mesh used by the test suite.
-        interpret=jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0].platform
-        ),
+        interpret=_use_interpret(),
         grid=(rows_pad // _TILE,),
         in_specs=[
             pl.BlockSpec((_TILE, _WIN), lambda j: (j, 0), memory_space=pltpu.VMEM),
@@ -259,9 +257,7 @@ def mfcc_base_pallas_v2(pcm: jax.Array) -> jax.Array:
 
     out = pl.pallas_call(
         _mfcc_kernel_v2,
-        interpret=jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0].platform
-        ),
+        interpret=_use_interpret(),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # blocks stay in HBM
@@ -386,9 +382,9 @@ def _mfcc_kernel_v3(main_ref, halo_ref, dft_hi_ref, dft_lo_ref, sign_ref,
 
 
 def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu" and "axon" not in str(
-        jax.devices()[0].platform
-    )
+    from streamz_tpu.runtime import autotune
+
+    return not autotune.on_tpu()
 
 
 def _v3_call(blocks: jax.Array, n_tiles: int) -> jax.Array:

@@ -26,6 +26,12 @@ _TILE = 512
 _IN_PAD = 64  # 60-dim features padded to the f32 sublane-friendly width
 
 
+def _use_interpret() -> bool:
+    from streamz_tpu.runtime import autotune
+
+    return not autotune.on_tpu()
+
+
 def _fwd_kernel(ns_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                 out_ref):
     # DEFAULT (1-pass bf16) like XLA's inference forward: classification
@@ -86,9 +92,7 @@ def forward_probs_pallas(params: Params, x: jax.Array, num_speakers) -> jax.Arra
         _fwd_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r_pad, cap), jnp.float32),
-        interpret=jax.default_backend() != "tpu" and "axon" not in str(
-            jax.devices()[0].platform
-        ),
+        interpret=_use_interpret(),
     )(
         jnp.asarray([num_speakers], jnp.int32),
         xp,

@@ -32,10 +32,23 @@ _TILE = 512
 _IN_PAD = 64  # 60-dim features padded to a lane-friendly width
 
 
+def _tile_for(capacity: int) -> int:
+    """Row-tile size bounded by VMEM: the per-tile live set grows linearly
+    with the class capacity (logits/probs/target/delta are [tile, cap] f32,
+    plus w3/dw3 [256, cap]).  512 rows fits comfortably at cap<=256
+    (~6 MB); halve the tile as capacity doubles to stay under ~8 MB at the
+    1024-class stretch config."""
+    if capacity <= 256:
+        return 512
+    if capacity <= 512:
+        return 256
+    return 128
+
+
 def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu" and "axon" not in str(
-        jax.devices()[0].platform
-    )
+    from streamz_tpu.runtime import autotune
+
+    return not autotune.on_tpu()
 
 
 def _dotT_rows(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -151,8 +164,9 @@ def corpus_grads_pallas(
     h1 = params["w1"].shape[1]
     h2 = params["w2"].shape[1]
 
-    n_tiles = -(-max(B, 1) // _TILE)
-    b_pad = n_tiles * _TILE
+    tile = _tile_for(cap)
+    n_tiles = -(-max(B, 1) // tile)
+    b_pad = n_tiles * tile
     xp = jnp.zeros((b_pad, _IN_PAD), jnp.float32).at[:B, :F].set(batch)
     lp = jnp.full((b_pad, 1), jnp.int32(-1)).at[:B, 0].set(labels)
     wp = jnp.zeros((b_pad, 1), jnp.float32).at[:B, 0].set(weights)
@@ -166,11 +180,11 @@ def corpus_grads_pallas(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((_TILE, _IN_PAD), lambda j, *_: (j, 0),
+            pl.BlockSpec((tile, _IN_PAD), lambda j, *_: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, 1), lambda j, *_: (j, 0),
+            pl.BlockSpec((tile, 1), lambda j, *_: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, 1), lambda j, *_: (j, 0),
+            pl.BlockSpec((tile, 1), lambda j, *_: (j, 0),
                          memory_space=pltpu.VMEM),
             fixed((_IN_PAD, h1)), fixed((1, h1)),
             fixed((h1, h2)), fixed((1, h2)),

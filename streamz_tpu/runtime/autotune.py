@@ -90,13 +90,20 @@ def measured_choice(
         return default
 
     best_name, best_t = default, float("inf")
+    measured = 0
     for name, probe in candidates.items():
         try:
             t = probe()
         except Exception:
             continue
+        measured += 1
         if t < best_t:
             best_name, best_t = name, t
+    if measured == 0:
+        # Every probe failed (e.g. a wedged tunnel): fall back to the
+        # default for THIS call but do not pin a failure-derived decision —
+        # the next process re-probes.
+        return default
     _memory[key] = best_name
     _disk_put(key, best_name)
     return best_name
@@ -105,19 +112,25 @@ def measured_choice(
 def cached_choice(stage: str, default_tpu: str, default_other: str) -> str:
     """A no-probe resolve: the cached measured decision when one exists,
     otherwise a static per-platform default.  Safe to call inside traced
-    code paths where launching a probe would be wrong."""
+    code paths where launching a probe would be wrong.
+
+    In a multi-process (multi-host) run the per-host caches may disagree,
+    and every host MUST trace the same program or the shard_map collectives
+    diverge — so the static default is used unconditionally there."""
     import jax
 
     key = f"{stage}:{jax.devices()[0].device_kind}"
+    if not on_tpu():
+        return default_other
+    if jax.process_count() > 1:
+        return default_tpu
     if key in _memory:
         return _memory[key]
-    if on_tpu():
-        cached = _disk_get(key)
-        if cached is not None:
-            _memory[key] = cached
-            return cached
-        return default_tpu
-    return default_other
+    cached = _disk_get(key)
+    if cached is not None:
+        _memory[key] = cached
+        return cached
+    return default_tpu
 
 
 def reset(stage: Optional[str] = None) -> None:

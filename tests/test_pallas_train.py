@@ -114,3 +114,28 @@ def test_shared_autotune_cache_roundtrip(monkeypatch, tmp_path):
     autotune.reset()
     assert autotune._disk_get("train_step:fake") == "pallas"
     autotune.reset()
+
+
+def test_fused_step_at_stretch_capacity():
+    """1000 live classes -> capacity 1024: exercises the reduced row tile
+    (VMEM scales with capacity) and the masking at the stretch config."""
+    from streamz_tpu.nn.pallas_train import _tile_for
+
+    assert _tile_for(128) == 512 and _tile_for(1024) == 128
+
+    net = SpeakerNet.new(output=1000, seed=0)
+    assert net.params["b3"].shape[0] == 1024
+    rng = np.random.default_rng(3)
+    B = 300  # not a multiple of the 128-row tile
+    x = jnp.asarray(rng.normal(0, 1, (B, 60)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 1100, B).astype(np.int32))
+    w = jnp.ones((B,), jnp.float32)
+    p1, l1 = corpus_step(net.params, x, labels, w, net.num_speakers, 0.05,
+                         backend="xla")
+    p2, l2 = corpus_step_pallas(net.params, x, labels, w, net.num_speakers,
+                                0.05)
+    assert np.allclose(float(l1), float(l2), atol=1e-4)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), atol=1e-5, err_msg=k
+        )
