@@ -229,6 +229,172 @@ def corpus_grads_pallas(
     return grads, stats[0, 0], stats[0, 1]
 
 
+def _file_train_kernel(ns_ref, chunk_ref, mask_ref, tgt_ref, lr_ref,
+                       w1i_ref, b1i_ref, w2i_ref, b2i_ref, w3i_ref, b3i_ref,
+                       w1o_ref, b1o_ref, w2o_ref, b2o_ref, w3o_ref, b3o_ref,
+                       stats_ref):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        w1o_ref[:] = w1i_ref[:]
+        b1o_ref[:] = b1i_ref[:]
+        w2o_ref[:] = w2i_ref[:]
+        b2o_ref[:] = b2i_ref[:]
+        w3o_ref[:] = w3i_ref[:]
+        b3o_ref[:] = b3i_ref[:]
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+
+    x = chunk_ref[0]                                # [B, 64]
+    wvec = mask_ref[0]                              # [B, 1]
+    tgt = tgt_ref[:]                                # [1, cap]
+
+    w1 = w1o_ref[:]
+    b1 = b1o_ref[:]
+    w2 = w2o_ref[:]
+    b2 = b2o_ref[:]
+    w3 = w3o_ref[:]
+    b3 = b3o_ref[:]
+
+    h1 = jnp.maximum(
+        jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1, 0.0)
+    h2 = jnp.tanh(jnp.dot(h1, w2, preferred_element_type=jnp.float32) + b2)
+    logits = jnp.dot(h2, w3, preferred_element_type=jnp.float32) + b3
+
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < ns_ref[0], logits, MASK_LOGIT)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    se = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / se
+
+    # Reported loss (the reference accumulates the clamped CE of the target,
+    # src/lib.rs:610-616) and the delta that IS the gradient.
+    report = -jnp.sum(
+        tgt * jnp.log(jnp.maximum(probs, 1e-12)), axis=-1, keepdims=True
+    )                                               # [B, 1]
+    delta = (probs - tgt) * wvec                    # [B, cap]
+
+    dh2 = _dotT_cols(delta, w3) * (1.0 - h2 * h2)
+    dh1 = _dotT_cols(dh2, w2) * (h1 > 0.0).astype(jnp.float32)
+
+    dw3 = _dotT_rows(h2, delta)
+    dw2 = _dotT_rows(h1, dh2)
+    dw1 = _dotT_rows(x, dh1)
+    db3 = jnp.sum(delta, axis=0, keepdims=True)
+    db2 = jnp.sum(dh2, axis=0, keepdims=True)
+    db1 = jnp.sum(dh1, axis=0, keepdims=True)
+
+    count = jnp.sum(wvec, axis=0, keepdims=True)    # [1, 1]
+    scale = jnp.where(count > 0, lr_ref[:] / jnp.maximum(count, 1.0), 0.0)
+    # Scalar extraction: Mosaic cannot broadcast [1,1] along both sublanes
+    # and lanes at once, but scalar * vector lowers fine.
+    sc = scale[0, 0]
+
+    w1o_ref[:] = w1 - sc * dw1
+    b1o_ref[:] = b1 - sc * db1
+    w2o_ref[:] = w2 - sc * dw2
+    b2o_ref[:] = b2 - sc * db2
+    w3o_ref[:] = w3 - sc * dw3
+    b3o_ref[:] = b3 - sc * db3
+
+    loss = jnp.sum(report * wvec, axis=0, keepdims=True)  # [1, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    stats_ref[:] += (jnp.where(lane == 0, loss, 0.0)
+                     + jnp.where(lane == 1, count, 0.0))
+
+
+def train_windows_pallas(
+    params: Params,
+    chunks: jax.Array,    # [S, B, F] shuffled+dropped window chunks
+    masks: jax.Array,     # [S, B] f32 0/1 valid-window masks
+    target_vec: jax.Array,  # [capacity]
+    num_speakers,
+    lr,
+):
+    """The whole per-file chunk-SGD loop in ONE kernel launch.
+
+    The XLA formulation scans ~epochs*n_chunks sequential tiny (8-row)
+    steps, each paying full scan/update machinery — the dominant cost of
+    the incremental loop's per-file training.  Here the grid iterates the
+    chunks with the six parameter tensors resident in the (revisited)
+    output blocks in VMEM: no HBM parameter traffic until the single final
+    writeback.  Semantics identical to the XLA chunk scan in
+    :func:`streamz_tpu.nn.train.train_on_windows_impl` (same shuffled
+    views, masked mean-gradient update per chunk, reported-loss/count
+    accumulation).
+
+    Returns (new_params, loss_sum, loss_count).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    S, B, F = chunks.shape
+    cap = params["b3"].shape[0]
+    h1 = params["w1"].shape[1]
+    h2 = params["w2"].shape[1]
+
+    xp = jnp.zeros((S, B, _IN_PAD), jnp.float32).at[:, :, :F].set(chunks)
+    mp = masks[:, :, None]
+    w1p = jnp.zeros((_IN_PAD, h1), jnp.float32).at[:F].set(params["w1"])
+
+    def fixed(shp):
+        return pl.BlockSpec(shp, lambda j, *_: tuple(0 for _ in shp),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, B, _IN_PAD), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            fixed((1, cap)), fixed((1, 1)),
+            fixed((_IN_PAD, h1)), fixed((1, h1)),
+            fixed((h1, h2)), fixed((1, h2)),
+            fixed((h2, cap)), fixed((1, cap)),
+        ],
+        out_specs=[
+            fixed((_IN_PAD, h1)), fixed((1, h1)),
+            fixed((h1, h2)), fixed((1, h2)),
+            fixed((h2, cap)), fixed((1, cap)),
+            fixed((1, 128)),
+        ],
+    )
+    outs = pl.pallas_call(
+        _file_train_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((_IN_PAD, h1), jnp.float32),
+            jax.ShapeDtypeStruct((1, h1), jnp.float32),
+            jax.ShapeDtypeStruct((h1, h2), jnp.float32),
+            jax.ShapeDtypeStruct((1, h2), jnp.float32),
+            jax.ShapeDtypeStruct((h2, cap), jnp.float32),
+            jax.ShapeDtypeStruct((1, cap), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(
+        jnp.asarray([num_speakers], jnp.int32),
+        xp, mp,
+        target_vec[None, :], jnp.asarray(lr, jnp.float32).reshape(1, 1),
+        w1p, params["b1"][None, :],
+        params["w2"], params["b2"][None, :],
+        params["w3"], params["b3"][None, :],
+    )
+    w1o, b1o, w2o, b2o, w3o, b3o, stats = outs
+    new_params = {
+        "w1": w1o[:F],
+        "b1": b1o[0],
+        "w2": w2o,
+        "b2": b2o[0],
+        "w3": w3o,
+        "b3": b3o[0],
+    }
+    return new_params, stats[0, 0], stats[0, 1]
+
+
 def corpus_step_pallas(
     params: Params,
     batch: jax.Array,

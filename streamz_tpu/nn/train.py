@@ -71,6 +71,39 @@ def train_batch(
     return jax.tree_util.tree_map(lambda p, g: p - scale * g, params, grads)
 
 
+def file_epoch_views(
+    windows: jax.Array,   # [N_pad, F]
+    n_valid: jax.Array,   # scalar
+    key: jax.Array,
+    dropout: jax.Array,
+    epochs: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-epoch shuffled+dropped window views and their valid masks.
+
+    Reproduces ``pretrain_from_features``'s per-epoch shuffle
+    (valid windows first, random order), plain-zeroing input dropout and
+    all-zero-window skip (src/lib.rs:119-129, :598-609).  Shared by the XLA
+    scan and the fused Pallas file trainer so both backends consume
+    byte-identical data.  Returns (dropped [E, N_pad, F], valid [E, N_pad]).
+    """
+    n_pad, feat = windows.shape
+
+    def one_epoch(ekey):
+        k_perm, k_drop = jax.random.split(ekey)
+        scores = jnp.where(
+            jnp.arange(n_pad) < n_valid,
+            jax.random.uniform(k_perm, (n_pad,)),
+            jnp.inf,
+        )
+        order = jnp.argsort(scores)
+        keep = jax.random.uniform(k_drop, (n_pad, feat)) >= dropout
+        dropped = jnp.where(keep, windows[order], 0.0)
+        valid = (jnp.arange(n_pad) < n_valid) & jnp.any(dropped != 0.0, axis=-1)
+        return dropped, valid.astype(jnp.float32)
+
+    return jax.vmap(one_epoch)(jax.random.split(key, epochs))
+
+
 def train_on_windows_impl(
     params: Params,
     windows: jax.Array,   # [N_pad, F] feature windows (padded)
@@ -83,8 +116,9 @@ def train_on_windows_impl(
     *,
     epochs: int,
     batch_size: int,
+    backend: str = "auto",
 ) -> Tuple[Params, jax.Array]:
-    """``pretrain_from_features`` (src/lib.rs:582-628) as one fused scan.
+    """``pretrain_from_features`` (src/lib.rs:582-628) as one fused step.
 
     ``target_vec`` is the capacity-length target; the reference builds it as a
     one-hot only when ``target_class < num_classes`` (src/lib.rs:592-594) —
@@ -93,79 +127,84 @@ def train_on_windows_impl(
     Un-jitted implementation so larger fused steps (the device-resident
     incremental loop) can inline it; use :func:`train_on_windows` standalone.
 
+    ``backend``: 'xla' scans the chunk updates with autodiff; 'pallas' runs
+    the whole chunk loop inside one kernel with the parameters resident in
+    VMEM (the per-chunk XLA scan is latency-bound on ~hundreds of tiny
+    sequential steps); 'auto' picks per the measured/cached policy
+    (:mod:`streamz_tpu.runtime.autotune`, stage ``file_train``).
+
     Returns (new_params, mean reported loss over all processed windows).
     """
     n_pad, feat = windows.shape
     n_chunks = n_pad // batch_size
     capacity = params["b3"].shape[0]
 
-    def epoch_body(carry, ekey):
-        params, loss_sum, loss_cnt = carry
-        k_perm, k_drop = jax.random.split(ekey)
+    dropped_all, valid_all = file_epoch_views(
+        windows, n_valid, key, dropout, epochs
+    )
 
-        # Shuffle: valid windows first in random order, padding last.
-        scores = jnp.where(
-            jnp.arange(n_pad) < n_valid,
-            jax.random.uniform(k_perm, (n_pad,)),
-            jnp.inf,
+    resolved = backend
+    if resolved == "auto":
+        from streamz_tpu.runtime import autotune
+
+        resolved = autotune.cached_choice("file_train", "pallas", "xla")
+
+    if resolved == "pallas":
+        from streamz_tpu.nn.pallas_train import train_windows_pallas
+
+        chunks = dropped_all.reshape(epochs * n_chunks, batch_size, feat)
+        masks = valid_all.reshape(epochs * n_chunks, batch_size)
+        params, loss_sum, loss_cnt = train_windows_pallas(
+            params, chunks, masks, target_vec, num_speakers, lr
         )
-        order = jnp.argsort(scores)
+        mean_loss = jnp.where(
+            loss_cnt > 0, loss_sum / jnp.maximum(loss_cnt, 1.0), 0.0
+        )
+        return params, mean_loss
 
-        # Per-window feature dropout (plain zeroing).
-        keep = jax.random.uniform(k_drop, (n_pad, feat)) >= dropout
-        dropped = jnp.where(keep, windows[order], 0.0)
-        valid = (jnp.arange(n_pad) < n_valid) & jnp.any(dropped != 0.0, axis=-1)
+    chunks = dropped_all.reshape(epochs * n_chunks, batch_size, feat)
+    masks = valid_all.reshape(epochs * n_chunks, batch_size)
 
-        def chunk_body(carry, c):
-            params, loss_sum, loss_cnt = carry
-            start = c * batch_size
-            batch = jax.lax.dynamic_slice(
-                dropped, (start, 0), (batch_size, feat)
+    def chunk_body(carry, inp):
+        params, loss_sum, loss_cnt = carry
+        batch, wmask = inp
+        tgt = jnp.broadcast_to(target_vec, (batch_size, capacity))
+
+        # One fused forward+backward: the surrogate sum drives the
+        # gradient (== reference delta) while the clamped reported loss
+        # rides along as aux — halves the per-chunk op count, which
+        # dominates this latency-bound inner loop.
+        def summed(p):
+            logits = forward_logits(p, batch, num_speakers)
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            per = lse - jnp.sum(tgt * logits, axis=-1)
+            probs = jax.nn.softmax(logits, axis=-1)
+            report = -jnp.sum(
+                tgt * jnp.log(jnp.maximum(probs, 1e-12)), axis=-1
             )
-            wmask = jax.lax.dynamic_slice(
-                valid.astype(jnp.float32), (start,), (batch_size,)
-            )
-            tgt = jnp.broadcast_to(target_vec, (batch_size, capacity))
+            return jnp.sum(per * wmask), report
 
-            # One fused forward+backward: the surrogate sum drives the
-            # gradient (== reference delta) while the clamped reported loss
-            # rides along as aux — halves the per-chunk op count, which
-            # dominates this latency-bound inner loop.
-            def summed(p):
-                logits = forward_logits(p, batch, num_speakers)
-                lse = jax.nn.logsumexp(logits, axis=-1)
-                per = lse - jnp.sum(tgt * logits, axis=-1)
-                probs = jax.nn.softmax(logits, axis=-1)
-                report = -jnp.sum(
-                    tgt * jnp.log(jnp.maximum(probs, 1e-12)), axis=-1
-                )
-                return jnp.sum(per * wmask), report
-
-            (_, losses), grads = jax.value_and_grad(summed, has_aux=True)(params)
-            loss_sum = loss_sum + jnp.sum(losses * wmask)
-            count = jnp.sum(wmask)
-            loss_cnt = loss_cnt + count
-            scale = jnp.where(count > 0, lr / jnp.maximum(count, 1.0), 0.0)
-            params = jax.tree_util.tree_map(
-                lambda p, g: p - scale * g, params, grads
-            )
-            return (params, loss_sum, loss_cnt), None
-
-        (params, loss_sum, loss_cnt), _ = jax.lax.scan(
-            chunk_body, (params, loss_sum, loss_cnt), jnp.arange(n_chunks)
+        (_, losses), grads = jax.value_and_grad(summed, has_aux=True)(params)
+        loss_sum = loss_sum + jnp.sum(losses * wmask)
+        count = jnp.sum(wmask)
+        loss_cnt = loss_cnt + count
+        scale = jnp.where(count > 0, lr / jnp.maximum(count, 1.0), 0.0)
+        params = jax.tree_util.tree_map(
+            lambda p, g: p - scale * g, params, grads
         )
         return (params, loss_sum, loss_cnt), None
 
-    ekeys = jax.random.split(key, epochs)
     (params, loss_sum, loss_cnt), _ = jax.lax.scan(
-        epoch_body, (params, jnp.float32(0.0), jnp.float32(0.0)), ekeys
+        chunk_body, (params, jnp.float32(0.0), jnp.float32(0.0)),
+        (chunks, masks),
     )
     mean_loss = jnp.where(loss_cnt > 0, loss_sum / jnp.maximum(loss_cnt, 1.0), 0.0)
     return params, mean_loss
 
 
-train_on_windows = partial(jax.jit, static_argnames=("epochs", "batch_size"),
-                           donate_argnums=(0,))(train_on_windows_impl)
+train_on_windows = partial(
+    jax.jit, static_argnames=("epochs", "batch_size", "backend"),
+    donate_argnums=(0,))(train_on_windows_impl)
 
 
 # ---------------------------------------------------------------------------
@@ -272,6 +311,67 @@ def autotune_train_kernel(force: bool = False) -> str:
 
     return autotune.measured_choice(
         "train_step",
+        {"xla": probe_for("xla"), "pallas": probe_for("pallas")},
+        default="xla",
+        force=force,
+    )
+
+
+def autotune_file_train(force: bool = False) -> str:
+    """Measure the XLA chunk scan vs the fused Pallas file trainer on this
+    device and cache the winner ('xla' or 'pallas') for stage
+    ``file_train``.  Call from application level before incremental runs;
+    off-TPU returns 'xla' without probing."""
+    import numpy as np
+
+    from streamz_tpu import config
+    from streamz_tpu.nn.model import init_params
+    from streamz_tpu.runtime import autotune
+
+    shared = {}
+
+    def _setup():
+        if shared:
+            return
+        rng = np.random.default_rng(0)
+        shared["windows"] = jnp.asarray(
+            rng.normal(0, 1, (448, config.FEATURE_SIZE)).astype(np.float32)
+        )
+        shared["params"] = init_params(
+            config.FEATURE_SIZE, config.HIDDEN1, config.HIDDEN2, 64, seed=0
+        )
+        cap = shared["params"]["b3"].shape[0]
+        shared["tvec"] = jnp.zeros((cap,), jnp.float32).at[3].set(1.0)
+
+    def probe_for(backend):
+        def probe():
+            _setup()
+
+            @jax.jit
+            def many(params, key):
+                def body(carry, k):
+                    p, _ = carry
+                    p2, loss = train_on_windows_impl(
+                        p, shared["windows"], jnp.int32(400),
+                        shared["tvec"], jnp.int32(64), k, jnp.float32(0.05),
+                        jnp.float32(config.DEFAULT_DROPOUT),
+                        epochs=5, batch_size=8, backend=backend)
+                    return (p2, loss), None
+                (p, loss), _ = jax.lax.scan(
+                    body, (params, jnp.float32(0)), jax.random.split(key, 10)
+                )
+                dep = sum(jnp.sum(v) for v in jax.tree_util.tree_leaves(p))
+                return loss + dep * 1e-20
+
+            key = jax.random.PRNGKey(0)
+            float(many(shared["params"], key))  # compile + warm
+            return autotune.median_time(
+                lambda: float(many(shared["params"], key))
+            )
+        return probe
+
+    return autotune.measured_choice(
+        "file_train",
         {"xla": probe_for("xla"), "pallas": probe_for("pallas")},
         default="xla",
         force=force,

@@ -139,3 +139,42 @@ def test_fused_step_at_stretch_capacity():
         np.testing.assert_allclose(
             np.asarray(p1[k]), np.asarray(p2[k]), atol=1e-5, err_msg=k
         )
+
+
+def test_file_train_kernel_matches_xla_scan():
+    """train_on_windows_impl backend='pallas' (whole chunk loop in one
+    kernel, params resident in VMEM) == backend='xla' (scan), including
+    dropout, shuffle, partial validity, and the zero-target quirk."""
+    from streamz_tpu.nn.train import train_on_windows_impl
+
+    net = SpeakerNet.new(output=5, seed=0)
+    cap = net.params["b3"].shape[0]
+    rng = np.random.default_rng(11)
+    for n_pad, n_valid, dropout, tgt_cls in [
+        (64, 50, 0.0, 2), (448, 300, 0.2, 1), (64, 64, 0.2, 99)
+    ]:
+        windows = jnp.asarray(rng.normal(0, 1, (n_pad, 60)).astype(np.float32))
+        tvec = jnp.zeros((cap,), jnp.float32)
+        if tgt_cls < net.num_speakers:
+            tvec = tvec.at[tgt_cls].set(1.0)
+        key = jax.random.PRNGKey(42)
+        out = {}
+        for backend in ("xla", "pallas"):
+            p, loss = train_on_windows_impl(
+                net.params, windows, jnp.int32(n_valid), tvec,
+                jnp.int32(net.num_speakers), key, jnp.float32(0.05),
+                jnp.float32(dropout), epochs=3, batch_size=8,
+                backend=backend)
+            out[backend] = (p, float(loss))
+        assert abs(out["xla"][1] - out["pallas"][1]) < 1e-4
+        for k in out["xla"][0]:
+            np.testing.assert_allclose(
+                np.asarray(out["xla"][0][k]), np.asarray(out["pallas"][0][k]),
+                atol=1e-4, err_msg=f"{k} n_pad={n_pad}",
+            )
+
+
+def test_file_train_auto_resolves_off_tpu():
+    from streamz_tpu.runtime import autotune
+
+    assert autotune.cached_choice("file_train", "pallas", "xla") == "xla"
