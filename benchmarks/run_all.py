@@ -300,7 +300,27 @@ SECTIONS = {
 }
 
 
+def _wait_device_healthy(max_wait_s: float = 900.0) -> None:
+    """Same pre-flight as bench.py: probe the tunnel in a subprocess so this
+    process only initializes its device client once the tunnel responds."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + max_wait_s
+    probe = "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))"
+    while time.monotonic() < deadline:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe], check=True, timeout=90,
+                capture_output=True,
+            )
+            return
+        except Exception:
+            time.sleep(60)
+
+
 def main(sections=None):
+    _wait_device_healthy()
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir", "/tmp/streamz_jax_cache")

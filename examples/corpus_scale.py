@@ -1,0 +1,59 @@
+"""Corpus-scale data-parallel training across a device mesh.
+
+The production-scale path: a large labeled window pool trained with the
+data-parallel epoch trainer (`shard_map` + psum over the "data" mesh axis,
+the SPMD rebuild of the reference's rayon-pool shared-model loop,
+``streamz-rs/src/main.rs:750-835``), with the per-shard gradients computed
+by the measured-winner kernel (the fused Pallas train step on TPU —
+``benchmarks/ROOFLINE.md``).
+
+Run:
+    python examples/corpus_scale.py                    # all local devices
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/corpus_scale.py                # virtual 8-chip mesh
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from streamz_tpu.app.corpus import train_corpus
+from streamz_tpu.nn.model import SpeakerNet, forward
+from streamz_tpu.parallel import comm
+
+
+def main():
+    mesh = comm.make_mesh()
+    print(f"mesh: {mesh.devices.size} device(s) on axis {comm.DATA_AXIS!r}")
+
+    # Synthetic separable corpus: 200 speakers x 300 windows.
+    rng = np.random.default_rng(0)
+    n_speakers, per_spk = 200, 300
+    centers = rng.normal(0, 2.0, (n_speakers, 60)).astype(np.float32)
+    labels = np.repeat(np.arange(n_speakers), per_spk).astype(np.int32)
+    windows = (
+        rng.normal(0, 1.0, (len(labels), 60)).astype(np.float32)
+        + centers[labels]
+    )
+
+    net = SpeakerNet.new(output=n_speakers, seed=0)
+    losses = train_corpus(
+        net, windows, labels,
+        epochs=5, batch_size=8192, lr=0.05, mesh=mesh,
+    )
+    print("per-epoch mean losses:", [round(l, 4) for l in losses])
+
+    # Held-out style check: classify a sample of the pool.
+    idx = rng.choice(len(labels), 4096, replace=False)
+    probs = forward(net.params, jnp.asarray(windows[idx]), net.num_speakers)
+    acc = float((np.asarray(probs).argmax(-1) == labels[idx]).mean())
+    print(f"classification accuracy on {len(idx)} sampled windows: {acc:.3f}")
+
+
+if __name__ == "__main__":
+    main()
