@@ -18,8 +18,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-import numpy as np
 import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # Honor the env var even when a site hook pre-imported jax before it
+    # could take effect (see tests/conftest.py).
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import numpy as np
 import jax.numpy as jnp
 
 from streamz_tpu.app.corpus import train_corpus
@@ -42,9 +48,12 @@ def main():
     )
 
     net = SpeakerNet.new(output=n_speakers, seed=0)
+    # The step is a mean gradient over the global batch (reference
+    # train_batch semantics), so the effective per-window step scales as
+    # lr/batch — large batches want a proportionally larger lr.
     losses = train_corpus(
         net, windows, labels,
-        epochs=5, batch_size=8192, lr=0.05, mesh=mesh,
+        epochs=10, batch_size=2048, lr=1.0, mesh=mesh,
     )
     print("per-epoch mean losses:", [round(l, 4) for l in losses])
 
