@@ -78,7 +78,7 @@ def _pick_frontend():
 
     try:
         name = feats.autotune_frontend()
-        return name, feats._core_for(name)
+        return name, feats.frontend_core(name)
     except Exception:
         return "jax", mfcc_features
 

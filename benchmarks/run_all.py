@@ -81,8 +81,12 @@ def bench_identify(B=32, seconds=10.0, classes=64):
     import jax.numpy as jnp
 
     from streamz_tpu import config
-    from streamz_tpu.dsp.mfcc import mfcc_features, window_count
+    from streamz_tpu.dsp.features import frontend_core
+    from streamz_tpu.dsp.mfcc import window_count
     from streamz_tpu.nn.model import SpeakerNet, forward
+
+    # The measured-winner frontend (same policy as the application).
+    mfcc_features = frontend_core("auto")
 
     t = int(seconds * config.DEFAULT_SAMPLE_RATE)
     t -= t % config.HOP_SIZE
@@ -190,7 +194,12 @@ def bench_incremental_train(n_windows=448, epochs=5, batch=8, classes=64):
     import jax.numpy as jnp
 
     from streamz_tpu.nn.model import SpeakerNet
-    from streamz_tpu.nn.train import train_on_windows
+    from streamz_tpu.nn.train import autotune_file_train, train_on_windows
+
+    # Resolve the measured winner first, exactly as the application does
+    # (run_incremental probes before tracing) — so the reported number is
+    # the backend real runs execute.
+    autotune_file_train()
 
     net = SpeakerNet.new(output=classes, seed=0)
     rng = np.random.default_rng(0)
@@ -300,27 +309,10 @@ SECTIONS = {
 }
 
 
-def _wait_device_healthy(max_wait_s: float = 900.0) -> None:
-    """Same pre-flight as bench.py: probe the tunnel in a subprocess so this
-    process only initializes its device client once the tunnel responds."""
-    import subprocess
-    import sys
-
-    deadline = time.monotonic() + max_wait_s
-    probe = "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))"
-    while time.monotonic() < deadline:
-        try:
-            subprocess.run(
-                [sys.executable, "-c", probe], check=True, timeout=90,
-                capture_output=True,
-            )
-            return
-        except Exception:
-            time.sleep(60)
-
-
 def main(sections=None):
-    _wait_device_healthy()
+    from bench import _wait_device_healthy  # repo root is on sys.path
+
+    _wait_device_healthy(max_wait_s=900.0)
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir", "/tmp/streamz_jax_cache")

@@ -109,6 +109,16 @@ def autotune_frontend(force: bool = False) -> str:
     )
 
 
+def frontend_core(backend: str = "auto"):
+    """Public accessor for a frontend implementation by backend name;
+    'auto' resolves to the measured winner (see :func:`autotune_frontend`)."""
+    if backend not in _BACKENDS or backend == "numpy":
+        raise ValueError(f"unknown frontend backend {backend!r}")
+    if backend == "auto":
+        backend = autotune_frontend()
+    return _core_for(backend)
+
+
 class FeatureExtractor:
     """Stateless MFCC frontend facade.
 

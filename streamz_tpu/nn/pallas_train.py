@@ -103,8 +103,14 @@ def _train_kernel(ns_ref, x_ref, lab_ref, w_ref,
     lse = m + jnp.log(se)                           # [T, 1]
 
     # Reported per-sample surrogate loss and the delta that IS the gradient.
+    # The (col < ns) factor reproduces the where-mask's backward exactly:
+    # for live columns it is 1; for masked columns the XLA path's gradient
+    # is identically zero (for ns > 0 the exp underflow already gives
+    # probs == 0 there, but when ns == 0 the softmax degenerates to uniform
+    # and only this mask keeps the update at exactly zero).
     per = lse - jnp.sum(target * logits, axis=-1, keepdims=True)  # [T, 1]
-    delta = (probs - target) * wvec                 # [T, cap]
+    live = (col < ns).astype(jnp.float32)
+    delta = (probs - target) * wvec * live          # [T, cap]
 
     # Backward, all in VMEM.
     dh2 = _dotT_cols(delta, w3_ref[:]) * (1.0 - h2 * h2)        # [T, 256]
@@ -274,7 +280,11 @@ def _file_train_kernel(ns_ref, chunk_ref, mask_ref, tgt_ref, lr_ref,
     report = -jnp.sum(
         tgt * jnp.log(jnp.maximum(probs, 1e-12)), axis=-1, keepdims=True
     )                                               # [B, 1]
-    delta = (probs - tgt) * wvec                    # [B, cap]
+    # (col < ns) factor: the where-mask's exact backward (see the corpus
+    # kernel) — without it an all-masked net (ns == 0) gets a spurious
+    # uniform-softmax update where the XLA path applies exactly zero.
+    live = (col < ns_ref[0]).astype(jnp.float32)
+    delta = (probs - tgt) * wvec * live             # [B, cap]
 
     dh2 = _dotT_cols(delta, w3) * (1.0 - h2 * h2)
     dh1 = _dotT_cols(dh2, w2) * (h1 > 0.0).astype(jnp.float32)

@@ -142,6 +142,8 @@ def train_on_windows_impl(
     dropped_all, valid_all = file_epoch_views(
         windows, n_valid, key, dropout, epochs
     )
+    chunks = dropped_all.reshape(epochs * n_chunks, batch_size, feat)
+    masks = valid_all.reshape(epochs * n_chunks, batch_size)
 
     resolved = backend
     if resolved == "auto":
@@ -152,8 +154,6 @@ def train_on_windows_impl(
     if resolved == "pallas":
         from streamz_tpu.nn.pallas_train import train_windows_pallas
 
-        chunks = dropped_all.reshape(epochs * n_chunks, batch_size, feat)
-        masks = valid_all.reshape(epochs * n_chunks, batch_size)
         params, loss_sum, loss_cnt = train_windows_pallas(
             params, chunks, masks, target_vec, num_speakers, lr
         )
@@ -161,9 +161,6 @@ def train_on_windows_impl(
             loss_cnt > 0, loss_sum / jnp.maximum(loss_cnt, 1.0), 0.0
         )
         return params, mean_loss
-
-    chunks = dropped_all.reshape(epochs * n_chunks, batch_size, feat)
-    masks = valid_all.reshape(epochs * n_chunks, batch_size)
 
     def chunk_body(carry, inp):
         params, loss_sum, loss_cnt = carry

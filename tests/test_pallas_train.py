@@ -178,3 +178,34 @@ def test_file_train_auto_resolves_off_tpu():
     from streamz_tpu.runtime import autotune
 
     assert autotune.cached_choice("file_train", "pallas", "xla") == "xla"
+
+
+def test_fused_steps_zero_update_when_no_classes():
+    """num_speakers == 0: every column masked — both fused kernels must
+    apply exactly zero update, like the XLA where-mask backward does."""
+    from streamz_tpu.nn.train import train_on_windows_impl
+
+    net, x, labels, w = _mk()
+    p, _ = corpus_step_pallas(net.params, x, labels, w, 0, 0.05)
+    for k in p:
+        np.testing.assert_allclose(
+            np.asarray(p[k]), np.asarray(net.params[k]), atol=0, err_msg=k
+        )
+
+    windows = x[:64]
+    cap = net.params["b3"].shape[0]
+    key = jax.random.PRNGKey(5)
+    out = {}
+    for backend in ("xla", "pallas"):
+        p2, _ = train_on_windows_impl(
+            net.params, windows, jnp.int32(50), jnp.zeros((cap,), jnp.float32),
+            jnp.int32(0), key, jnp.float32(0.05), jnp.float32(0.0),
+            epochs=2, batch_size=8, backend=backend)
+        out[backend] = p2
+    for k in out["xla"]:
+        np.testing.assert_allclose(
+            np.asarray(out["xla"][k]), np.asarray(net.params[k]), atol=0,
+            err_msg=f"xla moved {k}")
+        np.testing.assert_allclose(
+            np.asarray(out["pallas"][k]), np.asarray(net.params[k]), atol=0,
+            err_msg=f"pallas moved {k}")
