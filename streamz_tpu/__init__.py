@@ -64,6 +64,8 @@ from streamz_tpu.io.audio import (
     load_mp3_samples,
     load_wav_samples,
 )
+from streamz_tpu.app.corpus import train_corpus
+from streamz_tpu.app.stream import StreamingIdentifier
 from streamz_tpu.nn.drivers import (
     pretrain_from_features,
     pretrain_network,
@@ -71,6 +73,7 @@ from streamz_tpu.nn.drivers import (
     train_from_files,
 )
 from streamz_tpu.nn.model import SpeakerNet
+from streamz_tpu.nn.train import corpus_step
 from streamz_tpu.stego.codec import (
     encode_file,
     extract_file,
@@ -93,6 +96,9 @@ __all__ = [
     "FeatureExtractor",
     "SimpleNeuralNet",
     "SpeakerNet",
+    "StreamingIdentifier",
+    "corpus_step",
+    "train_corpus",
     "audio_metadata",
     "average_features",
     "average_vectors",
