@@ -47,12 +47,23 @@ x = rng.normal(size=(B, 8)).astype(np.float32)
 y = rng.integers(0, 2, size=(B,)).astype(np.int32)
 w = np.ones((B,), np.float32)
 
-step = dp.make_dp_train_step(mesh)
 sh = NamedSharding(mesh, P(comm.DATA_AXIS))
 xb = jax.device_put(x, sh); yb = jax.device_put(y, sh); wb = jax.device_put(w, sh)
-params, loss = step(net.params, xb, yb, wb, jnp.int32(2), jnp.float32(0.05))
+
+# Both gradient cores must compose with the cross-process psum: the XLA
+# autodiff step and the fused Pallas kernel (interpret mode off-TPU) give
+# identical losses/params over the 2-process global mesh.
+out = {}
+for backend in ("xla", "pallas"):
+    step = dp.make_dp_train_step(mesh, backend=backend)
+    params, loss = step(net.params, xb, yb, wb, jnp.int32(2), jnp.float32(0.05))
+    out[backend] = (params, float(loss))
+assert abs(out["xla"][1] - out["pallas"][1]) < 1e-5, out
+for k in out["xla"][0]:
+    a = np.asarray(out["xla"][0][k]); b = np.asarray(out["pallas"][0][k])
+    assert np.abs(a - b).max() < 1e-5, k
 if pid == 0:
-    print("MULTIHOST_LOSS", float(loss))
+    print("MULTIHOST_LOSS", out["xla"][1])
 '''
 
 
