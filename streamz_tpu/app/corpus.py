@@ -70,12 +70,11 @@ def train_corpus(
         batch_size += n_dev - batch_size % n_dev
 
     # Pick the train-step kernel by measurement before tracing the epoch
-    # (single-process only: multi-host must trace identically on every host,
-    # so resolution there uses the static default — runtime/autotune.py).
-    if jax.process_count() == 1:
-        from streamz_tpu.nn.train import autotune_train_kernel
+    # (a no-op off-TPU and on multi-host, where every host must trace the
+    # same program — runtime/autotune.py).
+    from streamz_tpu.nn.train import autotune_train_kernel
 
-        autotune_train_kernel()
+    autotune_train_kernel()
 
     n = len(windows)
     if n == 0:

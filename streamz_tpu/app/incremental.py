@@ -94,16 +94,12 @@ def run_incremental(
         for p, _ in train_files
     )
     if not long_run:
-        import jax
-
         from streamz_tpu.app.device_loop import run_incremental_device
+        from streamz_tpu.nn.train import autotune_file_train
 
         # Pick the per-file train kernel by measurement before tracing the
-        # fused loop (single-process only — runtime/autotune.py).
-        if jax.process_count() == 1:
-            from streamz_tpu.nn.train import autotune_file_train
-
-            autotune_file_train()
+        # fused loop (a no-op off-TPU and on multi-host — autotune.py).
+        autotune_file_train()
 
         total_loss, processed, sf, se = run_incremental_device(
             net,

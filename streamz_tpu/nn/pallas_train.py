@@ -88,7 +88,8 @@ def _train_kernel(ns_ref, x_ref, lab_ref, w_ref,
 
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     ns = ns_ref[0]
-    logits = jnp.where(col < ns, logits, MASK_LOGIT)
+    live_col = col < ns                             # [T, cap] bool
+    logits = jnp.where(live_col, logits, MASK_LOGIT)
 
     # Target: one-hot of the label, zeroed when the label is out of range
     # (the reference's pretrain_from_features quirk).
@@ -109,8 +110,7 @@ def _train_kernel(ns_ref, x_ref, lab_ref, w_ref,
     # probs == 0 there, but when ns == 0 the softmax degenerates to uniform
     # and only this mask keeps the update at exactly zero).
     per = lse - jnp.sum(target * logits, axis=-1, keepdims=True)  # [T, 1]
-    live = (col < ns).astype(jnp.float32)
-    delta = (probs - target) * wvec * live          # [T, cap]
+    delta = (probs - target) * wvec * live_col.astype(jnp.float32)
 
     # Backward, all in VMEM.
     dh2 = _dotT_cols(delta, w3_ref[:]) * (1.0 - h2 * h2)        # [T, 256]
@@ -268,7 +268,8 @@ def _file_train_kernel(ns_ref, chunk_ref, mask_ref, tgt_ref, lr_ref,
     logits = jnp.dot(h2, w3, preferred_element_type=jnp.float32) + b3
 
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(col < ns_ref[0], logits, MASK_LOGIT)
+    live_col = col < ns_ref[0]                      # [B, cap] bool
+    logits = jnp.where(live_col, logits, MASK_LOGIT)
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
@@ -280,11 +281,10 @@ def _file_train_kernel(ns_ref, chunk_ref, mask_ref, tgt_ref, lr_ref,
     report = -jnp.sum(
         tgt * jnp.log(jnp.maximum(probs, 1e-12)), axis=-1, keepdims=True
     )                                               # [B, 1]
-    # (col < ns) factor: the where-mask's exact backward (see the corpus
+    # live_col factor: the where-mask's exact backward (see the corpus
     # kernel) — without it an all-masked net (ns == 0) gets a spurious
     # uniform-softmax update where the XLA path applies exactly zero.
-    live = (col < ns_ref[0]).astype(jnp.float32)
-    delta = (probs - tgt) * wvec * live             # [B, cap]
+    delta = (probs - tgt) * wvec * live_col.astype(jnp.float32)
 
     dh2 = _dotT_cols(delta, w3) * (1.0 - h2 * h2)
     dh1 = _dotT_cols(dh2, w2) * (h1 > 0.0).astype(jnp.float32)

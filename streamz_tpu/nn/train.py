@@ -145,13 +145,7 @@ def train_on_windows_impl(
     chunks = dropped_all.reshape(epochs * n_chunks, batch_size, feat)
     masks = valid_all.reshape(epochs * n_chunks, batch_size)
 
-    resolved = backend
-    if resolved == "auto":
-        from streamz_tpu.runtime import autotune
-
-        resolved = autotune.cached_choice("file_train", "pallas", "xla")
-
-    if resolved == "pallas":
+    if _resolve_backend("file_train", backend) == "pallas":
         from streamz_tpu.nn.pallas_train import train_windows_pallas
 
         params, loss_sum, loss_cnt = train_windows_pallas(
@@ -235,22 +229,26 @@ def train_bits_step(params: Params, x: jax.Array, target: jax.Array, lr) -> Para
 # ---------------------------------------------------------------------------
 
 
-def resolve_train_backend(backend: str = "auto") -> str:
-    """'xla' | 'pallas' | 'auto' → concrete backend name.
+def _resolve_backend(stage: str, backend: str) -> str:
+    """'xla' | 'pallas' | 'auto' → concrete backend for an autotune stage.
 
-    'auto' uses the measured decision cached by
-    :func:`autotune_train_kernel` when one exists; otherwise the fused
-    Pallas kernel on TPU (measured ~1.9x the XLA step on v5e — see
-    benchmarks/ROOFLINE.md) and XLA elsewhere (interpret mode is for
-    testing, not speed).  Cache-only, so it is safe inside traced code.
-    """
+    'auto' uses the measured decision cached by the stage's autotune probe
+    when one exists; otherwise the fused Pallas kernel on TPU (the measured
+    winner on v5e — benchmarks/ROOFLINE.md) and XLA elsewhere (interpret
+    mode is for testing, not speed).  Cache-only, so it is safe inside
+    traced code."""
     if backend != "auto":
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown train backend {backend!r}")
         return backend
     from streamz_tpu.runtime import autotune
 
-    return autotune.cached_choice("train_step", "pallas", "xla")
+    return autotune.cached_choice(stage, "pallas", "xla")
+
+
+def resolve_train_backend(backend: str = "auto") -> str:
+    """Concrete backend for the corpus/DP train step (stage 'train_step')."""
+    return _resolve_backend("train_step", backend)
 
 
 def autotune_train_kernel(force: bool = False) -> str:

@@ -88,6 +88,10 @@ def measured_choice(
     if not on_tpu():
         _memory[key] = default
         return default
+    if jax.process_count() > 1:
+        # Multi-host: never probe or persist — every host must resolve the
+        # same backend, which cached_choice guarantees via static defaults.
+        return default
 
     best_name, best_t = default, float("inf")
     measured = 0
