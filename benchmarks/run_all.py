@@ -157,6 +157,35 @@ def bench_corpus_train(batch=65536, feat=60, classes=64):
     return out
 
 
+def bench_streaming(seconds=30.0, chunk_ms=100, classes=64):
+    """Real-time factor of the live streaming identifier: how many seconds
+    of 44.1 kHz audio one chip absorbs per wall-clock second when fed in
+    ~100 ms microphone-sized chunks (includes all host chunking overhead
+    and the per-block device steps)."""
+    from streamz_tpu import config
+    from streamz_tpu.app.stream import StreamingIdentifier
+    from streamz_tpu.nn.model import SpeakerNet
+
+    net = SpeakerNet.new(output=classes, seed=0)
+    rate = config.DEFAULT_SAMPLE_RATE
+    rng = np.random.default_rng(0)
+    pcm = rng.normal(0, 0.1, int(seconds * rate)).astype(np.float32)
+    chunk = int(rate * chunk_ms / 1000)
+
+    # Warm the compiled step/finalize programs on a short stream first.
+    sid = StreamingIdentifier(net)
+    sid.feed(pcm[: chunk * 5]); sid.current(); sid.finalize()
+
+    sid = StreamingIdentifier(net)
+    start = time.perf_counter()
+    for off in range(0, len(pcm), chunk):
+        sid.feed(pcm[off:off + chunk])
+    sid.current()
+    sid.finalize()
+    wall = time.perf_counter() - start
+    return {"streaming_realtime_factor": round(seconds / wall, 2)}
+
+
 def bench_cpu_baselines(seconds=3.0, classes=64):
     from streamz_tpu import config
     from streamz_tpu.dsp.mfcc_ref import extract_features_np
@@ -306,6 +335,7 @@ SECTIONS = {
     "corpus": bench_corpus_train,
     "incremental": bench_incremental_train,
     "stego": bench_stego,
+    "streaming": bench_streaming,
 }
 
 
