@@ -18,6 +18,15 @@ few random speakers demonstrates the mechanics.
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # Honor the env var even when a site hook pre-imported jax before it
+    # could take effect (see tests/conftest.py).
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 from streamz_tpu import config
