@@ -188,3 +188,31 @@ def test_evaluate_1000_speakers_runtime():
         + metrics["false_negative"]
     )
     assert total == 100
+
+
+def test_checkpoint_roundtrip_1000_speakers(tmp_path):
+    """Save/load at the stretch config: 1000 live classes -> 1000 per-column
+    w3_i arrays in the npz (the reference's exact schema), loaded back into
+    a capacity-1024 net with identical live weights and growth behavior."""
+    import numpy as np
+
+    from streamz_tpu.nn import checkpoint
+    from streamz_tpu.nn.model import SpeakerNet
+
+    net = SpeakerNet.new(input_size=16, hidden1=32, hidden2=16, output=1000,
+                         seed=0)
+    for i in range(0, 1000, 97):
+        net.record_training_file(i, f"f{i}.wav")
+    path = tmp_path / "model.npz"
+    checkpoint.save(net, str(path))
+
+    loaded = checkpoint.load(str(path))
+    assert loaded.output_size() == 1000
+    assert loaded.capacity == net.capacity
+    w3a, _ = net.output_layer()
+    w3b, _ = loaded.output_layer()
+    np.testing.assert_array_equal(w3a, w3b)
+
+    # Growth after load stays functional at scale.
+    loaded.add_output_class()
+    assert loaded.output_size() == 1001
