@@ -50,10 +50,19 @@ from streamz_tpu.nn.model import SpeakerNet, forward_embedding
 from streamz_tpu.nn.train import train_on_windows_impl
 from streamz_tpu.runtime.progress import progress
 
-# Files per fused dispatch.  Consecutive same-bucket files are chunked to
-# power-of-two lengths up to this cap, bounding both the number of compiled
-# variants (one per (window-bucket, chunk-length) pair) and the padding waste.
+# Files per fused dispatch.  Consecutive files are chunked to power-of-two
+# lengths up to this cap, bounding both the number of compiled variants (one
+# per (window-bucket, chunk-length) pair) and the padding waste.
 MAX_SCAN_FILES = 64
+
+# A chunk pads every file to the chunk's max window bucket, so interleaved
+# clip lengths still batch MAX_SCAN_FILES files per dispatch (round-2 weak
+# #2).  Safe because the per-file trainer is bit-identical across pad sizes
+# (counter-based PRNG: uniform(key, (n,))[i] does not depend on n; stable
+# argsort; all padding rows masked — verified in test_device_loop).  The
+# spread cap bounds the padding FLOPs a small file can pay when chunked next
+# to a long one; beyond it the chunk is flushed.
+MAX_BUCKET_SPREAD = 4
 
 
 def _file_body(
@@ -205,7 +214,7 @@ def run_incremental_device(
     Returns ``(total_loss, processed, speaker_features, speaker_embeddings)``
     and mutates ``net`` / the labels in ``train_files`` like the host loop.
     """
-    jobs = []  # (orig_index, path, label, padded_windows, n_valid)
+    jobs = []  # (orig_index, path, label, windows, n_valid, bucket)
     for i, (path, label) in enumerate(train_files):
         windows = feature_map.get(path)
         if windows is None:
@@ -214,8 +223,12 @@ def run_incremental_device(
         if len(windows) < 5:
             print(f"Skipping {path}, too short")
             continue
-        padded, n_valid = _pad_windows(np.asarray(windows, np.float32), batch_size)
-        jobs.append((i, path, label, padded, n_valid))
+        windows = np.asarray(windows, np.float32)
+        n_chunks = max(1, -(-len(windows) // batch_size))
+        p = 1
+        while p < n_chunks:
+            p *= 2
+        jobs.append((i, path, label, windows, len(windows), p * batch_size))
 
     h2 = net.embedding_size()
     seed_embeddings = {
@@ -226,9 +239,9 @@ def run_incremental_device(
 
     # Pre-size capacity: every unlabeled file could spawn a class, and
     # explicit labels must be addressable.
-    n_unlabeled = sum(1 for _, _, label, _, _ in jobs if label is None)
+    n_unlabeled = sum(1 for _, _, label, _, _, _ in jobs if label is None)
     max_label = max(
-        (label for _, _, label, _, _ in jobs if label is not None), default=-1
+        (label for _, _, label, _, _, _ in jobs if label is not None), default=-1
     )
     needed = net.num_speakers + n_unlabeled
     max_sp = 2**30 if max_speakers is None else int(max_speakers)
@@ -254,14 +267,24 @@ def run_incremental_device(
     base_key = _fresh_key()
     all_keys = jax.vmap(lambda k: jax.random.fold_in(base_key, k))(jnp.arange(N))
 
-    # Group consecutive files by window bucket, then chunk each run.
+    # Chunk consecutive files greedily; every file in a chunk is padded to
+    # the chunk's max window bucket, so interleaved clip lengths still batch
+    # MAX_SCAN_FILES files per dispatch.  A new chunk starts only at the file
+    # cap or when the bucket spread would exceed MAX_BUCKET_SPREAD (bounding
+    # the padding FLOPs short files pay next to long ones).
     runs: List[List[int]] = []  # lists of job indices
     for k in range(N):
-        w_pad = jobs[k][3].shape[0]
-        if runs and jobs[runs[-1][-1]][3].shape[0] == w_pad:
-            runs[-1].append(k)
-        else:
-            runs.append([k])
+        b = jobs[k][5]
+        if runs:
+            bmin = min(jobs[j][5] for j in runs[-1])
+            bmax = max(jobs[j][5] for j in runs[-1])
+            if (
+                len(runs[-1]) < MAX_SCAN_FILES
+                and max(bmax, b) <= MAX_BUCKET_SPREAD * min(bmin, b)
+            ):
+                runs[-1].append(k)
+                continue
+        runs.append([k])
 
     chunks: List[Tuple[List[int], int]] = []  # (job indices, padded length)
     for run in runs:
@@ -272,7 +295,7 @@ def run_incremental_device(
 
     out_parts = []  # (job_ks, sids_dev, losses_dev, embs_dev, n_real)
     for job_ks, L in progress(chunks, desc="incremental", enabled=show_progress):
-        w_pad = jobs[job_ks[0]][3].shape[0]
+        w_pad = max(jobs[k][5] for k in job_ks)
         feat = jobs[job_ks[0]][3].shape[1]
         n_real = len(job_ks)
         wins = np.zeros((L, w_pad, feat), np.float32)
@@ -284,8 +307,8 @@ def run_incremental_device(
         actives = np.zeros((L,), np.int32)
         key_rows = np.zeros((L,), np.int32)
         for row, k in enumerate(job_ks):
-            _, _, label, padded, n_valid = jobs[k]
-            wins[row] = padded
+            _, _, label, windows, n_valid, _ = jobs[k]
+            wins[row, :n_valid] = windows
             n_valids[row] = n_valid
             labels_a[row] = -1 if label is None else int(label)
             burn = k < burn_in_limit
@@ -322,7 +345,7 @@ def run_incremental_device(
         embs = np.asarray(embs)[:n_real]
         total_loss += float(losses.sum())
         for row, k in enumerate(job_ks):
-            i, path, _, _, _ = jobs[k]
+            i, path, _, _, _, _ = jobs[k]
             sid = int(sids[row])
             train_files[i] = (path, sid)
             net.record_training_file(sid, path)

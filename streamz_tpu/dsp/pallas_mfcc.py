@@ -105,6 +105,8 @@ def mfcc_base_pallas(pcm: jax.Array) -> jax.Array:
 
     B, T = pcm.shape
     nb = T // _BLOCK
+    if nb == 0:  # clip shorter than one block: zero windows (window_count)
+        return jnp.zeros((B, 0, config.MFCC_SIZE), jnp.float32)
     rows = B * nb
     blocks = pcm[:, : nb * _BLOCK].reshape(rows, _BLOCK)
 
@@ -242,6 +244,8 @@ def mfcc_base_pallas_v2(pcm: jax.Array) -> jax.Array:
 
     B, T = pcm.shape
     nb = T // _BLOCK
+    if nb == 0:  # clip shorter than one block: zero windows (window_count)
+        return jnp.zeros((B, 0, config.MFCC_SIZE), jnp.float32)
     rows = B * nb
     blocks = pcm[:, : nb * _BLOCK].reshape(rows, _BLOCK)
 
@@ -465,6 +469,8 @@ def mfcc_base_pallas_v3(pcm: jax.Array) -> jax.Array:
     """
     B, T = pcm.shape
     nb = T // _BLOCK
+    if nb == 0:  # clip shorter than one block: zero windows (window_count)
+        return jnp.zeros((B, 0, config.MFCC_SIZE), jnp.float32)
     rows = B * nb
     blocks = pcm[:, : nb * _BLOCK].reshape(rows, _BLOCK)  # a view, no copy
 

@@ -291,7 +291,11 @@ def _shard_pcm(samples, mesh: Mesh):
     while n_dev * wl < n_win + 1:
         wl *= 2
     pcm = np.zeros((n_dev * wl * config.HOP_SIZE,), np.float32)
-    pcm[:n] = f32
+    # The buffer holds n_win+1 blocks — enough for every window — but the
+    # clip's trailing partial block may push n past it; those samples never
+    # feed any window, so copy only what fits.
+    m = min(n, pcm.size)
+    pcm[:m] = f32[:m]
     pcm_s = jax.device_put(pcm, NamedSharding(mesh, P(mesh.axis_names[0])))
     return pcm_s, n_win, wl
 

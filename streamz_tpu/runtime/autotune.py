@@ -75,6 +75,12 @@ def measured_choice(
     import jax
 
     key = f"{stage}:{jax.devices()[0].device_kind}"
+    if jax.process_count() > 1:
+        # Multi-host: never probe, read caches, or persist — hosts may hold
+        # different /tmp caches, and every host must resolve the SAME backend
+        # or the traced SPMD programs diverge.  Checked before any cache
+        # lookup, mirroring cached_choice.
+        return default
     if not force:
         if key in _memory:
             return _memory[key]
@@ -87,10 +93,6 @@ def measured_choice(
             return cached
     if not on_tpu():
         _memory[key] = default
-        return default
-    if jax.process_count() > 1:
-        # Multi-host: never probe or persist — every host must resolve the
-        # same backend, which cached_choice guarantees via static defaults.
         return default
 
     best_name, best_t = default, float("inf")

@@ -147,3 +147,99 @@ def test_pow2_chunking():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_trainer_pad_invariant():
+    """train_on_windows_impl is bit-identical across pad sizes (the property
+    chunk-level bucket padding relies on): counter-based PRNG draws are
+    prefix-stable, argsort is stable, and padding rows are masked."""
+    import jax
+    import jax.numpy as jnp
+
+    from streamz_tpu.nn.model import init_params
+    from streamz_tpu.nn.train import train_on_windows_impl
+
+    rng = np.random.default_rng(0)
+    params = init_params(60, 64, 32, 8, seed=0)
+    cap = params["b3"].shape[0]
+    w = rng.normal(0, 1, (100, 60)).astype(np.float32)
+    tv = np.zeros(cap, np.float32)
+    tv[2] = 1.0
+    key = jax.random.PRNGKey(7)
+    outs = []
+    for n_pad in (104, 416):
+        wp = np.zeros((n_pad, 60), np.float32)
+        wp[:100] = w
+        p2, loss = train_on_windows_impl(
+            dict(params), jnp.asarray(wp), jnp.int32(100), jnp.asarray(tv),
+            jnp.int32(8), key, jnp.float32(0.05), jnp.float32(0.2),
+            epochs=5, batch_size=8,
+        )
+        outs.append((jax.tree_util.tree_map(np.asarray, p2), float(loss)))
+    for k in outs[0][0]:
+        np.testing.assert_array_equal(outs[0][0][k], outs[1][0][k])
+    assert outs[0][1] == outs[1][1]
+
+
+def test_interleaved_buckets_still_batch(monkeypatch):
+    """Alternating short/long clips (different window buckets) must still
+    batch into full chunks — files in a chunk pad to the chunk's max bucket
+    (round-2 weak #2), and labels are unchanged vs the host oracle."""
+    from streamz_tpu.app import device_loop as dl
+
+    rng = np.random.default_rng(6)
+    centers = rng.normal(size=(2, 60)).astype(np.float32) * 3.0
+    files, fm = [], {}
+    n_files = 40
+    for i in range(n_files):
+        c = i % 2
+        n_win = 8 if c == 0 else 30  # buckets 8 and 32 (spread 4)
+        path = f"mix_{i}.wav"
+        fm[path] = (
+            centers[c] + rng.normal(0, 0.1, size=(n_win, 60))
+        ).astype(np.float32)
+        files.append((path, None))
+    files[0] = (files[0][0], 0)
+
+    calls = {"n": 0}
+    real_scan = dl.incremental_scan
+
+    def counting_scan(*a, **kw):
+        calls["n"] += 1
+        return real_scan(*a, **kw)
+
+    monkeypatch.setattr(dl, "incremental_scan", counting_scan)
+    fd = [tuple(f) for f in files]
+    fh = [tuple(f) for f in files]
+    net_d = SpeakerNet.new(output=1, seed=0)
+    net_h = SpeakerNet.new(output=1, seed=0)
+    dl.run_incremental_device(
+        net_d, fd, dict(fm), burn_in_limit=4, conf_threshold=0.8, dropout=0.0,
+        batch_size=8, epochs=1, max_speakers=None, show_progress=False,
+    )
+    assert calls["n"] <= n_files // dl.MAX_SCAN_FILES + 1  # not per-bucket runs
+    run_incremental_host(
+        net_h, fh, dict(fm), burn_in_limit=4, conf_threshold=0.8, dropout=0.0,
+        batch_size=8, epochs=1, max_speakers=None, show_progress=False,
+    )
+    assert [c for _, c in fd] == [c for _, c in fh]
+    assert net_d.output_size() == net_h.output_size()
+
+
+def test_bucket_spread_cap_flushes():
+    """A clip whose bucket exceeds MAX_BUCKET_SPREAD x the chunk's min bucket
+    starts a new chunk, so short files never pad to a 10-minute clip."""
+    from streamz_tpu.app import device_loop as dl
+
+    rng = np.random.default_rng(8)
+    files, fm = [], {}
+    for i, n_win in enumerate([8, 8, 300, 8, 8]):  # 300 -> bucket 512
+        path = f"spread_{i}.wav"
+        fm[path] = rng.normal(0, 1, size=(n_win, 60)).astype(np.float32)
+        files.append((path, 0))
+    net = SpeakerNet.new(output=1, seed=0)
+    res = dl.run_incremental_device(
+        net, files, fm, burn_in_limit=0, conf_threshold=0.8, dropout=0.0,
+        batch_size=8, epochs=1, max_speakers=None, show_progress=False,
+    )
+    assert res[1] == 5  # all processed, three chunks (8s | 512 | 8s)

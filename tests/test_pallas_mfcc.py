@@ -122,3 +122,21 @@ def test_extractor_accepts_v3_backend():
     b = FeatureExtractor("numpy").extract(clip)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-3)
+
+
+def test_kernels_zero_block_clip():
+    """Direct kernel calls on a sub-block clip (T < 400) return zero windows
+    instead of crashing (ADVICE r2: empty-concatenate in v3)."""
+    from streamz_tpu.dsp.pallas_mfcc import (
+        mfcc_base_pallas_v2,
+        mfcc_base_pallas_v3,
+        mfcc_features_pallas_v2,
+        mfcc_features_pallas_v3,
+    )
+
+    pcm = jnp.zeros((2, 399), jnp.float32)
+    ns = jnp.asarray([399, 100], jnp.int32)
+    for base_fn in (mfcc_base_pallas, mfcc_base_pallas_v2, mfcc_base_pallas_v3):
+        assert np.asarray(base_fn(pcm)).shape == (2, 0, 20)
+    for feat_fn in (mfcc_features_pallas_v2, mfcc_features_pallas_v3):
+        assert np.asarray(feat_fn(pcm, ns)).shape == (2, 0, 60)

@@ -79,3 +79,22 @@ def test_empty_clip(mesh):
     emb = wp.extract_embedding_pcm_sharded(net, clip, mesh)
     assert emb.shape == (net.embedding_size(),)
     assert not emb.any()
+
+
+def test_trailing_partial_block_clip(mesh):
+    """Clip lengths whose trailing partial block overruns the shard buffer
+    (ADVICE r2: 13000 samples on the 8-device mesh) are handled — the extra
+    samples feed no window, so features still match the unsharded frontend."""
+    rng = np.random.default_rng(7)
+    for n in (13000, 1999, 12800 + 1):
+        clip = rng.normal(0, 3000, size=n).astype(np.int16)
+        ref = extract_features(clip)
+        shd = wp.mfcc_features_pcm_sharded(clip, mesh)
+        assert ref.shape == shd.shape
+        # Not bit-equal here: these lengths bucket the *unsharded* batch to a
+        # 64-block GEMM whose CPU summation strategy differs from smaller Ms
+        # (~1e-6 on z-normed features) — a dot-shape effect, not a halo bug.
+        np.testing.assert_allclose(ref, shd, atol=1e-5)
+        net = SpeakerNet.new(output=3, seed=0)
+        wp.identify_speaker_pcm_sharded(net, clip, mesh)
+        wp.extract_embedding_pcm_sharded(net, clip, mesh)
