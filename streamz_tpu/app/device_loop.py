@@ -36,7 +36,7 @@ kept as the test oracle):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -66,9 +66,17 @@ MAX_BUCKET_SPREAD = 4
 
 
 def _file_body(
-    carry, x, seed_cent, seed_mask, max_speakers, dropout, *, epochs, batch_size
+    carry, x, seed_cent, seed_mask, max_speakers, dropout, *, epochs,
+    batch_size, axis=None, n_dev=1,
 ):
-    """One file of the incremental loop; shapes are per-bucket static."""
+    """One file of the incremental loop; shapes are per-bucket static.
+
+    With ``axis`` set (inside ``shard_map``) the window axis of the embed
+    forward and of every per-chunk training gradient is computed by this
+    device's slice and psum-merged — the mesh path of the discovery loop.
+    All decision state stays replicated, so every device takes the same
+    branch and labels match the single-device scan.
+    """
     params, num_speakers, run_sum, run_cnt = carry
     windows, n_valid, label, burn_phase, threshold, lr, key, active = x
     W = windows.shape[0]
@@ -77,9 +85,18 @@ def _file_body(
     n_valid = jnp.where(is_active, n_valid, 0)  # inactive rows: no-op train
 
     # --- clip embedding: masked mean ReLU-h2, L2-normalized ---------------
-    e = forward_embedding(params, windows)  # [W, h2]
-    valid = (jnp.arange(W) < n_valid).astype(jnp.float32)
-    s = (e * valid[:, None]).sum(0) / jnp.maximum(n_valid.astype(jnp.float32), 1.0)
+    if axis is None:
+        e = forward_embedding(params, windows)  # [W, h2]
+        valid = (jnp.arange(W) < n_valid).astype(jnp.float32)
+        s = (e * valid[:, None]).sum(0)
+    else:
+        wl = W // n_dev  # W is padded to a mesh multiple by the caller
+        d = jax.lax.axis_index(axis)
+        w_local = jax.lax.dynamic_slice_in_dim(windows, d * wl, wl)
+        e = forward_embedding(params, w_local)  # [wl, h2]
+        valid = ((d * wl + jnp.arange(wl)) < n_valid).astype(jnp.float32)
+        s = jax.lax.psum((e * valid[:, None]).sum(0), axis)
+    s = s / jnp.maximum(n_valid.astype(jnp.float32), 1.0)
     norm = jnp.sqrt((s * s).sum())
     emb = jnp.where(norm > 1e-6, s / norm, s)
 
@@ -123,10 +140,18 @@ def _file_body(
     # in range — an out-of-range given label trains with a zero target.
     tvec = jax.nn.one_hot(sid, capacity, dtype=jnp.float32)
     tvec = tvec * (sid < ns_new).astype(jnp.float32)
-    params, loss = train_on_windows_impl(
-        params, windows, n_valid, tvec, ns_new, key, lr, dropout,
-        epochs=epochs, batch_size=batch_size,
-    )
+    if axis is None:
+        params, loss = train_on_windows_impl(
+            params, windows, n_valid, tvec, ns_new, key, lr, dropout,
+            epochs=epochs, batch_size=batch_size,
+        )
+    else:
+        from streamz_tpu.nn.train import train_on_windows_sharded_impl
+
+        params, loss = train_on_windows_sharded_impl(
+            params, windows, n_valid, tvec, ns_new, key, lr, dropout,
+            epochs=epochs, batch_size=batch_size, axis=axis, n_dev=n_dev,
+        )
 
     # --- centroid updates (zero for inactive rows) -------------------------
     gain = is_active.astype(jnp.float32)
@@ -180,6 +205,66 @@ def incremental_scan(
     return params, num_speakers, run_sum, run_cnt, sids, losses, embs
 
 
+@lru_cache(maxsize=8)
+def make_incremental_scan_sharded(mesh, epochs: int, batch_size: int):
+    """The fused file scan SPMD over the data mesh (round-2 missing #1).
+
+    Every input is replicated (``P()``): decision state must be identical on
+    all devices, and a file's window set is small enough (≤ a few MB) that
+    replicating it costs less than the halo bookkeeping sharded storage
+    would need.  What *is* sharded is the computation: each device runs the
+    embed forward and every per-chunk training gradient on its
+    ``1/n_dev`` slice of the window axis, merged with one psum each — the
+    SPMD analogue of the reference's rayon fan-out #3 sharing one model
+    (``streamz-rs/src/main.rs:750-835``).  Outputs (params, centroids,
+    labels) stay replicated bit-identically on every device.
+
+    Measured trade-off: per-chunk gradient psums put ~280 collectives on
+    the critical path of a 448-window file (5 epochs x 56 chunks), so this
+    wins only when per-device compute per chunk dominates the ICI latency —
+    see benchmarks/ROOFLINE.md ("sharded discovery loop") for numbers.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    def scan_fn(
+        params, num_speakers, run_sum, run_cnt, seed_cent, seed_mask,
+        max_speakers, dropout, windows, n_valids, labels, burns,
+        thresholds, lrs, keys, actives,
+    ):
+        body = partial(
+            _file_body,
+            seed_cent=seed_cent,
+            seed_mask=seed_mask,
+            max_speakers=max_speakers,
+            dropout=dropout,
+            epochs=epochs,
+            batch_size=batch_size,
+            axis=axis,
+            n_dev=n_dev,
+        )
+        carry = (params, num_speakers, run_sum, run_cnt)
+        xs = (windows, n_valids, labels, burns, thresholds, lrs, keys, actives)
+        (params, num_speakers, run_sum, run_cnt), (sids, losses, embs) = (
+            jax.lax.scan(body, carry, xs)
+        )
+        return params, num_speakers, run_sum, run_cnt, sids, losses, embs
+
+    n_in = 16
+    return jax.jit(
+        jax.shard_map(
+            scan_fn,
+            mesh=mesh,
+            in_specs=(P(),) * n_in,
+            out_specs=(P(),) * 7,
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1, 2, 3),
+    )
+
+
 def _pow2_chunks(n: int) -> List[int]:
     """Split n into chunk lengths: MAX_SCAN_FILES-sized chunks plus one
     power-of-two remainder (bounds compiled variants to log2 sizes)."""
@@ -207,13 +292,25 @@ def run_incremental_device(
     epochs: int,
     max_speakers: Optional[int],
     show_progress: bool = True,
+    mesh=None,
 ):
     """Chunk the file sequence, enqueue one fused scan per chunk, fetch all
     results once at the end.
 
+    With ``mesh`` (>1 device) the scan runs SPMD: each device computes its
+    window-axis slice of the embed forward and of every training chunk's
+    gradient (``make_incremental_scan_sharded``), so the discovery loop —
+    the application's dominant phase — uses the whole mesh.  Labels match
+    the single-device scan (``STREAMZ_SHARD_DISCOVERY=0`` forces the
+    single-device path).
+
     Returns ``(total_loss, processed, speaker_features, speaker_embeddings)``
     and mutates ``net`` / the labels in ``train_files`` like the host loop.
     """
+    import os
+
+    n_dev = 0 if mesh is None else mesh.devices.size
+    sharded = n_dev > 1 and os.environ.get("STREAMZ_SHARD_DISCOVERY", "1") != "0"
     jobs = []  # (orig_index, path, label, windows, n_valid, bucket)
     for i, (path, label) in enumerate(train_files):
         windows = feature_map.get(path)
@@ -293,9 +390,19 @@ def run_incremental_device(
             chunks.append((run[pos: pos + min(clen, len(run) - pos)], clen))
             pos += clen
 
+    scan_sharded = (
+        make_incremental_scan_sharded(mesh, int(epochs), int(batch_size))
+        if sharded
+        else None
+    )
     out_parts = []  # (job_ks, sids_dev, losses_dev, embs_dev, n_real)
     for job_ks, L in progress(chunks, desc="incremental", enabled=show_progress):
         w_pad = max(jobs[k][5] for k in job_ks)
+        if sharded:
+            # The sharded embed slices the window axis evenly across devices;
+            # extra padding is free (the trainer is pad-invariant).
+            while w_pad % n_dev:
+                w_pad += batch_size
         feat = jobs[job_ks[0]][3].shape[1]
         n_real = len(job_ks)
         wins = np.zeros((L, w_pad, feat), np.float32)
@@ -321,14 +428,23 @@ def run_incremental_device(
             key_rows[row] = k
         keys = all_keys[jnp.asarray(key_rows)]
 
-        (params, ns, run_sum, run_cnt, sids, losses, embs) = incremental_scan(
-            params, ns, run_sum, run_cnt, seed_cent, seed_mask,
-            jnp.int32(max_sp), jnp.float32(dropout),
-            jnp.asarray(wins), jnp.asarray(n_valids), jnp.asarray(labels_a),
-            jnp.asarray(burns), jnp.asarray(thrs), jnp.asarray(lrs),
-            keys, jnp.asarray(actives),
-            epochs=int(epochs), batch_size=int(batch_size),
-        )
+        if sharded:
+            (params, ns, run_sum, run_cnt, sids, losses, embs) = scan_sharded(
+                params, ns, run_sum, run_cnt, seed_cent, seed_mask,
+                jnp.int32(max_sp), jnp.float32(dropout),
+                jnp.asarray(wins), jnp.asarray(n_valids),
+                jnp.asarray(labels_a), jnp.asarray(burns), jnp.asarray(thrs),
+                jnp.asarray(lrs), keys, jnp.asarray(actives),
+            )
+        else:
+            (params, ns, run_sum, run_cnt, sids, losses, embs) = incremental_scan(
+                params, ns, run_sum, run_cnt, seed_cent, seed_mask,
+                jnp.int32(max_sp), jnp.float32(dropout),
+                jnp.asarray(wins), jnp.asarray(n_valids), jnp.asarray(labels_a),
+                jnp.asarray(burns), jnp.asarray(thrs), jnp.asarray(lrs),
+                keys, jnp.asarray(actives),
+                epochs=int(epochs), batch_size=int(batch_size),
+            )
         out_parts.append((job_ks, sids, losses, embs, n_real))
 
     # Single synchronization point: fetch everything at once.

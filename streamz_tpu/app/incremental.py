@@ -112,6 +112,7 @@ def run_incremental(
             epochs=epochs,
             max_speakers=max_speakers,
             show_progress=show_progress,
+            mesh=mesh,
         )
         return IncrementalResult(
             total_loss=total_loss,

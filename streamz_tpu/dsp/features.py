@@ -152,12 +152,12 @@ class FeatureExtractor:
         self, clips: Sequence[np.ndarray], mesh=None
     ) -> List[np.ndarray]:
         """Batched extraction; with ``mesh`` the clip axis is sharded across
-        the data mesh (XLA core only — the Pallas kernels and the numpy
-        spec run unsharded)."""
+        the data mesh for every device backend — the fused Pallas kernels
+        run per shard under ``shard_map``, so the ingest stage stays sharded
+        regardless of the autotune winner (only the numpy golden spec is
+        host-only)."""
         if self.backend == "numpy":
             return [mfcc_ref.extract_features_np(c) for c in clips]
-        if self._resolved() != "jax":
-            mesh = None
         return mfcc.extract_features_batch(clips, core=self._core(), mesh=mesh)
 
 

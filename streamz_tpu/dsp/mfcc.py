@@ -18,7 +18,7 @@ recompiles.  Golden-tested against :mod:`streamz_tpu.dsp.mfcc_ref`.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Sequence
 
 import jax
@@ -170,10 +170,10 @@ def extract_features_batch(
     drop-in).
 
     With ``mesh`` (a 1-D ``"data"`` mesh), each bucket's clip axis is
-    zero-padded to the mesh size and device_put sharded across it — pjit
-    compiles the same jitted frontend SPMD, so the whole ingest stage scales
-    over chips with no code change and device-count-invariant results (the
-    frontend is elementwise per clip).
+    zero-padded to the mesh size and the core runs under ``shard_map`` with
+    the clip axis sharded — every frontend (XLA *or* the fused Pallas
+    kernels, which auto-SPMD cannot partition) scales over chips with
+    device-count-invariant results (the frontend is elementwise per clip).
     """
     if not clips:
         return []
@@ -195,10 +195,32 @@ def extract_features_batch(
 
             _, (batch_p, lens_p) = pad_rows_to_mesh(mesh, batch, lens)
             batch_d, lens_d = put_batch_sharded(mesh, batch_p, lens_p)
+            feats = np.asarray(sharded_frontend(core, mesh)(batch_d, lens_d))
         else:
-            batch_d, lens_d = jnp.asarray(batch), jnp.asarray(lens)
-        feats = np.asarray(core(batch_d, lens_d))
+            feats = np.asarray(core(jnp.asarray(batch), jnp.asarray(lens)))
         n_wins = np.asarray(window_count(lens))
         for row, i in enumerate(idxs):
             out[i] = feats[row, : int(n_wins[row])].copy()
     return out
+
+
+@lru_cache(maxsize=32)
+def sharded_frontend(core, mesh):
+    """``core`` wrapped in ``shard_map`` with the clip axis sharded over the
+    mesh.  Explicit SPMD rather than pjit auto-sharding so the fused Pallas
+    kernels compose with the data mesh too (each shard runs the same kernel
+    on its ``B/n_dev`` clips — round-2 missing #2); the XLA core takes the
+    identical path.  Cached per (core, mesh) so repeat calls reuse the
+    compiled program."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    return jax.jit(
+        jax.shard_map(
+            core,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )

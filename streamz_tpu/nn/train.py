@@ -198,6 +198,87 @@ train_on_windows = partial(
     donate_argnums=(0,))(train_on_windows_impl)
 
 
+def train_on_windows_sharded_impl(
+    params: Params,
+    windows: jax.Array,   # [N_pad, F] feature windows (replicated)
+    n_valid: jax.Array,
+    target_vec: jax.Array,
+    num_speakers: jax.Array,
+    key: jax.Array,
+    lr: jax.Array,
+    dropout: jax.Array,
+    *,
+    epochs: int,
+    batch_size: int,
+    axis: str,
+    n_dev: int,
+) -> Tuple[Params, jax.Array]:
+    """Window-axis-sharded ``train_on_windows_impl`` for use *inside*
+    ``shard_map`` (the fused discovery loop's mesh path, round-2 missing #1).
+
+    Inputs arrive replicated; the epoch views (shuffle/dropout/masks) are
+    built identically on every device from the same key, and each device
+    computes the gradient of its ``batch_size/n_dev`` slice of every chunk.
+    ONE ``psum`` per chunk merges (grads, loss, count) — the SPMD equivalent
+    of the reference's lock-serialized shared-model update
+    (``streamz-rs/src/main.rs:803``).  The merged gradient equals the full
+    chunk gradient up to f32 summation order, so label trajectories match
+    the unsharded scan; params stay replicated by construction.
+    """
+    n_pad, feat = windows.shape
+    n_chunks = n_pad // batch_size
+    capacity = params["b3"].shape[0]
+
+    dropped_all, valid_all = file_epoch_views(
+        windows, n_valid, key, dropout, epochs
+    )
+    chunks = dropped_all.reshape(epochs * n_chunks, batch_size, feat)
+    masks = valid_all.reshape(epochs * n_chunks, batch_size)
+
+    rows_per = -(-batch_size // n_dev)
+    bs_pad = rows_per * n_dev
+    if bs_pad != batch_size:  # zero-weight padding rows for uneven splits
+        chunks = jnp.pad(chunks, ((0, 0), (0, bs_pad - batch_size), (0, 0)))
+        masks = jnp.pad(masks, ((0, 0), (0, bs_pad - batch_size)))
+    d = jax.lax.axis_index(axis)
+
+    def chunk_body(carry, inp):
+        params, loss_sum, loss_cnt = carry
+        batch_full, wmask_full = inp
+        batch = jax.lax.dynamic_slice_in_dim(batch_full, d * rows_per, rows_per)
+        wmask = jax.lax.dynamic_slice_in_dim(wmask_full, d * rows_per, rows_per)
+        tgt = jnp.broadcast_to(target_vec, (rows_per, capacity))
+
+        def summed(p):
+            logits = forward_logits(p, batch, num_speakers)
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            per = lse - jnp.sum(tgt * logits, axis=-1)
+            probs = jax.nn.softmax(logits, axis=-1)
+            report = -jnp.sum(
+                tgt * jnp.log(jnp.maximum(probs, 1e-12)), axis=-1
+            )
+            return jnp.sum(per * wmask), report
+
+        (_, losses), grads = jax.value_and_grad(summed, has_aux=True)(params)
+        grads, loss_part, count = jax.lax.psum(
+            (grads, jnp.sum(losses * wmask), jnp.sum(wmask)), axis
+        )
+        loss_sum = loss_sum + loss_part
+        loss_cnt = loss_cnt + count
+        scale = jnp.where(count > 0, lr / jnp.maximum(count, 1.0), 0.0)
+        params = jax.tree_util.tree_map(
+            lambda p, g: p - scale * g, params, grads
+        )
+        return (params, loss_sum, loss_cnt), None
+
+    (params, loss_sum, loss_cnt), _ = jax.lax.scan(
+        chunk_body, (params, jnp.float32(0.0), jnp.float32(0.0)),
+        (chunks, masks),
+    )
+    mean_loss = jnp.where(loss_cnt > 0, loss_sum / jnp.maximum(loss_cnt, 1.0), 0.0)
+    return params, mean_loss
+
+
 # ---------------------------------------------------------------------------
 # Stego (sigmoid + MSE) training step (src/lib.rs:917-951).
 # ---------------------------------------------------------------------------

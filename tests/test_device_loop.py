@@ -243,3 +243,66 @@ def test_bucket_spread_cap_flushes():
         batch_size=8, epochs=1, max_speakers=None, show_progress=False,
     )
     assert res[1] == 5  # all processed, three chunks (8s | 512 | 8s)
+
+
+def test_sharded_scan_matches_single_device():
+    """The mesh path of the fused discovery loop (window-sharded embed +
+    per-chunk psum gradients, round-2 missing #1) produces identical labels
+    and near-identical params at 1 vs 8 devices — same key, dropout on."""
+    from streamz_tpu.app import device_loop as dl
+    from streamz_tpu.nn import drivers
+    from streamz_tpu.parallel import comm
+
+    rng = np.random.default_rng(0)
+    files, fm = _corpus(30, 3, rng, windows_per_file=20)
+    files[0] = (files[0][0], 0)
+    mesh8 = comm.make_mesh(8)
+
+    def run(mesh, dropout):
+        import jax
+
+        drivers._key_counter[0] = 0
+        fs = [tuple(f) for f in files]
+        net = SpeakerNet.new(output=1, seed=0)
+        res = dl.run_incremental_device(
+            net, fs, dict(fm), burn_in_limit=6, conf_threshold=0.8,
+            dropout=dropout, batch_size=8, epochs=2, max_speakers=None,
+            show_progress=False, mesh=mesh,
+        )
+        params = jax.tree_util.tree_map(np.asarray, net.params)
+        return [c for _, c in fs], net.output_size(), res[0], params
+
+    for dropout in (0.0, 0.2):
+        l1, n1, loss1, p1 = run(None, dropout)
+        l8, n8, loss8, p8 = run(mesh8, dropout)
+        assert l1 == l8
+        assert n1 == n8
+        assert abs(loss1 - loss8) < 1e-3
+        for k in p1:  # f32 psum-order noise only
+            np.testing.assert_allclose(p1[k], p8[k], atol=1e-3)
+
+
+def test_sharded_scan_env_escape(monkeypatch):
+    """STREAMZ_SHARD_DISCOVERY=0 forces the single-device scan even with a
+    mesh active."""
+    from streamz_tpu.app import device_loop as dl
+    from streamz_tpu.parallel import comm
+
+    monkeypatch.setenv("STREAMZ_SHARD_DISCOVERY", "0")
+    calls = {"n": 0}
+    real = dl.make_incremental_scan_sharded
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dl, "make_incremental_scan_sharded", counting)
+    rng = np.random.default_rng(1)
+    files, fm = _corpus(4, 2, rng)
+    net = SpeakerNet.new(output=1, seed=0)
+    dl.run_incremental_device(
+        net, files, fm, burn_in_limit=2, conf_threshold=0.8, dropout=0.0,
+        batch_size=8, epochs=1, max_speakers=None, show_progress=False,
+        mesh=comm.make_mesh(8),
+    )
+    assert calls["n"] == 0

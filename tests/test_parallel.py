@@ -140,3 +140,61 @@ def test_extract_embedding_sharded_matches_host():
     want = extract_embedding_from_features(net, windows)
     got = wp.extract_embedding_sharded(net, windows, mesh)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sharded_frontend_composes_with_pallas(monkeypatch):
+    """The fused Pallas v3 frontend composes with the data mesh: the sharded
+    extraction is bit-equal to unsharded Pallas and to the XLA formulation
+    within the parity budget (round-2 missing #2), and the shard_map path is
+    actually taken."""
+    from streamz_tpu.dsp import mfcc
+    from streamz_tpu.dsp.pallas_mfcc import mfcc_features_pallas_v3
+
+    mesh = comm.make_mesh(8)
+    rng = np.random.default_rng(0)
+    clips = [
+        rng.normal(0, 3000, size=n).astype(np.int16)
+        for n in (44100, 22050, 44100, 8000, 60000)
+    ]
+
+    calls = {"n": 0}
+    real = mfcc.sharded_frontend
+
+    def spying(core, m):
+        calls["n"] += 1
+        return real(core, m)
+
+    monkeypatch.setattr(mfcc, "sharded_frontend", spying)
+    un_v3 = mfcc.extract_features_batch(clips, core=mfcc_features_pallas_v3)
+    assert calls["n"] == 0
+    sh_v3 = mfcc.extract_features_batch(
+        clips, core=mfcc_features_pallas_v3, mesh=mesh
+    )
+    assert calls["n"] > 0  # the pallas core went through shard_map
+    sh_xla = mfcc.extract_features_batch(clips, mesh=mesh)
+    for a, b, c in zip(un_v3, sh_v3, sh_xla):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_allclose(b, c, atol=1e-3)
+
+
+def test_extractor_keeps_mesh_for_pallas_backend(monkeypatch):
+    """FeatureExtractor no longer drops the mesh when the resolved frontend
+    is a Pallas kernel — the ingest stage stays sharded regardless of the
+    autotune winner."""
+    from streamz_tpu.dsp import mfcc
+    from streamz_tpu.dsp.features import FeatureExtractor
+
+    mesh = comm.make_mesh(8)
+    seen = {}
+    real = mfcc.extract_features_batch
+
+    def spying(clips, core=None, mesh=None):
+        seen["mesh"] = mesh
+        return real(clips, core=core, mesh=mesh)
+
+    monkeypatch.setattr(mfcc, "extract_features_batch", spying)
+    # features.py imported `mfcc` as a module, so the monkeypatch is seen.
+    rng = np.random.default_rng(1)
+    clips = [rng.normal(0, 3000, size=12000).astype(np.int16)]
+    FeatureExtractor("pallas_v3").extract_batch(clips, mesh=mesh)
+    assert seen["mesh"] is mesh
