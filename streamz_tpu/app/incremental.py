@@ -48,9 +48,8 @@ from streamz_tpu.nn.model import SpeakerNet
 from streamz_tpu.runtime.progress import progress
 
 
-# A 10-minute 44.1 kHz clip is ~66k hop-400 windows; below ~16k windows the
-# single-device forward is faster than paying the collective.
-LONG_CLIP_WINDOW_THRESHOLD = 16384
+# Re-exported routing threshold (defined with the sharded programs it gates).
+from streamz_tpu.parallel.window_parallel import LONG_CLIP_WINDOW_THRESHOLD
 
 
 @dataclasses.dataclass

@@ -7,7 +7,7 @@ in its README but dead in its code (``--force``/``--retrain``/``--eval-split``/
 
   streamz [--threshold <v>] [--burn-in-limit <n>] [--max-speakers <n>]
           [--no-cache-wav] [--eval] [--eval-split <frac>] [--check-embeddings]
-          [--cluster-embeddings <k>] [--force] [--retrain]
+          [--cluster-embeddings <k>] [--force] [--retrain] [--no-autotune]
           [--encode <file>] [--decode <out>] [--checksum <hex>]
 
 Parsing is intentionally lenient like the reference's hand-rolled scanner
@@ -109,7 +109,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     _enable_compile_cache()
 
-    # Multi-chip: one "data" mesh over all local devices, used by every
+    # Multi-host bootstrap (must precede any device access): each process of
+    # a multi-machine job passes the same coordinator and its own id, and the
+    # mesh below then spans every host's devices with DCN between them
+    # (SURVEY.md §5.8).  Single-process runs skip this entirely.
+    from streamz_tpu.parallel import comm
+
+    comm.initialize_distributed(
+        _flag_value(args, "--coordinator"),
+        _parse_int(args, "--num-processes"),
+        _parse_int(args, "--process-id"),
+    )
+
+    # Multi-chip: one "data" mesh over all (global) devices, used by every
     # batched application stage (ingest frontend, initial corpus training,
     # eval embedding batches, long-clip identification).  The application-
     # level analogue of the reference's rayon fan-outs (src/main.rs:490-508,
@@ -118,7 +130,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     mesh = auto_mesh()
     if mesh is not None:
-        print(f"Running on {mesh.devices.size} devices (data-parallel mesh)")
+        import jax
+
+        host = (
+            f" across {jax.process_count()} hosts"
+            if jax.process_count() > 1
+            else ""
+        )
+        print(f"Running on {mesh.devices.size} devices (data-parallel mesh{host})")
 
     conf_threshold = _parse_float(args, "--threshold", config.DEFAULT_CONF_THRESHOLD)
     eval_split = _parse_float(args, "--eval-split", 0.2)
@@ -133,6 +152,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     force_retrain = "--force" in args or "--retrain" in args
     no_cache_wav = "--no-cache-wav" in args
     config.set_wav_cache_enabled(not no_cache_wav)
+    if "--no-autotune" in args:
+        # Skip the first-use measurement probes (several seconds of TPU
+        # cold-start); cached decisions still apply, a cold cache takes the
+        # static defaults.  Exported so worker subprocesses inherit it.
+        os.environ["STREAMZ_NO_AUTOTUNE"] = "1"
     profile = "--profile" in args
     profile_dir = None
     if profile:

@@ -179,11 +179,24 @@ def extract_features_batch(
         return []
     core = core or mfcc_features
     f32 = [_to_f32(c) for c in clips]
+    out: List[np.ndarray] = [None] * len(clips)  # type: ignore[list-item]
+
     buckets: dict[int, list[int]] = {}
     for i, c in enumerate(f32):
-        buckets.setdefault(_bucket_len(len(c)), []).append(i)
+        if mesh is not None and mesh.devices.size > 1:
+            # A clip long enough to dwarf the batch runs through the
+            # PCM-halo sharded frontend instead: all devices cooperate on
+            # its window axis rather than idling on this bucket's padding.
+            from streamz_tpu.parallel.window_parallel import (
+                LONG_CLIP_WINDOW_THRESHOLD,
+                mfcc_features_pcm_sharded,
+            )
 
-    out: List[np.ndarray] = [None] * len(clips)  # type: ignore[list-item]
+            n_win = (len(c) - config.WINDOW_SIZE) // config.HOP_SIZE + 1
+            if n_win >= LONG_CLIP_WINDOW_THRESHOLD:
+                out[i] = mfcc_features_pcm_sharded(c, mesh)
+                continue
+        buckets.setdefault(_bucket_len(len(c)), []).append(i)
     for tlen, idxs in buckets.items():
         batch = np.zeros((len(idxs), tlen), np.float32)
         lens = np.zeros((len(idxs),), np.int32)
@@ -191,11 +204,15 @@ def extract_features_batch(
             batch[row, : len(f32[i])] = f32[i]
             lens[row] = len(f32[i])
         if mesh is not None:
-            from streamz_tpu.parallel.mesh import pad_rows_to_mesh, put_batch_sharded
+            from streamz_tpu.parallel.mesh import (
+                fetch,
+                pad_rows_to_mesh,
+                put_batch_sharded,
+            )
 
             _, (batch_p, lens_p) = pad_rows_to_mesh(mesh, batch, lens)
             batch_d, lens_d = put_batch_sharded(mesh, batch_p, lens_p)
-            feats = np.asarray(sharded_frontend(core, mesh)(batch_d, lens_d))
+            feats = fetch(sharded_frontend(core, mesh)(batch_d, lens_d))
         else:
             feats = np.asarray(core(jnp.asarray(batch), jnp.asarray(lens)))
         n_wins = np.asarray(window_count(lens))

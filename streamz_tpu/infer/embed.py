@@ -107,7 +107,9 @@ def batch_clip_embeddings(net: SpeakerNet, clips, mesh=None) -> list:
             batch[row, : len(arrs[i])] = arrs[i]
             lens[row] = len(arrs[i])
         batch_d, lens_d = _put_bucket(batch, lens, mesh)
-        embs = np.asarray(_fembed_mean_batch(net.params, batch_d, lens_d))
+        from streamz_tpu.parallel.mesh import fetch
+
+        embs = fetch(_fembed_mean_batch(net.params, batch_d, lens_d))
         for row, i in enumerate(idxs):
             out[i] = normalize(embs[row])
     return out
@@ -164,7 +166,9 @@ def batch_median_embeddings(net: SpeakerNet, clips, mesh=None) -> list:
             batch[row, : len(arrs[i])] = arrs[i]
             lens[row] = len(arrs[i])
         batch_d, lens_d = _put_bucket(batch, lens, mesh)
-        embs = np.asarray(_fembed_median_batch(net.params, batch_d, lens_d))
+        from streamz_tpu.parallel.mesh import fetch
+
+        embs = fetch(_fembed_median_batch(net.params, batch_d, lens_d))
         for row, i in enumerate(idxs):
             out[i] = normalize(embs[row])
     return out

@@ -36,10 +36,33 @@ def _windows_of(net: SpeakerNet, sample, extractor):
     return extractor.extract(np.asarray(sample))
 
 
+def _long_mesh(mesh, n_windows: int) -> bool:
+    from streamz_tpu.parallel.window_parallel import LONG_CLIP_WINDOW_THRESHOLD
+
+    return (
+        mesh is not None
+        and mesh.devices.size > 1
+        and n_windows >= LONG_CLIP_WINDOW_THRESHOLD
+    )
+
+
 def identify_speaker(
-    net: SpeakerNet, sample, extractor=None
+    net: SpeakerNet, sample, extractor=None, mesh=None
 ) -> int:
-    """Argmax of summed window softmax (src/lib.rs:1285-1303)."""
+    """Argmax of summed window softmax (src/lib.rs:1285-1303).
+
+    With ``mesh``, a long clip runs as ONE fused SPMD program — PCM-sharded
+    frontend → forward → psum vote sums over ICI
+    (:func:`streamz_tpu.parallel.window_parallel.identify_speaker_pcm_sharded`).
+    """
+    sample = np.asarray(sample)
+    from streamz_tpu import config
+
+    n_win = max((len(sample) - config.WINDOW_SIZE) // config.HOP_SIZE + 1, 0)
+    if _long_mesh(mesh, n_win) and net.num_speakers:
+        from streamz_tpu.parallel.window_parallel import identify_speaker_pcm_sharded
+
+        return identify_speaker_pcm_sharded(net, sample, mesh)
     windows = _windows_of(net, sample, extractor)
     if len(windows) == 0:
         return 0
@@ -48,29 +71,37 @@ def identify_speaker(
 
 
 def identify_speaker_with_threshold_feats(
-    net: SpeakerNet, windows: np.ndarray, threshold: float
+    net: SpeakerNet, windows: np.ndarray, threshold: float, mesh=None
 ) -> Optional[int]:
-    """Thresholded voting on precomputed windows (src/lib.rs:1346-1377)."""
+    """Thresholded voting on precomputed windows (src/lib.rs:1346-1377).
+
+    With ``mesh``, a long window set (cached-feature path) shards its window
+    axis across the mesh and psums the vote sums (the CP analogue)."""
     if net.output_size() <= 1:
         return None  # single-speaker nets always answer "unknown" (:1316-1318)
     windows = np.asarray(windows, np.float32)
     if len(windows) == 0:
         return None
-    sums, _ = _prob_sums(net.params, jnp.asarray(windows), net.num_speakers)
-    sums = np.asarray(sums)[: net.num_speakers]
+    if _long_mesh(mesh, len(windows)):
+        from streamz_tpu.parallel.window_parallel import vote_sums_sharded
+
+        sums = vote_sums_sharded(net, windows, mesh)
+    else:
+        sums, _ = _prob_sums(net.params, jnp.asarray(windows), net.num_speakers)
+        sums = np.asarray(sums)[: net.num_speakers]
     best_idx = int(sums.argmax())
     confidence = float(sums[best_idx]) / len(windows)
     return best_idx if confidence >= threshold else None
 
 
 def identify_speaker_with_threshold(
-    net: SpeakerNet, sample, threshold: float, extractor=None
+    net: SpeakerNet, sample, threshold: float, extractor=None, mesh=None
 ) -> Optional[int]:
     """Thresholded voting on raw PCM (src/lib.rs:1307-1343)."""
     if net.output_size() <= 1:
         return None
     windows = _windows_of(net, sample, extractor)
-    return identify_speaker_with_threshold_feats(net, windows, threshold)
+    return identify_speaker_with_threshold_feats(net, windows, threshold, mesh=mesh)
 
 
 def identify_speaker_list(

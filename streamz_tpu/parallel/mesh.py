@@ -74,12 +74,28 @@ def pad_rows_to_mesh(
     return n, tuple(out)
 
 
+def fetch(x) -> np.ndarray:
+    """Host copy of a device array, multi-host-safe.
+
+    ``np.asarray`` when the array is fully addressable (single process, or
+    replicated outputs); otherwise the shards are gathered across processes
+    first (``process_allgather``) — fetching a multi-host-sharded array
+    directly raises in JAX.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def put_batch_sharded(mesh: Mesh, *arrays):
-    """device_put arrays with the leading axis sharded over the data axis
+    """device_put arrays with the leading axis sharded over the mesh's axis
     (everything else replicated) — pjit compiles the downstream jitted
     function SPMD from these input shardings alone."""
     out = []
+    axis = mesh.axis_names[0]
     for a in arrays:
-        spec = P(comm.DATA_AXIS, *([None] * (a.ndim - 1)))
+        spec = P(axis, *([None] * (a.ndim - 1)))
         out.append(jax.device_put(a, NamedSharding(mesh, spec)))
     return tuple(out)

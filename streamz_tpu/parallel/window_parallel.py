@@ -93,6 +93,13 @@ def make_window_mesh(n_devices=None) -> Mesh:
     return comm.make_mesh(n_devices, axis=comm.WINDOW_AXIS)
 
 
+# A 10-minute 44.1 kHz clip is ~66k hop-400 windows; below ~16k windows the
+# single-device forward beats paying the collective (measured round 2).  The
+# app layers (incremental loop, identify voting, ingest) route clips at or
+# above this many windows through the sharded programs here.
+LONG_CLIP_WINDOW_THRESHOLD = 16384
+
+
 # ---------------------------------------------------------------------------
 # Host-level conveniences: pad a clip's window set to the mesh and run the
 # sharded aggregations.
@@ -113,20 +120,28 @@ def _pad_to_mesh(windows, mesh: Mesh):
     return padded, valid
 
 
-def identify_speaker_sharded(net, windows, mesh: Mesh) -> int:
-    """``identify_speaker`` with the window axis sharded across the mesh."""
+def vote_sums_sharded(net, windows, mesh: Mesh):
+    """Global softmax vote sums over mesh-sharded windows: the engine behind
+    :func:`identify_speaker_sharded` and the ``mesh`` path of
+    ``identify_speaker_with_threshold_feats``.  Returns a ``[num_speakers]``
+    numpy array."""
     import numpy as np
     import jax.numpy as jnp
 
-    if len(windows) == 0:
-        return 0  # src/lib.rs:1302 unwrap_or(0)
     padded, valid = _pad_to_mesh(windows, mesh)
     step = make_sharded_vote_step(mesh)
     sums, _ = step(
         net.params, jnp.asarray(padded), jnp.asarray(valid),
         jnp.int32(net.num_speakers),
     )
-    return int(np.asarray(sums)[: net.num_speakers].argmax())
+    return np.asarray(sums)[: net.num_speakers]
+
+
+def identify_speaker_sharded(net, windows, mesh: Mesh) -> int:
+    """``identify_speaker`` with the window axis sharded across the mesh."""
+    if len(windows) == 0:
+        return 0  # src/lib.rs:1302 unwrap_or(0)
+    return int(vote_sums_sharded(net, windows, mesh).argmax())
 
 
 def extract_embedding_sharded(net, windows, mesh: Mesh):
@@ -312,7 +327,9 @@ def mfcc_features_pcm_sharded(samples, mesh: Mesh):
         return np.zeros((0, config.FEATURE_SIZE), np.float32)
     feats_fn, _, _ = _make_sharded_frontend_programs(mesh, wl)
     feats = feats_fn(pcm_s, jnp.int32(n_win))
-    return np.asarray(feats)[:n_win].copy()
+    from streamz_tpu.parallel.mesh import fetch
+
+    return fetch(feats)[:n_win].copy()
 
 
 def identify_speaker_pcm_sharded(net, samples, mesh: Mesh) -> int:

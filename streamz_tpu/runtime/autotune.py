@@ -50,6 +50,13 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu" or "axon" in str(dev.platform)
 
 
+def probing_disabled() -> bool:
+    """``STREAMZ_NO_AUTOTUNE=1`` (or the CLI's ``--no-autotune``) skips every
+    measurement probe: cached decisions are still honored, but a cold cache
+    resolves to the static per-stage default with zero probe cost."""
+    return os.environ.get("STREAMZ_NO_AUTOTUNE", "0") == "1"
+
+
 def median_time(fn: Callable[[], None], reps: int = 3) -> float:
     times = []
     for _ in range(reps):
@@ -94,6 +101,8 @@ def measured_choice(
     if not on_tpu():
         _memory[key] = default
         return default
+    if probing_disabled():
+        return default  # no probe, no pin: the next process may re-measure
 
     best_name, best_t = default, float("inf")
     measured = 0

@@ -98,3 +98,60 @@ def test_trailing_partial_block_clip(mesh):
         net = SpeakerNet.new(output=3, seed=0)
         wp.identify_speaker_pcm_sharded(net, clip, mesh)
         wp.extract_embedding_pcm_sharded(net, clip, mesh)
+
+
+def test_long_clip_routing_in_batch_ingest(mesh, monkeypatch):
+    """extract_features_batch routes clips at/above the long-clip threshold
+    through the PCM-sharded frontend (all devices cooperate on one clip's
+    window axis) while short clips keep the clip-axis-sharded batch path."""
+    from streamz_tpu.dsp import mfcc
+    from streamz_tpu.parallel import window_parallel as wp2
+
+    monkeypatch.setattr(wp2, "LONG_CLIP_WINDOW_THRESHOLD", 64)
+    rng = np.random.default_rng(9)
+    long_clip = rng.normal(0, 3000, size=100 * 400 + 400).astype(np.int16)
+    short_clip = rng.normal(0, 3000, size=8000).astype(np.int16)
+
+    calls = {"n": 0}
+    real = wp2.mfcc_features_pcm_sharded
+
+    def spying(c, m):
+        calls["n"] += 1
+        return real(c, m)
+
+    monkeypatch.setattr(wp2, "mfcc_features_pcm_sharded", spying)
+    got = mfcc.extract_features_batch([long_clip, short_clip], mesh=mesh)
+    assert calls["n"] == 1
+    ref = mfcc.extract_features_batch([long_clip, short_clip])
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_identify_with_threshold_mesh_routing(mesh, monkeypatch):
+    """identify_speaker_with_threshold_feats routes long cached-feature sets
+    through the sharded vote sums and agrees with the local path."""
+    from streamz_tpu.infer import identify as idf
+    from streamz_tpu.parallel import window_parallel as wp2
+
+    monkeypatch.setattr(wp2, "LONG_CLIP_WINDOW_THRESHOLD", 32)
+    rng = np.random.default_rng(10)
+    net = SpeakerNet.new(output=4, seed=0)
+    windows = rng.normal(0, 1, size=(100, 60)).astype(np.float32)
+    local = idf.identify_speaker_with_threshold_feats(net, windows, 0.0)
+    shard = idf.identify_speaker_with_threshold_feats(net, windows, 0.0, mesh=mesh)
+    assert local == shard
+
+    # identify_speaker on long PCM routes through the fused SPMD program.
+    clip = rng.normal(0, 3000, size=40 * 400 + 400).astype(np.int16)
+    monkeypatch.setattr(wp2, "LONG_CLIP_WINDOW_THRESHOLD", 16)
+    calls = {"n": 0}
+    real = wp2.identify_speaker_pcm_sharded
+
+    def spying(n, c, m):
+        calls["n"] += 1
+        return real(n, c, m)
+
+    monkeypatch.setattr(wp2, "identify_speaker_pcm_sharded", spying)
+    got = idf.identify_speaker(net, clip, mesh=mesh)
+    assert calls["n"] == 1
+    assert got == idf.identify_speaker(net, clip)
