@@ -337,7 +337,22 @@ def _kernel3_constants():
         out[:, :n_bins] = m
         return out
 
-    dft = np.concatenate([pad_bins(ct), pad_bins(st)], axis=1)  # [400, 1024]
+    # Strip-major layout: [cos s0 | sin s0 | cos s1 | sin s1 | ...] so each
+    # strip's cos‖sin basis is ONE contiguous column range — the kernel
+    # slices the VMEM ref instead of concatenating two non-adjacent halves
+    # per tile (which cost ~1.6 MB of in-kernel copies per grid step).
+    cos_all, sin_all = pad_bins(ct), pad_bins(st)
+    sw = _BINS_PAD // _STRIPS3
+    dft = np.concatenate(
+        [
+            np.concatenate(
+                [cos_all[:, s * sw:(s + 1) * sw], sin_all[:, s * sw:(s + 1) * sw]],
+                axis=1,
+            )
+            for s in range(_STRIPS3)
+        ],
+        axis=1,
+    )  # [400, 1024]
     dft_hi = dft.astype(ml_dtypes.bfloat16)
     dft_lo = (dft - dft_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
 
@@ -376,12 +391,10 @@ def _mfcc_kernel_v3(main_ref, halo_ref, dft_hi_ref, dft_lo_ref, sign_ref,
     mel_lo_acc = jnp.zeros((_TILE3, _CH_PAD), jnp.float32)
     for si in range(_STRIPS3):
         lo = si * sw
-        dh_s = jnp.concatenate(
-            [dft_hi_ref[:, lo:lo + sw],
-             dft_hi_ref[:, _BINS_PAD + lo:_BINS_PAD + lo + sw]], axis=1)
-        dl_s = jnp.concatenate(
-            [dft_lo_ref[:, lo:lo + sw],
-             dft_lo_ref[:, _BINS_PAD + lo:_BINS_PAD + lo + sw]], axis=1)
+        # Strip-major constant layout (see _kernel3_constants): this strip's
+        # cos‖sin basis is one contiguous slice of the ref — no copy.
+        dh_s = dft_hi_ref[:, 2 * lo: 2 * lo + 2 * sw]
+        dl_s = dft_lo_ref[:, 2 * lo: 2 * lo + 2 * sw]
         parts = jnp.dot(x_hi, dh_s, preferred_element_type=jnp.float32)
         parts += jnp.dot(x_lo, dh_s, preferred_element_type=jnp.float32)
         parts += jnp.dot(x_hi, dl_s, preferred_element_type=jnp.float32)
