@@ -31,7 +31,10 @@ def _chain(fn, *args, iters=8):
     @jax.jit
     def chained(*a):
         def body(c, _):
-            r = fn(*(x + c if i == 0 else x for i, x in enumerate(a)))
+            # Data-dependency chaining without dtype promotion: adding the
+            # f32 carry to a bf16 operand would silently upcast the GEMM.
+            r = fn(*(x + c.astype(x.dtype) if i == 0 else x
+                     for i, x in enumerate(a)))
             return jnp.sum(r[:1, :1]).astype(jnp.float32) * 1e-20, None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return c
@@ -45,7 +48,23 @@ def _chain(fn, *args, iters=8):
     return sorted(times)[1] / iters
 
 
+def _wait_device_healthy(max_wait_s: float = 2400.0) -> None:
+    """Probe in a subprocess until the tunnel responds (see bench.py)."""
+    import subprocess
+
+    deadline = time.monotonic() + max_wait_s
+    probe = "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))"
+    while time.monotonic() < deadline:
+        try:
+            subprocess.run([sys.executable, "-c", probe], check=True,
+                           timeout=90, capture_output=True)
+            return
+        except Exception:
+            time.sleep(60)
+
+
 def main():
+    _wait_device_healthy()
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/streamz_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
