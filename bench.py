@@ -122,7 +122,13 @@ def _bench_device(net, frontend_core, batch_clips: int = 32,
     def chained(pcm, n_samples):
         def body(c, _):
             sums = pipeline(pcm + c, n_samples)
-            return jnp.sum(sums) * 1e-12, None
+            # Consume via a per-clip max (argmax-like, the app's own
+            # aggregation): a plain sum over classes would equal the valid
+            # window count if the algebraic simplifier ever cancels
+            # softmax's exp/Σexp, deleting the classifier GEMMs.  (Checked:
+            # today's HLO keeps them even under sum; max is structurally
+            # collapse-proof.)
+            return jnp.sum(jnp.max(sums, axis=-1)) * 1e-12, None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return c
 
@@ -241,7 +247,11 @@ def _session_peak_tflops(iters: int = 8) -> float:
         def body(c, _):
             r = jnp.dot(x + c.astype(x.dtype), y,
                         preferred_element_type=jnp.float32)
-            return jnp.sum(r[:1, :1]) * 1e-20, None
+            # Full-sum consumer: a sliced consumer (sum(r[:1,:1])) lets
+            # XLA's slice-of-dot rewrite shrink the 4096^3 GEMM to a 1x1
+            # dot, and the "peak" becomes pure dispatch latency (verified
+            # in compiled HLO; the reduce it adds is ~10% of GEMM time).
+            return jnp.sum(r) * 1e-20, None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return c
 

@@ -35,7 +35,12 @@ def _chain(fn, *args, iters=8):
             # f32 carry to a bf16 operand would silently upcast the GEMM.
             r = fn(*(x + c.astype(x.dtype) if i == 0 else x
                      for i, x in enumerate(a)))
-            return jnp.sum(r[:1, :1]).astype(jnp.float32) * 1e-20, None
+            # The consumer MUST keep every output element live: a sliced
+            # consumer (sum(r[:1,:1])) lets XLA's slice-of-dot rewrite
+            # shrink the whole GEMM to a 1x1 dot, and the probe then times
+            # dispatch latency (verified in compiled HLO — the round-3
+            # numbers recorded before this fix were exactly that artifact).
+            return jnp.sum(r).astype(jnp.float32) * 1e-20, None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return c
 

@@ -26,13 +26,17 @@ def _chain_dot(a, b, prefer, iters=8):
     @jax.jit
     def chained(x, y):
         def body(c, _):
-            # Data-dependency chain without changing the operand dtype.
-            xx = (x + c.astype(x.dtype)) if x.dtype != jnp.int8 else x
+            # Serialize iterations without changing the operand dtype (an
+            # int8 operand can't absorb a float carry): the barrier's
+            # output is loop-defined, so neither CSE nor loop-invariant
+            # code motion can hoist the dot out of the scan.
+            xx, cc = jax.lax.optimization_barrier((x, c))
             r = jnp.dot(xx, y, preferred_element_type=prefer)
-            s = jnp.sum(r[:1, :1]).astype(jnp.float32) * 1e-20
-            # int8 operands can't carry a float; fold the scalar into a
-            # dummy f32 side-channel so iterations still serialize.
-            return s + c * 0.5, None
+            # Full-sum consumer: a sliced consumer (sum(r[:1,:1])) lets
+            # XLA's slice-of-dot rewrite shrink the GEMM to a 1x1 dot and
+            # the probe then times dispatch latency (verified in HLO).
+            s = jnp.sum(r.astype(jnp.float32)) * 1e-20
+            return s + cc * 0.5, None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return c
 

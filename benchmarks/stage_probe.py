@@ -62,12 +62,11 @@ def _stage_kernel(stage: str, n_strips: int, tile: int, presplit: bool):
         mel_lo_acc = jnp.zeros((tile, _CH_PAD), jnp.float32)
         for si in range(n_strips):
             lo = si * sw
-            dh_s = jnp.concatenate(
-                [dft_hi_ref[:, lo:lo + sw],
-                 dft_hi_ref[:, _BINS_PAD + lo:_BINS_PAD + lo + sw]], axis=1)
-            dl_s = jnp.concatenate(
-                [dft_lo_ref[:, lo:lo + sw],
-                 dft_lo_ref[:, _BINS_PAD + lo:_BINS_PAD + lo + sw]], axis=1)
+            # Strip-major constant layout (matches the shipped kernel,
+            # _kernel3_constants(n_strips)): this strip's cos‖sin basis is
+            # one contiguous, copy-free slice of the ref.
+            dh_s = dft_hi_ref[:, 2 * lo: 2 * lo + 2 * sw]
+            dl_s = dft_lo_ref[:, 2 * lo: 2 * lo + 2 * sw]
             parts = jnp.dot(x_hi, dh_s, preferred_element_type=jnp.float32)
             parts += jnp.dot(x_lo, dh_s, preferred_element_type=jnp.float32)
             parts += jnp.dot(x_hi, dl_s, preferred_element_type=jnp.float32)
@@ -116,7 +115,7 @@ def _make_call(stage: str, n_strips: int, tile: int, presplit: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     dft_hi, dft_lo, sign, mel_cat, mel_hi, dct = (
-        jnp.asarray(a) for a in _kernel3_constants()
+        jnp.asarray(a) for a in _kernel3_constants(n_strips)
     )
     hb = tile // _HALO3
     const_specs = [
@@ -165,7 +164,12 @@ def time_variant(call, blocks, iters: int) -> float:
     def chained(b):
         def body(c, _):
             r = call(b + c)
-            return jnp.sum(r[:8, :1]) * 1e-20, None
+            # Full-sum consumer: a sliced consumer would let XLA shrink any
+            # non-opaque computation feeding it (slice-of-dot rewrites
+            # reduce a sliced GEMM to a 1x1 dot — found the hard way in
+            # gemm_probe; pallas_call is opaque, but keep the probes
+            # uniformly collapse-proof).
+            return jnp.sum(r) * 1e-20, None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return c
 
@@ -204,18 +208,44 @@ def main():
         ("full_tile1024", dict(stage="full", n_strips=2, tile=1024, presplit=False)),
         ("full_tile256", dict(stage="full", n_strips=2, tile=256, presplit=False)),
         ("full_presplit", dict(stage="full", n_strips=2, tile=512, presplit=True)),
+        # Combined candidates (each single change measured faster than the
+        # shipped config in the first fixed-layout run):
+        ("presplit_s1", dict(stage="full", n_strips=1, tile=512, presplit=True)),
+        ("presplit_t1024", dict(stage="full", n_strips=2, tile=1024, presplit=True)),
+        ("presplit_s1_t1024", dict(stage="full", n_strips=1, tile=1024, presplit=True)),
+        ("s1_t1024", dict(stage="full", n_strips=1, tile=1024, presplit=False)),
     ]
-    for name, kw in variants:
-        try:
-            call = _make_call(**kw)
-            t = time_variant(call, blocks, iters)
-            print(json.dumps({
-                "variant": name,
-                "win_per_s": round(n_win / t, 1),
-                "ns_per_win": round(1e9 * t / n_win, 2),
-            }), flush=True)
-        except Exception as e:
-            print(json.dumps({"variant": name, "error": str(e)[:200]}), flush=True)
+    repeat = 2 if "--repeat" in sys.argv else 1
+    for r in range(repeat):
+        for name, kw in variants:
+            try:
+                call = _make_call(**kw)
+                t = time_variant(call, blocks, iters)
+                print(json.dumps({
+                    "variant": name,
+                    "win_per_s": round(n_win / t, 1),
+                    "ns_per_win": round(1e9 * t / n_win, 2),
+                }), flush=True)
+            except Exception as e:
+                print(json.dumps({"variant": name, "error": str(e)[:200]}), flush=True)
+
+        # Same-process reference: the SHIPPED kernel via its public wrapper
+        # (tail call + 20-col slice included) — anchors the variants above
+        # to what users actually run, in the same session state.
+        from streamz_tpu.dsp.pallas_mfcc import mfcc_base_pallas_v3
+
+        pcm = blocks.reshape(1, -1)  # [1, rows*400]: nb=rows, rows-1 windows
+
+        def shipped(p):
+            return mfcc_base_pallas_v3(p)
+
+        t = time_variant(shipped, pcm, iters)
+        nw = blocks.shape[0] - 1
+        print(json.dumps({
+            "variant": "shipped_v3_wrapper",
+            "win_per_s": round(nw / t, 1),
+            "ns_per_win": round(1e9 * t / nw, 2),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -45,7 +45,7 @@ import numpy as np
 
 from streamz_tpu import config
 from streamz_tpu.infer.embed import average_vectors
-from streamz_tpu.nn.drivers import _fresh_key, _pad_windows
+from streamz_tpu.nn.drivers import _fresh_key
 from streamz_tpu.nn.model import SpeakerNet, forward_embedding
 from streamz_tpu.nn.train import train_on_windows_impl
 from streamz_tpu.runtime.progress import progress

@@ -158,7 +158,15 @@ class FeatureExtractor:
         host-only)."""
         if self.backend == "numpy":
             return [mfcc_ref.extract_features_np(c) for c in clips]
-        return mfcc.extract_features_batch(clips, core=self._core(), mesh=mesh)
+        resolved = self._resolved()
+        # The PCM-halo long-clip route is bit-equal to the XLA core; honor a
+        # user-forced Pallas backend strictly (the bucket path runs that
+        # exact kernel per shard), but let 'auto' — which promises a
+        # measured winner, not a specific bit pattern — use it.
+        return mfcc.extract_features_batch(
+            clips, core=_core_for(resolved), mesh=mesh,
+            allow_pcm_sharded=(self.backend == "auto" or resolved == "jax"),
+        )
 
 
 _GLOBAL_EXTRACTOR = FeatureExtractor()

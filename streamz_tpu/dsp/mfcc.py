@@ -159,7 +159,8 @@ def extract_features(samples: np.ndarray, core=None) -> np.ndarray:
 
 
 def extract_features_batch(
-    clips: Sequence[np.ndarray], core=None, mesh=None
+    clips: Sequence[np.ndarray], core=None, mesh=None,
+    allow_pcm_sharded: bool | None = None,
 ) -> List[np.ndarray]:
     """Many ragged clips → list of [n_windows_i, 60] arrays.
 
@@ -174,24 +175,36 @@ def extract_features_batch(
     the clip axis sharded — every frontend (XLA *or* the fused Pallas
     kernels, which auto-SPMD cannot partition) scales over chips with
     device-count-invariant results (the frontend is elementwise per clip).
+
+    ``allow_pcm_sharded`` controls whether very long clips may route through
+    the PCM-halo window-sharded frontend, which is bit-equal to the *XLA*
+    core specifically; it defaults to True only when the effective core is
+    the XLA formulation, so a caller forcing a Pallas core gets that exact
+    kernel for every clip (still sharded, via the bucket path).
     """
     if not clips:
         return []
+    if allow_pcm_sharded is None:
+        allow_pcm_sharded = core is None or core is mfcc_features
     core = core or mfcc_features
     f32 = [_to_f32(c) for c in clips]
     out: List[np.ndarray] = [None] * len(clips)  # type: ignore[list-item]
 
+    shard_long = (
+        allow_pcm_sharded and mesh is not None and mesh.devices.size > 1
+    )
+    if shard_long:
+        # A clip long enough to dwarf the batch runs through the PCM-halo
+        # sharded frontend instead: all devices cooperate on its window
+        # axis rather than idling on this bucket's padding.
+        from streamz_tpu.parallel.window_parallel import (
+            LONG_CLIP_WINDOW_THRESHOLD,
+            mfcc_features_pcm_sharded,
+        )
+
     buckets: dict[int, list[int]] = {}
     for i, c in enumerate(f32):
-        if mesh is not None and mesh.devices.size > 1:
-            # A clip long enough to dwarf the batch runs through the
-            # PCM-halo sharded frontend instead: all devices cooperate on
-            # its window axis rather than idling on this bucket's padding.
-            from streamz_tpu.parallel.window_parallel import (
-                LONG_CLIP_WINDOW_THRESHOLD,
-                mfcc_features_pcm_sharded,
-            )
-
+        if shard_long:
             n_win = (len(c) - config.WINDOW_SIZE) // config.HOP_SIZE + 1
             if n_win >= LONG_CLIP_WINDOW_THRESHOLD:
                 out[i] = mfcc_features_pcm_sharded(c, mesh)

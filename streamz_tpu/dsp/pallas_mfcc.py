@@ -322,13 +322,15 @@ _TILE3 = 512
 _HALO3 = 8  # one sublane-aligned halo block-row; only row +1 is consumed
 
 
-@lru_cache(maxsize=1)
-def _kernel3_constants():
+@lru_cache(maxsize=4)
+def _kernel3_constants(n_strips: int = None):
     from streamz_tpu.dsp.mel import bin_parity_sign, dct2_matrix, mel_filterbank
     from streamz_tpu.dsp.mel import dft_block_matrices
 
     import ml_dtypes
 
+    if n_strips is None:
+        n_strips = _STRIPS3
     ct, _cb, st, _sb = dft_block_matrices()
     n_bins = ct.shape[1]  # 401
 
@@ -342,14 +344,14 @@ def _kernel3_constants():
     # slices the VMEM ref instead of concatenating two non-adjacent halves
     # per tile (which cost ~1.6 MB of in-kernel copies per grid step).
     cos_all, sin_all = pad_bins(ct), pad_bins(st)
-    sw = _BINS_PAD // _STRIPS3
+    sw = _BINS_PAD // n_strips
     dft = np.concatenate(
         [
             np.concatenate(
                 [cos_all[:, s * sw:(s + 1) * sw], sin_all[:, s * sw:(s + 1) * sw]],
                 axis=1,
             )
-            for s in range(_STRIPS3)
+            for s in range(n_strips)
         ],
         axis=1,
     )  # [400, 1024]

@@ -46,6 +46,14 @@ def _long_mesh(mesh, n_windows: int) -> bool:
     )
 
 
+def _default_frontend(extractor) -> bool:
+    """True when the fused PCM-sharded fast path (which computes features
+    with the XLA formulation) is faithful to the caller's extractor choice."""
+    return extractor is None or getattr(extractor, "backend", "auto") in (
+        "auto", "jax",
+    )
+
+
 def identify_speaker(
     net: SpeakerNet, sample, extractor=None, mesh=None
 ) -> int:
@@ -59,7 +67,7 @@ def identify_speaker(
     from streamz_tpu import config
 
     n_win = max((len(sample) - config.WINDOW_SIZE) // config.HOP_SIZE + 1, 0)
-    if _long_mesh(mesh, n_win) and net.num_speakers:
+    if _long_mesh(mesh, n_win) and net.num_speakers and _default_frontend(extractor):
         from streamz_tpu.parallel.window_parallel import identify_speaker_pcm_sharded
 
         return identify_speaker_pcm_sharded(net, sample, mesh)

@@ -188,9 +188,9 @@ def test_extractor_keeps_mesh_for_pallas_backend(monkeypatch):
     seen = {}
     real = mfcc.extract_features_batch
 
-    def spying(clips, core=None, mesh=None):
+    def spying(clips, core=None, mesh=None, **kw):
         seen["mesh"] = mesh
-        return real(clips, core=core, mesh=mesh)
+        return real(clips, core=core, mesh=mesh, **kw)
 
     monkeypatch.setattr(mfcc, "extract_features_batch", spying)
     # features.py imported `mfcc` as a module, so the monkeypatch is seen.

@@ -127,6 +127,65 @@ def test_long_clip_routing_in_batch_ingest(mesh, monkeypatch):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_forced_backend_skips_pcm_sharded_route(mesh, monkeypatch):
+    """The PCM-halo long-clip route computes features with the XLA
+    formulation, so a caller *forcing* a Pallas backend must not be routed
+    through it — the forced kernel runs for every clip (still sharded, via
+    the clip-axis bucket path).  'auto'/'jax' keep the cooperative route."""
+    from streamz_tpu.dsp import mfcc
+    from streamz_tpu.dsp.features import FeatureExtractor
+    from streamz_tpu.parallel import window_parallel as wp2
+
+    monkeypatch.setattr(wp2, "LONG_CLIP_WINDOW_THRESHOLD", 64)
+    rng = np.random.default_rng(11)
+    long_clip = rng.normal(0, 3000, size=100 * 400 + 400).astype(np.int16)
+
+    calls = {"n": 0}
+    real = wp2.mfcc_features_pcm_sharded
+
+    def spying(c, m):
+        calls["n"] += 1
+        return real(c, m)
+
+    monkeypatch.setattr(wp2, "mfcc_features_pcm_sharded", spying)
+    forced = FeatureExtractor("pallas_v3")
+    got = forced.extract_batch([long_clip], mesh=mesh)
+    assert calls["n"] == 0  # honored the forced kernel
+    np.testing.assert_array_equal(got[0], forced.extract(long_clip))
+
+    FeatureExtractor("jax").extract_batch([long_clip], mesh=mesh)
+    assert calls["n"] == 1  # the XLA-core route is faithful -> taken
+
+
+def test_identify_forced_extractor_skips_fused_route(mesh, monkeypatch):
+    """identify_speaker honors a caller-forced extractor: the fused
+    PCM-sharded fast path (XLA features) is only taken for default/'auto'
+    extractors."""
+    from streamz_tpu.dsp.features import FeatureExtractor
+    from streamz_tpu.infer import identify as idf
+    from streamz_tpu.parallel import window_parallel as wp2
+
+    monkeypatch.setattr(wp2, "LONG_CLIP_WINDOW_THRESHOLD", 16)
+    rng = np.random.default_rng(12)
+    net = SpeakerNet.new(output=4, seed=0)
+    clip = rng.normal(0, 3000, size=40 * 400 + 400).astype(np.int16)
+
+    calls = {"n": 0}
+    real = wp2.identify_speaker_pcm_sharded
+
+    def spying(n, c, m):
+        calls["n"] += 1
+        return real(n, c, m)
+
+    monkeypatch.setattr(wp2, "identify_speaker_pcm_sharded", spying)
+    ext = FeatureExtractor("numpy")
+    got = idf.identify_speaker(net, clip, extractor=ext, mesh=mesh)
+    assert calls["n"] == 0  # forced golden-spec features, no bypass
+    assert got == idf.identify_speaker(net, clip, extractor=ext)
+    idf.identify_speaker(net, clip, mesh=mesh)
+    assert calls["n"] == 1  # default extractor still takes the fused path
+
+
 def test_identify_with_threshold_mesh_routing(mesh, monkeypatch):
     """identify_speaker_with_threshold_feats routes long cached-feature sets
     through the sharded vote sums and agrees with the local path."""
