@@ -285,6 +285,18 @@ def main() -> None:
     cpu_rate = _bench_cpu_baseline(net)
     peak = _bf16_peak()
     session_peak = max(peak_before, peak_after)
+    exec_tflops = exec_fps / 1e12
+    # The tunnel time-slices the chip, so the delivered rate drifts *within*
+    # a session (measured 21-100% of nameplate).  When the pipeline itself
+    # sustained a higher executed-FLOP rate than either bracketing
+    # canonical-GEMM probe caught, the pipeline's own rate is the best
+    # available lower bound on what the chip could do this session — use it
+    # as the denominator (a ">1 utilization" would only measure probe
+    # timing luck) and record which program set the peak.
+    peak_source = "gemm_probe"
+    if exec_tflops > session_peak:
+        session_peak = exec_tflops
+        peak_source = "pipeline"
     print(
         json.dumps(
             {
@@ -296,13 +308,14 @@ def main() -> None:
                 "algo_tflops": round(algo_fps / 1e12, 2),
                 "mfu": round(algo_fps / peak, 4),
                 "hw_util": round(exec_fps / peak, 4),
-                # Same-session achievable MXU rate (max of a canonical-GEMM
-                # measurement before and after the pipeline phase) and
-                # utilization against it — the denominator that separates
-                # session throttling from kernel efficiency
-                # (benchmarks/ROOFLINE.md round 3).  Values > 1 mean the
-                # chip rate drifted even between the brackets.
+                # Same-session achievable MXU rate (max of canonical-GEMM
+                # probes bracketing the pipeline phase, and of the pipeline's
+                # own executed rate) and utilization against it — the
+                # denominator that separates session throttling from kernel
+                # efficiency (benchmarks/ROOFLINE.md round 3).
+                "exec_tflops": round(exec_tflops, 2),
                 "session_peak_tflops": round(session_peak, 1),
+                "session_peak_source": peak_source,
                 "util_vs_session_peak": (
                     round(exec_fps / (session_peak * 1e12), 4)
                     if session_peak else None

@@ -26,7 +26,9 @@ from streamz_tpu.io import audio
 
 R = TypeVar("R")
 
-_BACKENDS = ("auto", "jax", "pallas", "pallas_v2", "pallas_v3", "numpy")
+_BACKENDS = (
+    "auto", "jax", "pallas", "pallas_v2", "pallas_v3", "pallas_v4", "numpy"
+)
 
 
 def _core_for(backend: str):
@@ -42,6 +44,10 @@ def _core_for(backend: str):
         from streamz_tpu.dsp.pallas_mfcc import mfcc_features_pallas_v3
 
         return mfcc_features_pallas_v3
+    if backend == "pallas_v4":
+        from streamz_tpu.dsp.pallas_mfcc import mfcc_features_pallas_v4
+
+        return mfcc_features_pallas_v4
     return mfcc.mfcc_features
 
 
@@ -69,9 +75,10 @@ def _time_frontend(core, pcm, n_samples, iters: int = 8) -> float:
 
 
 def autotune_frontend(force: bool = False) -> str:
-    """Measure XLA vs Pallas-v3 on this device and return the winner
-    ('jax' or 'pallas_v3').  Non-TPU backends return 'jax' without probing.
-    The result is cached in-process and on disk per device kind."""
+    """Measure the XLA formulation against the fused Pallas kernels (v3 and
+    the packed-basis v4) on this device and return the winner.  Non-TPU
+    backends return 'jax' without probing.  The result is cached in-process
+    and on disk per device kind."""
     from streamz_tpu.runtime import autotune
 
     # Probe at a compute-bound scale (32 clips x 10 s).  Smaller probes are
@@ -103,7 +110,11 @@ def autotune_frontend(force: bool = False) -> str:
 
     return autotune.measured_choice(
         "frontend",
-        {"jax": probe_for("jax"), "pallas_v3": probe_for("pallas_v3")},
+        {
+            "jax": probe_for("jax"),
+            "pallas_v3": probe_for("pallas_v3"),
+            "pallas_v4": probe_for("pallas_v4"),
+        },
         default="jax",
         force=force,
     )
@@ -123,10 +134,10 @@ class FeatureExtractor:
     """Stateless MFCC frontend facade.
 
     ``backend='auto'`` (default) measures the XLA formulation against the
-    fused Pallas v3 kernel on first TPU use and keeps the winner;
-    ``'jax'``/``'pallas'``/``'pallas_v2'``/``'pallas_v3'`` force a specific
-    frontend; ``'numpy'`` runs the golden CPU spec (parity tests and the
-    bench baseline).
+    fused Pallas kernels (v3 and the packed-basis v4) on first TPU use and
+    keeps the winner; ``'jax'``/``'pallas'``/``'pallas_v2'``/``'pallas_v3'``/
+    ``'pallas_v4'`` force a specific frontend; ``'numpy'`` runs the golden
+    CPU spec (parity tests and the bench baseline).
     """
 
     def __init__(self, backend: str = "auto"):

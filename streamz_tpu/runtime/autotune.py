@@ -23,6 +23,15 @@ _memory: Dict[str, str] = {}
 
 
 def _disk_get(key: str) -> Optional[str]:
+    """Return the cached choice for ``key`` (both the plain-string legacy
+    form and the versioned ``{"choice", "candidates"}`` form)."""
+    entry = _disk_get_entry(key)
+    if isinstance(entry, dict):
+        return entry.get("choice")
+    return entry
+
+
+def _disk_get_entry(key: str):
     try:
         with open(_CACHE_PATH) as f:
             return json.load(f).get(key)
@@ -30,7 +39,7 @@ def _disk_get(key: str) -> Optional[str]:
         return None
 
 
-def _disk_put(key: str, value: str) -> None:
+def _disk_put(key: str, value) -> None:
     try:
         cached = {}
         if os.path.exists(_CACHE_PATH):
@@ -94,10 +103,26 @@ def measured_choice(
         if not on_tpu():
             _memory[key] = default
             return default
-        cached = _disk_get(key)
-        if cached in candidates:
-            _memory[key] = cached
-            return cached
+        entry = _disk_get_entry(key)
+        if isinstance(entry, dict):
+            cached = entry.get("choice")
+            # A stored decision is only valid for the candidate set it was
+            # measured against: shipping a new kernel (or retiring one)
+            # invalidates old entries so every device re-probes with the
+            # full field instead of keeping a stale winner forever.
+            if (
+                cached in candidates
+                and entry.get("candidates") == sorted(candidates)
+            ):
+                _memory[key] = cached
+                return cached
+        elif entry in candidates:
+            # Legacy plain-string entry (pre candidate-set versioning):
+            # honor it only when probing is disabled; otherwise re-probe
+            # and rewrite it in the versioned form.
+            if probing_disabled():
+                _memory[key] = entry
+                return entry
     if not on_tpu():
         _memory[key] = default
         return default
@@ -120,7 +145,7 @@ def measured_choice(
         # the next process re-probes.
         return default
     _memory[key] = best_name
-    _disk_put(key, best_name)
+    _disk_put(key, {"choice": best_name, "candidates": sorted(candidates)})
     return best_name
 
 

@@ -94,6 +94,53 @@ def test_v3_tail_split_shapes():
         np.testing.assert_allclose(a, b, atol=1e-3)
 
 
+def test_v4_packed_kernel_matches_golden():
+    from streamz_tpu.dsp.pallas_mfcc import mfcc_features_pallas_v4
+
+    B, T = 2, 12000
+    rng = np.random.default_rng(1)
+    pcm_i16 = rng.normal(0, 3000, (B, T)).astype(np.int16)
+    pcm = jnp.asarray(pcm_i16.astype(np.float32) / 32767.0)
+    ns = jnp.asarray([T, 9000], jnp.int32)
+    got = np.asarray(mfcc_features_pallas_v4(pcm, ns))
+    for b, n in enumerate([T, 9000]):
+        want = mfcc_ref.extract_features_np(pcm_i16[b][:n])
+        nw = want.shape[0]
+        np.testing.assert_allclose(got[b][:nw], want, atol=1e-3, rtol=1e-3)
+
+
+def test_v4_matches_v3():
+    """The packed basis is a pure layout change: v4 must match v3 to the
+    tail-bin bf16-rounding tolerance (cos²/sin² rounded before summation
+    for bins 384..400 instead of after)."""
+    from streamz_tpu.dsp.pallas_mfcc import (
+        mfcc_features_pallas_v3,
+        mfcc_features_pallas_v4,
+    )
+
+    B, T = 2, 30000
+    rng = np.random.default_rng(6)
+    pcm = jnp.asarray(rng.normal(0, 0.1, (B, T)).astype(np.float32))
+    ns = jnp.asarray([T, 22000], jnp.int32)
+    a = np.asarray(mfcc_features_pallas_v3(pcm, ns))
+    b = np.asarray(mfcc_features_pallas_v4(pcm, ns))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_v4_tail_split_shapes():
+    """Exercise both the bulk-tiles and tail-only paths of the v4 launcher."""
+    from streamz_tpu.dsp.mfcc import mfcc_base
+    from streamz_tpu.dsp.pallas_mfcc import mfcc_base_pallas_v4
+
+    rng = np.random.default_rng(2)
+    for B, T in [(1, 800), (1, 2000), (2, 4000), (1, 208000), (3, 208000)]:
+        pcm = jnp.asarray(rng.normal(0, 0.1, (B, T)).astype(np.float32))
+        a = np.asarray(mfcc_base(pcm))
+        b = np.asarray(mfcc_base_pallas_v4(pcm))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
 def test_autotune_backend_selection(monkeypatch, tmp_path):
     """'auto' resolves to the XLA frontend off-TPU without probing, and the
     disk cache round-trips a stored decision."""
@@ -130,13 +177,17 @@ def test_kernels_zero_block_clip():
     from streamz_tpu.dsp.pallas_mfcc import (
         mfcc_base_pallas_v2,
         mfcc_base_pallas_v3,
+        mfcc_base_pallas_v4,
         mfcc_features_pallas_v2,
         mfcc_features_pallas_v3,
+        mfcc_features_pallas_v4,
     )
 
     pcm = jnp.zeros((2, 399), jnp.float32)
     ns = jnp.asarray([399, 100], jnp.int32)
-    for base_fn in (mfcc_base_pallas, mfcc_base_pallas_v2, mfcc_base_pallas_v3):
+    for base_fn in (mfcc_base_pallas, mfcc_base_pallas_v2,
+                    mfcc_base_pallas_v3, mfcc_base_pallas_v4):
         assert np.asarray(base_fn(pcm)).shape == (2, 0, 20)
-    for feat_fn in (mfcc_features_pallas_v2, mfcc_features_pallas_v3):
+    for feat_fn in (mfcc_features_pallas_v2, mfcc_features_pallas_v3,
+                    mfcc_features_pallas_v4):
         assert np.asarray(feat_fn(pcm, ns)).shape == (2, 0, 60)

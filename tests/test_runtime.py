@@ -75,3 +75,62 @@ def test_no_autotune_escape(monkeypatch, tmp_path):
     got = autotune.measured_choice("t_stage", {"a": probe, "b": probe}, "b")
     assert probed["n"] == 2
     autotune.reset()
+
+
+def test_autotune_cache_invalidated_by_new_candidate(monkeypatch, tmp_path):
+    """A stored decision is versioned by the candidate set it was measured
+    against: shipping a new kernel re-probes instead of keeping a stale
+    winner; an unchanged set keeps honoring the cache."""
+    import json
+
+    import jax
+
+    from streamz_tpu.runtime import autotune
+
+    monkeypatch.setattr(autotune, "on_tpu", lambda: True)
+    cache = tmp_path / "cache.json"
+    monkeypatch.setattr(autotune, "_CACHE_PATH", str(cache))
+    monkeypatch.delenv("STREAMZ_NO_AUTOTUNE", raising=False)
+    autotune.reset()
+
+    probed = {"n": 0}
+
+    def mk(t):
+        def probe():
+            probed["n"] += 1
+            return t
+        return probe
+
+    # Measure with two candidates; 'a' wins and is pinned with its set.
+    got = autotune.measured_choice("t_inv", {"a": mk(1.0), "b": mk(2.0)}, "b")
+    assert got == "a" and probed["n"] == 2
+    key = f"t_inv:{jax.devices()[0].device_kind}"
+    entry = json.loads(cache.read_text())[key]
+    assert entry == {"choice": "a", "candidates": ["a", "b"]}
+
+    # Same candidate set in a fresh process: cache honored, no probe.
+    autotune.reset()
+    got = autotune.measured_choice("t_inv", {"a": mk(1.0), "b": mk(2.0)}, "b")
+    assert got == "a" and probed["n"] == 2
+
+    # A third candidate appears: the stale entry must not win silently —
+    # all three are probed and the new fastest is pinned.
+    autotune.reset()
+    got = autotune.measured_choice(
+        "t_inv", {"a": mk(1.0), "b": mk(2.0), "c": mk(0.5)}, "b"
+    )
+    assert got == "c" and probed["n"] == 5
+
+    # Legacy plain-string entries re-probe too (and get rewritten versioned)
+    # unless probing is disabled, in which case they are honored as-is.
+    cache.write_text(json.dumps({key: "b"}))
+    autotune.reset()
+    got = autotune.measured_choice("t_inv", {"a": mk(1.0), "b": mk(2.0)}, "b")
+    assert got == "a" and probed["n"] == 7
+
+    cache.write_text(json.dumps({key: "b"}))
+    monkeypatch.setenv("STREAMZ_NO_AUTOTUNE", "1")
+    autotune.reset()
+    got = autotune.measured_choice("t_inv", {"a": mk(1.0), "b": mk(2.0)}, "b")
+    assert got == "b" and probed["n"] == 7
+    autotune.reset()
