@@ -142,14 +142,16 @@ def test_extract_embedding_sharded_matches_host():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-def test_sharded_frontend_composes_with_pallas(monkeypatch):
-    """The fused Pallas v3 frontend composes with the data mesh: the sharded
-    extraction is bit-equal to unsharded Pallas and to the XLA formulation
-    within the parity budget (round-2 missing #2), and the shard_map path is
-    actually taken."""
+@pytest.mark.parametrize("backend", ["pallas_v3", "pallas_v4"])
+def test_sharded_frontend_composes_with_pallas(monkeypatch, backend):
+    """The fused Pallas frontends (v3 and the packed-basis v4) compose with
+    the data mesh: the sharded extraction is bit-equal to the unsharded
+    Pallas run and matches the XLA formulation within the parity budget
+    (round-2 missing #2), and the shard_map path is actually taken."""
     from streamz_tpu.dsp import mfcc
-    from streamz_tpu.dsp.pallas_mfcc import mfcc_features_pallas_v3
+    from streamz_tpu.dsp.features import _core_for
 
+    core = _core_for(backend)
     mesh = comm.make_mesh(8)
     rng = np.random.default_rng(0)
     clips = [
@@ -165,14 +167,12 @@ def test_sharded_frontend_composes_with_pallas(monkeypatch):
         return real(core, m)
 
     monkeypatch.setattr(mfcc, "sharded_frontend", spying)
-    un_v3 = mfcc.extract_features_batch(clips, core=mfcc_features_pallas_v3)
+    un_pl = mfcc.extract_features_batch(clips, core=core)
     assert calls["n"] == 0
-    sh_v3 = mfcc.extract_features_batch(
-        clips, core=mfcc_features_pallas_v3, mesh=mesh
-    )
+    sh_pl = mfcc.extract_features_batch(clips, core=core, mesh=mesh)
     assert calls["n"] > 0  # the pallas core went through shard_map
     sh_xla = mfcc.extract_features_batch(clips, mesh=mesh)
-    for a, b, c in zip(un_v3, sh_v3, sh_xla):
+    for a, b, c in zip(un_pl, sh_pl, sh_xla):
         np.testing.assert_array_equal(a, b)
         np.testing.assert_allclose(b, c, atol=1e-3)
 
