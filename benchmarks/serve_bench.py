@@ -1,0 +1,72 @@
+"""Multi-stream serving throughput: aggregate real-time factor vs slots.
+
+Each tick feeds every open stream one ``chunk_ms`` chunk of PCM and issues
+ONE batched device dispatch (`app/serve.py`); a slot's audio advances
+``chunk_ms`` per tick, so
+
+    aggregate_rtf = n_streams * chunk_ms/1000 * ticks_per_second.
+
+The host loop (chunk buffering, padding, device transfer) is deliberately
+inside the measurement — this is the serving number, not a kernel number.
+Timing reads back one scalar per measurement to fence the tunnel's lazy
+sync (same convention as bench.py).
+
+Usage: python benchmarks/serve_bench.py [slots ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def bench_slots(n_streams: int, chunk_ms: float = 100.0, ticks: int = 30):
+    from streamz_tpu.app.serve import MultiStreamIdentifier
+    from streamz_tpu.nn.model import SpeakerNet
+
+    net = SpeakerNet.new(output=5, seed=0)
+    srv = MultiStreamIdentifier(net, n_streams=n_streams, threshold=0.0)
+    sids = [srv.open() for _ in range(n_streams)]
+
+    rng = np.random.default_rng(0)
+    chunk_len = int(44100 * chunk_ms / 1000.0)
+    chunks = rng.normal(0, 3000, size=(n_streams, chunk_len)).astype(np.int16)
+
+    def one_tick():
+        for sid in sids:
+            srv.feed(sid, chunks[sid])
+        srv.tick()
+
+    for _ in range(3):  # warm: compile + autotune settle
+        one_tick()
+    float(np.asarray(srv._carry[5][0]))  # fence
+
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        for _ in range(ticks):
+            one_tick()
+        float(np.asarray(srv._carry[5][0]))  # fence
+        best = min(best, (time.perf_counter() - start) / ticks)
+
+    rtf = n_streams * (chunk_ms / 1000.0) / best
+    return {
+        "streams": n_streams,
+        "tick_ms": round(best * 1e3, 2),
+        "aggregate_rtf": round(rtf, 1),
+        "rtf_per_stream": round(rtf / n_streams, 2),
+    }
+
+
+def main():
+    slot_counts = [int(a) for a in sys.argv[1:]] or [16, 64, 256]
+    for s in slot_counts:
+        print(bench_slots(s))
+
+
+if __name__ == "__main__":
+    main()

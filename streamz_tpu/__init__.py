@@ -65,6 +65,7 @@ from streamz_tpu.io.audio import (
     load_wav_samples,
 )
 from streamz_tpu.app.corpus import train_corpus
+from streamz_tpu.app.serve import MultiStreamIdentifier
 from streamz_tpu.app.stream import StreamingIdentifier
 from streamz_tpu.nn.drivers import (
     pretrain_from_features,
@@ -96,6 +97,7 @@ __all__ = [
     "FeatureExtractor",
     "SimpleNeuralNet",
     "SpeakerNet",
+    "MultiStreamIdentifier",
     "StreamingIdentifier",
     "corpus_step",
     "train_corpus",

@@ -1,0 +1,275 @@
+"""Multi-stream batched serving: N concurrent live streams on one program.
+
+The reference's serving story is one microphone (`streamz-rs/examples/
+live_stream.rs:1-9`, a stub).  On TPU the economics invert: a single
+hop-400 stream keeps the MXU a fraction of a percent busy, so the
+production-serving design batches MANY independent streams into every
+dispatch — one fixed-shape program whose leading axis is the stream slot.
+
+Design (TPU-first):
+
+- The per-stream streaming step (:mod:`streamz_tpu.app.stream`) is already a
+  pure function of carry × blocks, so the batched step is literally
+  ``jax.vmap`` over the slot axis — same split-block GEMM formulation, same
+  exact offline parity per stream, one dispatch per tick for the whole
+  fleet.  No recompilation as streams come and go: the slot count is
+  static, occupancy is data (``n_new = 0`` slots are algebraic no-ops).
+- With a :class:`jax.sharding.Mesh` the slot axis is sharded across the
+  data mesh (`NamedSharding(P('data'))`); each device serves
+  ``n_streams / n_dev`` streams with zero cross-device traffic inside a
+  tick — serving scales linearly over ICI-connected chips and the jitted
+  step is identical on every device (SPMD).
+- Host-side, each slot keeps only a <400-sample PCM remainder; ``tick()``
+  drains up to ``block_batch`` hop blocks from every slot per dispatch.
+
+Throughput: `benchmarks/serve_bench.py` measures aggregate real-time
+factor vs slot count (one chip sustains hundreds of concurrent streams).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamz_tpu import config
+from streamz_tpu.app.stream import _make_stream_step
+
+
+@lru_cache(maxsize=16)
+def _batched_step(capacity: int, k: int):
+    """vmapped streaming step over the stream-slot axis.
+
+    Returns (f32_step, i16_step).  The i16 entry takes raw int16 blocks and
+    converts on device — serving PCM is i16 on the wire, and shipping it
+    unconverted halves the host→device transfer, the dominant cost of a
+    tick through a remote tunnel (benchmarks/serve_bench.py).
+    """
+    step = jax.vmap(_make_stream_step(capacity, k),
+                    in_axes=(None, 0, 0, 0, None))
+
+    def step_i16(params, carry, blocks_i16, n_new, num_speakers):
+        # Division (not reciprocal-multiply) for bit parity with the host
+        # conversion in dsp.mfcc._to_f32.
+        blocks = blocks_i16.astype(jnp.float32) / 32767.0
+        return step(params, carry, blocks, n_new, num_speakers)
+
+    return jax.jit(step), jax.jit(step_i16)
+
+
+class MultiStreamIdentifier:
+    """Serve ``n_streams`` concurrent live identification streams batched.
+
+    >>> srv = MultiStreamIdentifier(net, n_streams=64, threshold=0.5)
+    >>> sid = srv.open()                  # claim a slot
+    >>> srv.feed(sid, chunk)              # per-stream PCM, any chunk size
+    >>> srv.tick()                        # ONE device dispatch for all slots
+    >>> srv.current(sid)                  # rolling (speaker, confidence)
+    >>> srv.finalize(sid)                 # exact offline-parity result
+    >>> srv.close(sid)                    # slot becomes reusable
+
+    With ``mesh`` the slot axis is sharded across the data mesh; slots are
+    padded up to a multiple of the mesh size.
+    """
+
+    def __init__(
+        self,
+        net,
+        n_streams: int,
+        threshold: float = config.DEFAULT_CONF_THRESHOLD,
+        block_batch: int = 16,
+        mesh=None,
+    ):
+        if n_streams < 1:
+            raise ValueError("n_streams must be >= 1")
+        self.net = net
+        self.threshold = float(threshold)
+        self.k = int(block_batch)
+        self.mesh = mesh
+        n = int(n_streams)
+        if mesh is not None:
+            nd = int(mesh.devices.size)
+            n = -(-n // nd) * nd  # pad slots to fill every device shard
+        self.n_slots = n
+        cap = net.capacity
+        self._step, self._step_i16 = _batched_step(cap, self.k)
+        self._sharding = None
+        if mesh is not None:
+            from streamz_tpu.parallel import comm
+
+            self._sharding = comm.batch_sharded(mesh)
+
+        S = self.n_slots
+        carry = (
+            jnp.zeros((S, 2 * config.N_FFT_BINS), jnp.float32),
+            jnp.zeros((S,), jnp.float32),
+            jnp.zeros((S, 4, config.MFCC_SIZE), jnp.float32),
+            jnp.zeros((S,), jnp.int32),
+            jnp.zeros((S, cap), jnp.float32),
+            jnp.zeros((S,), jnp.float32),
+        )
+        self._carry = self._place(carry)
+        self._zero_slot = tuple(np.zeros(c.shape[1:], c.dtype) for c in carry)
+        # host state per slot
+        self._rem: List[np.ndarray] = [
+            np.zeros((0,), np.float32) for _ in range(S)
+        ]
+        self._open = [False] * S
+        self._final: Dict[int, Optional[Tuple[int, float]]] = {}
+
+    def _place(self, carry):
+        if self._sharding is None:
+            return tuple(jnp.asarray(c) for c in carry)
+        return tuple(jax.device_put(c, self._sharding) for c in carry)
+
+    # -- slot lifecycle ------------------------------------------------------
+
+    def open(self) -> int:
+        """Claim a free slot and return its stream id."""
+        for sid in range(self.n_slots):
+            if not self._open[sid]:
+                self._open[sid] = True
+                self._final.pop(sid, None)
+                return sid
+        raise RuntimeError(f"all {self.n_slots} stream slots in use")
+
+    def close(self, sid: int) -> None:
+        """Release a slot: its carry state is zeroed for the next stream."""
+        self._check(sid)
+        self._open[sid] = False
+        self._final.pop(sid, None)
+        self._rem[sid] = np.zeros((0,), np.float32)
+        host = [np.asarray(c).copy() for c in self._carry]
+        for h, z in zip(host, self._zero_slot):
+            h[sid] = z
+        self._carry = self._place(tuple(host))
+
+    def _check(self, sid: int) -> None:
+        if not (0 <= sid < self.n_slots) or not self._open[sid]:
+            raise KeyError(f"stream {sid} is not open")
+
+    # -- feeding -------------------------------------------------------------
+
+    def feed(self, sid: int, pcm) -> None:
+        """Buffer the next PCM chunk (i16 or f32, any length) for ``sid``.
+
+        int16 chunks stay int16 on the host and convert on *device* —
+        half the host→device bytes per tick, bit-identical features (the
+        same ``/32767`` conversion runs in the jitted step).
+        """
+        self._check(sid)
+        if sid in self._final:
+            raise RuntimeError(f"stream {sid} already finalized")
+        from streamz_tpu.dsp.mfcc import _to_f32
+
+        pcm = np.asarray(pcm)
+        buf = self._rem[sid]
+        if pcm.dtype == np.int16 and (buf.dtype == np.int16 or len(buf) == 0):
+            self._rem[sid] = np.concatenate([buf.astype(np.int16), pcm])
+        else:
+            self._rem[sid] = np.concatenate([_to_f32(buf), _to_f32(pcm)])
+
+    def pending_blocks(self) -> int:
+        """Max number of full hop blocks buffered on any slot."""
+        return max(
+            (len(r) // config.HOP_SIZE for r in self._rem), default=0
+        )
+
+    def tick(self, drain: bool = True) -> int:
+        """Process buffered PCM for ALL slots in batched dispatches.
+
+        Each dispatch drains up to ``block_batch`` hop blocks per slot; with
+        ``drain`` (default) dispatches repeat until no slot holds a full
+        block.  Returns the number of dispatches issued.
+        """
+        block = config.HOP_SIZE
+        S, k = self.n_slots, self.k
+        dispatches = 0
+        while True:
+            counts = np.array(
+                [
+                    0 if sid in self._final else len(self._rem[sid]) // block
+                    for sid in range(S)
+                ],
+                np.int32,
+            )
+            counts = np.minimum(counts, k)
+            if not counts.any():
+                return dispatches
+            # Ship raw i16 when every contributing slot buffered i16 —
+            # the common serving wire format — converting on device.
+            from streamz_tpu.dsp.mfcc import _to_f32
+
+            wire_i16 = all(
+                self._rem[sid].dtype == np.int16
+                for sid in range(S)
+                if counts[sid]
+            )
+            dtype = np.int16 if wire_i16 else np.float32
+            blocks = np.zeros((S, k, block), dtype)
+            for sid in range(S):
+                nb = int(counts[sid])
+                if nb:
+                    take = nb * block
+                    chunk = self._rem[sid][:take]
+                    if not wire_i16:
+                        chunk = _to_f32(chunk)
+                    blocks[sid, :nb] = chunk.reshape(nb, block)
+                    self._rem[sid] = self._rem[sid][take:]
+            xb = jnp.asarray(blocks)
+            xn = jnp.asarray(counts)
+            if self._sharding is not None:
+                xb = jax.device_put(xb, self._sharding)
+                xn = jax.device_put(xn, self._sharding)
+            step = self._step_i16 if wire_i16 else self._step
+            self._carry, _, _ = step(
+                self.net.params,
+                self._carry,
+                xb,
+                xn,
+                jnp.int32(self.net.num_speakers),
+            )
+            dispatches += 1
+            if not drain:
+                return dispatches
+
+    # -- results -------------------------------------------------------------
+
+    def _verdict(self, votes, count) -> Optional[Tuple[int, float]]:
+        n = self.net.output_size()
+        if n <= 1 or count <= 0:
+            return None
+        sums = votes[:n]
+        best = int(sums.argmax())
+        conf = float(sums[best]) / count
+        return (best, conf) if conf >= self.threshold else None
+
+    def current(self, sid: int) -> Optional[Tuple[int, float]]:
+        """Rolling identification for one stream (finalized frames so far)."""
+        self._check(sid)
+        if sid in self._final:
+            return self._final[sid]
+        votes = np.asarray(self._carry[4][sid])
+        count = float(self._carry[5][sid])
+        return self._verdict(votes, count)
+
+    def finalize(self, sid: int) -> Optional[Tuple[int, float]]:
+        """Flush ``sid``'s lookahead frames; identical to the offline
+        pipeline on that stream's full PCM.  Other streams are untouched."""
+        self._check(sid)
+        if sid in self._final:
+            return self._final[sid]
+        self.tick()  # drain any buffered full blocks first
+        from streamz_tpu.app.stream import _programs
+
+        fin = _programs(self.net.capacity, self.k)[1]
+        slot = tuple(jnp.asarray(np.asarray(c[sid])) for c in self._carry)
+        votes, count, _, _ = fin(
+            self.net.params, slot, jnp.int32(self.net.num_speakers)
+        )
+        res = self._verdict(np.asarray(votes), float(count))
+        self._final[sid] = res
+        return res

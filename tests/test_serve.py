@@ -1,0 +1,150 @@
+"""Multi-stream batched serving (app/serve.py).
+
+Each slot of :class:`MultiStreamIdentifier` must reproduce the
+single-stream :class:`StreamingIdentifier` — and therefore the offline
+pipeline — exactly, for any interleaving of feeds across streams; slots
+must be independent, reusable after ``close()``, and the slot axis must
+shard across the data mesh without changing any verdict.
+"""
+
+import numpy as np
+import pytest
+
+from streamz_tpu.app.serve import MultiStreamIdentifier
+from streamz_tpu.app.stream import StreamingIdentifier
+from streamz_tpu.infer.identify import identify_speaker_with_threshold
+from streamz_tpu.nn.model import SpeakerNet
+
+
+@pytest.fixture(scope="module")
+def net():
+    return SpeakerNet.new(output=5, seed=0)
+
+
+def _assert_verdict_close(got, ref):
+    """Speaker ids must match exactly; confidences are vote sums whose
+    accumulation grouping differs across dispatch patterns and SPMD
+    partitions, so they match to float tolerance, not bit-exactly."""
+    if ref is None:
+        assert got is None
+        return
+    assert got is not None and got[0] == ref[0]
+    np.testing.assert_allclose(got[1], ref[1], rtol=1e-5)
+
+
+def _clips(n, seed=0, seconds=1.0):
+    rng = np.random.default_rng(seed)
+    return [
+        rng.normal(0, 3000, size=int(44100 * seconds) + 37 * i).astype(
+            np.int16
+        )
+        for i in range(n)
+    ]
+
+
+def _feed_interleaved(srv, sids, clips, seed=1):
+    """Feed all clips through their streams in random-size interleaved
+    chunks, ticking between feeds."""
+    rng = np.random.default_rng(seed)
+    pos = [0] * len(sids)
+    while any(p < len(c) for p, c in zip(pos, clips)):
+        for i, (sid, clip) in enumerate(zip(sids, clips)):
+            if pos[i] < len(clip):
+                n = int(rng.integers(1, 7000))
+                srv.feed(sid, clip[pos[i] : pos[i] + n])
+                pos[i] += n
+        srv.tick()
+
+
+def test_multi_stream_matches_single_stream(net):
+    clips = _clips(3)
+    srv = MultiStreamIdentifier(net, n_streams=4, threshold=0.0)
+    sids = [srv.open() for _ in clips]
+    _feed_interleaved(srv, sids, clips)
+    for sid, clip in zip(sids, clips):
+        got = srv.finalize(sid)
+        ref = StreamingIdentifier(net, threshold=0.0)
+        ref.feed(clip)
+        _assert_verdict_close(got, ref.finalize())
+        speaker, _ = got
+        assert speaker == identify_speaker_with_threshold(net, clip, 0.0)
+
+
+def test_streams_are_independent(net):
+    """A slot's verdict must not depend on what other slots are fed."""
+    clip = _clips(1, seed=5)[0]
+    alone = MultiStreamIdentifier(net, n_streams=2, threshold=0.0)
+    s0 = alone.open()
+    alone.feed(s0, clip)
+    alone.tick()
+    ref = alone.finalize(s0)
+
+    noisy = MultiStreamIdentifier(net, n_streams=2, threshold=0.0)
+    a = noisy.open()
+    b = noisy.open()
+    other = _clips(1, seed=6, seconds=2.0)[0]
+    _feed_interleaved(noisy, [a, b], [clip, other])
+    _assert_verdict_close(noisy.finalize(a), ref)
+
+
+def test_slot_reuse_after_close(net):
+    clip = _clips(1, seed=7)[0]
+    srv = MultiStreamIdentifier(net, n_streams=1, threshold=0.0)
+    s0 = srv.open()
+    srv.feed(s0, _clips(1, seed=8, seconds=0.5)[0])
+    srv.tick()
+    srv.finalize(s0)
+    srv.close(s0)
+
+    s1 = srv.open()
+    assert s1 == s0  # the slot was reclaimed
+    srv.feed(s1, clip)
+    srv.tick()
+    got = srv.finalize(s1)
+    ref = StreamingIdentifier(net, threshold=0.0)
+    ref.feed(clip)
+    _assert_verdict_close(got, ref.finalize())
+
+
+def test_rolling_current_and_empty_tick(net):
+    srv = MultiStreamIdentifier(net, n_streams=2, threshold=0.0)
+    sid = srv.open()
+    assert srv.tick() == 0  # nothing buffered: no dispatch
+    srv.feed(sid, _clips(1, seed=9)[0])
+    assert srv.tick() >= 1
+    cur = srv.current(sid)
+    assert cur is not None and 0.0 < cur[1] <= 1.0
+    with pytest.raises(KeyError):
+        srv.current(99)
+
+
+def test_slot_exhaustion_raises(net):
+    srv = MultiStreamIdentifier(net, n_streams=1)
+    srv.open()
+    with pytest.raises(RuntimeError):
+        srv.open()
+
+
+def test_serving_shards_over_mesh(net):
+    """With a mesh the slot axis is sharded; verdicts are identical to the
+    unsharded server on the same feeds, and slots pad to the mesh size."""
+    from streamz_tpu.parallel import comm
+
+    mesh = comm.make_mesh(8)
+    clips = _clips(5, seed=11, seconds=0.6)
+
+    plain = MultiStreamIdentifier(net, n_streams=5, threshold=0.0)
+    shard = MultiStreamIdentifier(net, n_streams=5, threshold=0.0, mesh=mesh)
+    assert shard.n_slots == 8  # padded to fill the mesh
+
+    p_sids = [plain.open() for _ in clips]
+    s_sids = [shard.open() for _ in clips]
+    _feed_interleaved(plain, p_sids, clips, seed=12)
+    _feed_interleaved(shard, s_sids, clips, seed=12)
+
+    for ps, ss, clip in zip(p_sids, s_sids, clips):
+        _assert_verdict_close(shard.finalize(ss), plain.finalize(ps))
+
+    # the carry really is distributed over the mesh's data axis
+    votes = shard._carry[4]
+    assert votes.sharding.spec == comm.batch_sharded(mesh).spec
