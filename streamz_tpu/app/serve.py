@@ -85,6 +85,15 @@ class MultiStreamIdentifier:
     ):
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
+        if jax.process_count() > 1:
+            # Feeds/verdicts are host-local (device_put + np.asarray of the
+            # carry require fully-addressable devices).  Multi-host serving
+            # is per-host: run one server per process on its local mesh.
+            raise NotImplementedError(
+                "MultiStreamIdentifier is single-process: run one server "
+                "per host (each on its addressable devices) behind a "
+                "host-level load balancer"
+            )
         self.net = net
         self.threshold = float(threshold)
         self.k = int(block_batch)
@@ -112,7 +121,12 @@ class MultiStreamIdentifier:
             jnp.zeros((S,), jnp.float32),
         )
         self._carry = self._place(carry)
-        self._zero_slot = tuple(np.zeros(c.shape[1:], c.dtype) for c in carry)
+
+        @jax.jit
+        def zero_slot(carry, sid):
+            return tuple(c.at[sid].set(0) for c in carry)
+
+        self._zero_slot = zero_slot
         # host state per slot
         self._rem: List[np.ndarray] = [
             np.zeros((0,), np.float32) for _ in range(S)
@@ -142,10 +156,9 @@ class MultiStreamIdentifier:
         self._open[sid] = False
         self._final.pop(sid, None)
         self._rem[sid] = np.zeros((0,), np.float32)
-        host = [np.asarray(c).copy() for c in self._carry]
-        for h, z in zip(host, self._zero_slot):
-            h[sid] = z
-        self._carry = self._place(tuple(host))
+        # Device-side single-row zeroing: no fleet-state round trip, and
+        # under a mesh the update stays sharded.
+        self._carry = self._zero_slot(self._carry, sid)
 
     def _check(self, sid: int) -> None:
         if not (0 <= sid < self.n_slots) or not self._open[sid]:
@@ -219,11 +232,14 @@ class MultiStreamIdentifier:
                         chunk = _to_f32(chunk)
                     blocks[sid, :nb] = chunk.reshape(nb, block)
                     self._rem[sid] = self._rem[sid][take:]
-            xb = jnp.asarray(blocks)
-            xn = jnp.asarray(counts)
+            # One transfer: device_put the host arrays straight into the
+            # slot sharding (an asarray-then-reshard would ship them twice).
             if self._sharding is not None:
-                xb = jax.device_put(xb, self._sharding)
-                xn = jax.device_put(xn, self._sharding)
+                xb = jax.device_put(blocks, self._sharding)
+                xn = jax.device_put(counts, self._sharding)
+            else:
+                xb = jnp.asarray(blocks)
+                xn = jnp.asarray(counts)
             step = self._step_i16 if wire_i16 else self._step
             self._carry, _, _ = step(
                 self.net.params,
@@ -239,13 +255,11 @@ class MultiStreamIdentifier:
     # -- results -------------------------------------------------------------
 
     def _verdict(self, votes, count) -> Optional[Tuple[int, float]]:
-        n = self.net.output_size()
-        if n <= 1 or count <= 0:
-            return None
-        sums = votes[:n]
-        best = int(sums.argmax())
-        conf = float(sums[best]) / count
-        return (best, conf) if conf >= self.threshold else None
+        from streamz_tpu.app.stream import vote_verdict
+
+        return vote_verdict(
+            votes, count, self.net.output_size(), self.threshold
+        )
 
     def current(self, sid: int) -> Optional[Tuple[int, float]]:
         """Rolling identification for one stream (finalized frames so far)."""
@@ -258,7 +272,9 @@ class MultiStreamIdentifier:
 
     def finalize(self, sid: int) -> Optional[Tuple[int, float]]:
         """Flush ``sid``'s lookahead frames; identical to the offline
-        pipeline on that stream's full PCM.  Other streams are untouched."""
+        pipeline on that stream's full PCM.  Drains every slot's buffered
+        full blocks first (one batched dispatch — other streams' rolling
+        state advances by exactly the audio they were already fed)."""
         self._check(sid)
         if sid in self._final:
             return self._final[sid]

@@ -164,6 +164,23 @@ def _programs(capacity: int, k: int):
     return _make_stream_step(capacity, k), _make_finalize_step(capacity)
 
 
+def vote_verdict(
+    votes: np.ndarray, count: float, output_size: int, threshold: float
+) -> Optional[Tuple[int, float]]:
+    """``identify_speaker_with_threshold`` semantics on accumulated vote
+    sums (src/lib.rs:1307-1343): ``None`` for single-speaker nets, empty
+    streams, or below-threshold confidence.  Shared by the single-stream
+    and multi-stream identifiers."""
+    if output_size <= 1 or count <= 0:
+        return None  # src/lib.rs:1311-1315
+    sums = votes[:output_size]
+    best = int(sums.argmax())
+    conf = float(sums[best]) / count
+    if conf < threshold:
+        return None
+    return best, conf
+
+
 class StreamingIdentifier:
     """Hop-400 chunked live identification over a PCM stream.
 
@@ -229,15 +246,9 @@ class StreamingIdentifier:
     # -- results -------------------------------------------------------------
 
     def _verdict(self, votes, count) -> Optional[Tuple[int, float]]:
-        n = self.net.output_size()
-        if n <= 1 or count <= 0:
-            return None  # src/lib.rs:1311-1315
-        sums = votes[:n]
-        best = int(sums.argmax())
-        conf = float(sums[best]) / count
-        if conf < self.threshold:
-            return None
-        return best, conf
+        return vote_verdict(
+            votes, count, self.net.output_size(), self.threshold
+        )
 
     def current(self) -> Optional[Tuple[int, float]]:
         """Rolling identification over the frames finalized so far

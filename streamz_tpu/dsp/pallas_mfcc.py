@@ -35,13 +35,43 @@ import jax.numpy as jnp
 import numpy as np
 
 from streamz_tpu import config
-from streamz_tpu.dsp import mel as melmod
 
 _BLOCK = config.HOP_SIZE       # 400
 _WIN = config.WINDOW_SIZE      # 800
 _BINS_PAD = 512                # 401 one-sided bins padded to the lane width
 _CH_PAD = 32                   # 26 mels / 20 MFCCs padded
 _TILE = 256                    # window rows per grid tile
+
+
+def _bf16_split(a: np.ndarray):
+    """hi/lo bf16 planes of ``a`` for the in-kernel bf16x3 contraction
+    (Mosaic does not lower Precision.HIGH): hi = bf16(a), lo = bf16(a - hi).
+    Shared by every kernel's constants builder — a precision change here
+    changes all backends together."""
+    import ml_dtypes
+
+    a = a.astype(np.float32)
+    hi = a.astype(ml_dtypes.bfloat16)
+    lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+def _padded_dct() -> np.ndarray:
+    """DCT-II matrix in the lane-padded [_CH_PAD, _CH_PAD] layout."""
+    from streamz_tpu.dsp.mel import dct2_matrix
+
+    dct = np.zeros((_CH_PAD, _CH_PAD), np.float32)
+    dct[: config.N_MELS, : config.MFCC_SIZE] = dct2_matrix().T
+    return dct
+
+
+def _padded_mel() -> np.ndarray:
+    """Mel filterbank transposed into the [_BINS_PAD, _CH_PAD] layout."""
+    from streamz_tpu.dsp.mel import mel_filterbank
+
+    mel = np.zeros((_BINS_PAD, _CH_PAD), np.float32)
+    mel[: config.N_FFT_BINS, : config.N_MELS] = mel_filterbank().T
+    return mel
 
 
 @lru_cache(maxsize=1)
@@ -56,18 +86,9 @@ def _kernel_constants():
     mask = (k < n_bins).astype(np.float64)
     dft = np.concatenate([np.cos(ang) * mask, -np.sin(ang) * mask], axis=1)
 
-    mel = np.zeros((_BINS_PAD, _CH_PAD), np.float32)
-    mel[:n_bins, : config.N_MELS] = melmod.mel_filterbank().T
-    dct = np.zeros((_CH_PAD, _CH_PAD), np.float32)
-    dct[: config.N_MELS, : config.MFCC_SIZE] = melmod.dct2_matrix().T
-
-    # Pre-split the DFT basis for the in-kernel bf16x3 dot (Mosaic does not
-    # lower Precision.HIGH): hi = bf16(x), lo = bf16(x - hi).
-    dft32 = dft.astype(np.float32)
-    import ml_dtypes
-
-    dft_hi = dft32.astype(ml_dtypes.bfloat16)
-    dft_lo = (dft32 - dft_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    mel = _padded_mel()
+    dct = _padded_dct()
+    dft_hi, dft_lo = _bf16_split(dft)
     return dft_hi, dft_lo, mel, dct
 
 
@@ -174,8 +195,7 @@ _BLOCK_PAD = 512  # 400-sample blocks padded to the lane tile for aligned DMA
 
 @lru_cache(maxsize=1)
 def _kernel2_constants():
-    from streamz_tpu.dsp.mel import bin_parity_sign, dct2_matrix, mel_filterbank
-    from streamz_tpu.dsp.mel import dft_block_matrices
+    from streamz_tpu.dsp.mel import bin_parity_sign, dft_block_matrices
 
     ct, _cb, st, _sb = dft_block_matrices()
     n_bins = ct.shape[1]  # 401
@@ -187,19 +207,12 @@ def _kernel2_constants():
         return out
 
     dft = np.concatenate([pad_bins(ct), pad_bins(st)], axis=1)  # [512, 1024]
-    import ml_dtypes
-
-    dft_hi = dft.astype(ml_dtypes.bfloat16)
-    dft_lo = (dft - dft_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    dft_hi, dft_lo = _bf16_split(dft)
 
     sign = np.zeros((1, _BINS_PAD), np.float32)
     sign[0, :n_bins] = bin_parity_sign()
 
-    mel = np.zeros((_BINS_PAD, _CH_PAD), np.float32)
-    mel[:n_bins, : config.N_MELS] = mel_filterbank().T
-    dct = np.zeros((_CH_PAD, _CH_PAD), np.float32)
-    dct[: config.N_MELS, : config.MFCC_SIZE] = dct2_matrix().T
-    return dft_hi, dft_lo, sign, mel, dct
+    return dft_hi, dft_lo, sign, _padded_mel(), _padded_dct()
 
 
 def _mfcc_kernel_v2(blocks_hbm, dft_hi_ref, dft_lo_ref, sign_ref, mel_ref,
@@ -324,10 +337,7 @@ _HALO3 = 8  # one sublane-aligned halo block-row; only row +1 is consumed
 
 @lru_cache(maxsize=4)
 def _kernel3_constants(n_strips: int = None):
-    from streamz_tpu.dsp.mel import bin_parity_sign, dct2_matrix, mel_filterbank
-    from streamz_tpu.dsp.mel import dft_block_matrices
-
-    import ml_dtypes
+    from streamz_tpu.dsp.mel import bin_parity_sign, dft_block_matrices
 
     if n_strips is None:
         n_strips = _STRIPS3
@@ -355,22 +365,16 @@ def _kernel3_constants(n_strips: int = None):
         ],
         axis=1,
     )  # [400, 1024]
-    dft_hi = dft.astype(ml_dtypes.bfloat16)
-    dft_lo = (dft - dft_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    dft_hi, dft_lo = _bf16_split(dft)
 
     sign = np.zeros((1, _BINS_PAD), np.float32)
     sign[0, :n_bins] = bin_parity_sign()
 
-    mel = np.zeros((_BINS_PAD, _CH_PAD), np.float32)
-    mel[:n_bins, : config.N_MELS] = mel_filterbank().T
-    mel_hi = mel.astype(ml_dtypes.bfloat16)
-    mel_lo = (mel - mel_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    mel_hi, mel_lo = _bf16_split(_padded_mel())
     # Same-LHS passes ph@mel_hi + ph@mel_lo as ONE N-concat GEMM.
     mel_cat = np.concatenate([mel_hi, mel_lo], axis=1)  # [512, 64] bf16
 
-    dct = np.zeros((_CH_PAD, _CH_PAD), np.float32)
-    dct[: config.N_MELS, : config.MFCC_SIZE] = dct2_matrix().T
-    return dft_hi, dft_lo, sign, mel_cat, mel_hi, dct
+    return dft_hi, dft_lo, sign, mel_cat, mel_hi, _padded_dct()
 
 
 _STRIPS3 = 2  # bin strips per tile; see the strip-mining note below
@@ -559,10 +563,9 @@ _MROWS4 = 512  # mel rows: 384 dense bins + 128-lane doubled tail group
 
 @lru_cache(maxsize=1)
 def _kernel4_constants():
-    from streamz_tpu.dsp.mel import bin_parity_sign, dct2_matrix, mel_filterbank
-    from streamz_tpu.dsp.mel import dft_block_matrices
-
-    import ml_dtypes
+    from streamz_tpu.dsp.mel import (
+        bin_parity_sign, dft_block_matrices, mel_filterbank,
+    )
 
     ct, _cb, st, _sb = dft_block_matrices()
     n_bins = ct.shape[1]  # 401
@@ -575,8 +578,7 @@ def _kernel4_constants():
         [ct[:, :256], st[:, :256], ct[:, 256:_T0], st[:, 256:_T0], tail],
         axis=1,
     )  # [400, 896]
-    dft_hi = dft.astype(ml_dtypes.bfloat16)
-    dft_lo = (dft - dft_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    dft_hi, dft_lo = _bf16_split(dft)
 
     parity = bin_parity_sign()
     sign = np.zeros((1, _MROWS4), np.float32)
@@ -590,13 +592,10 @@ def _kernel4_constants():
     # Doubled rows fold the tail group's cos²+sin² pairing into the GEMM.
     mel[_T0 : _T0 + nt, : config.N_MELS] = fb[_T0:]
     mel[_T0 + 64 : _T0 + 64 + nt, : config.N_MELS] = fb[_T0:]
-    mel_hi = mel.astype(ml_dtypes.bfloat16)
-    mel_lo = (mel - mel_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    mel_hi, mel_lo = _bf16_split(mel)
     mel_cat = np.concatenate([mel_hi, mel_lo], axis=1)  # [512, 64] bf16
 
-    dct = np.zeros((_CH_PAD, _CH_PAD), np.float32)
-    dct[: config.N_MELS, : config.MFCC_SIZE] = dct2_matrix().T
-    return dft_hi, dft_lo, sign, mel_cat, mel_hi, dct
+    return dft_hi, dft_lo, sign, mel_cat, mel_hi, _padded_dct()
 
 
 def _mfcc_kernel_v4(main_ref, halo_ref, dft_hi_ref, dft_lo_ref, sign_ref,

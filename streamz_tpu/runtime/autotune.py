@@ -110,9 +110,12 @@ def measured_choice(
             # measured against: shipping a new kernel (or retiring one)
             # invalidates old entries so every device re-probes with the
             # full field instead of keeping a stale winner forever.
-            if (
-                cached in candidates
-                and entry.get("candidates") == sorted(candidates)
+            if cached in candidates and (
+                entry.get("candidates") == sorted(candidates)
+                # With probing disabled there will be no re-measure: a
+                # still-valid winner from an older candidate set beats
+                # falling back to the static default.
+                or probing_disabled()
             ):
                 _memory[key] = cached
                 return cached
@@ -127,7 +130,11 @@ def measured_choice(
         _memory[key] = default
         return default
     if probing_disabled():
-        return default  # no probe, no pin: the next process may re-measure
+        # No probe and no valid pin: take the static default, memoized so
+        # repeated calls do not re-read the JSON cache, but never persisted
+        # (the next probing-enabled process should measure).
+        _memory[key] = default
+        return default
 
     best_name, best_t = default, float("inf")
     measured = 0

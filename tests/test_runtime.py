@@ -134,3 +134,28 @@ def test_autotune_cache_invalidated_by_new_candidate(monkeypatch, tmp_path):
     got = autotune.measured_choice("t_inv", {"a": mk(1.0), "b": mk(2.0)}, "b")
     assert got == "b" and probed["n"] == 7
     autotune.reset()
+
+    # Probing disabled + a versioned entry from an OLDER candidate set:
+    # since no re-measure will happen, a still-valid measured winner beats
+    # the static default (a fleet pinned to --no-autotune must not lose its
+    # measured kernels on upgrade).
+    cache.write_text(
+        json.dumps({key: {"choice": "a", "candidates": ["a", "b"]}})
+    )
+    autotune.reset()
+    got = autotune.measured_choice(
+        "t_inv", {"a": mk(1.0), "b": mk(2.0), "c": mk(0.5)}, "b"
+    )
+    assert got == "a" and probed["n"] == 7
+    # ...but a retired winner falls back to the default, memoized so the
+    # JSON is not re-read every call.
+    cache.write_text(
+        json.dumps({key: {"choice": "zz", "candidates": ["b", "zz"]}})
+    )
+    autotune.reset()
+    got = autotune.measured_choice("t_inv", {"a": mk(1.0), "b": mk(2.0)}, "b")
+    assert got == "b" and probed["n"] == 7
+    cache.unlink()  # memoized: the missing file must not be consulted again
+    got = autotune.measured_choice("t_inv", {"a": mk(1.0), "b": mk(2.0)}, "b")
+    assert got == "b" and probed["n"] == 7
+    autotune.reset()
