@@ -28,6 +28,8 @@ what the MXU actually streams).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -297,6 +299,16 @@ def main() -> None:
     if exec_tflops > session_peak:
         session_peak = exec_tflops
         peak_source = "pipeline"
+    try:
+        # Multi-stream serving: aggregate real-time factor at 64 slots
+        # (benchmarks/serve_bench.py has the full slot-count sweep).
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        from serve_bench import bench_slots
+
+        serve_rtf = bench_slots(64, ticks=20)["aggregate_rtf"]
+    except Exception:
+        serve_rtf = None
     print(
         json.dumps(
             {
@@ -320,6 +332,9 @@ def main() -> None:
                     round(exec_fps / (session_peak * 1e12), 4)
                     if session_peak else None
                 ),
+                # 64 concurrent live streams, 100 ms chunks, i16 wire
+                # (transfer-bound through the tunnel — ROOFLINE.md).
+                "serve64_aggregate_rtf": serve_rtf,
             }
         )
     )
