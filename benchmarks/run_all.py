@@ -56,6 +56,7 @@ def bench_frontends(B=32, seconds=10.0):
         mfcc_features_pallas,
         mfcc_features_pallas_v2,
         mfcc_features_pallas_v3,
+        mfcc_features_pallas_v4,
     )
 
     t = int(seconds * config.DEFAULT_SAMPLE_RATE)
@@ -71,6 +72,7 @@ def bench_frontends(B=32, seconds=10.0):
         ("pallas", mfcc_features_pallas),
         ("pallas_v2", mfcc_features_pallas_v2),
         ("pallas_v3", mfcc_features_pallas_v3),
+        ("pallas_v4", mfcc_features_pallas_v4),
     ):
         dt = _chain_time(lambda c, fn=fn: fn(pcm + c, ns))
         out[f"mfcc_{name}_windows_per_sec"] = B * n_win / dt
