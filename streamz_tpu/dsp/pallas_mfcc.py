@@ -595,25 +595,30 @@ def _kernel4_constants():
     mel_hi, mel_lo = _bf16_split(mel)
     mel_cat = np.concatenate([mel_hi, mel_lo], axis=1)  # [512, 64] bf16
 
-    return dft_hi, dft_lo, sign, mel_cat, mel_hi, _padded_dct()
+    # K-stacked basis for the 3-in-1 DFT contraction: the three bf16
+    # passes (xh@dh + xl@dh + xh@dl) become ONE GEMM of the K-concatenated
+    # operands [xh|xl|xh] @ [dh;dh;dl] — fewer MXU pass switches and
+    # better K-tile utilization than 3x K=400 (measured +3.6% on the
+    # isolated contraction, benchmarks/kfuse_probe.py).
+    dft_kcat = np.concatenate([dft_hi, dft_hi, dft_lo], axis=0)  # [1200, 896]
+
+    return dft_kcat, sign, mel_cat, mel_hi, _padded_dct()
 
 
-def _mfcc_kernel_v4(main_ref, halo_ref, dft_hi_ref, dft_lo_ref, sign_ref,
+def _mfcc_kernel_v4(main_ref, halo_ref, dft_kcat_ref, sign_ref,
                     mel_cat_ref, mel_hi_ref, dct_ref, out_ref):
     x = jnp.concatenate([main_ref[:], halo_ref[:]], axis=0)  # [TILE3+8, 400]
     x_hi = x.astype(jnp.bfloat16)
     x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # One K-stacked LHS shared by both strips (see _kernel4_constants).
+    x_cat = jnp.concatenate([x_hi, x_lo, x_hi], axis=1)  # [TILE3+8, 1200]
 
     mel_acc = jnp.zeros((_TILE3, 2 * _CH_PAD), jnp.float32)
     mel_lo_acc = jnp.zeros((_TILE3, _CH_PAD), jnp.float32)
 
     def dot3(c0, c1):
-        dh = dft_hi_ref[:, c0:c1]
-        dl = dft_lo_ref[:, c0:c1]
-        parts = jnp.dot(x_hi, dh, preferred_element_type=jnp.float32)
-        parts += jnp.dot(x_lo, dh, preferred_element_type=jnp.float32)
-        parts += jnp.dot(x_hi, dl, preferred_element_type=jnp.float32)
-        return parts
+        return jnp.dot(x_cat, dft_kcat_ref[:, c0:c1],
+                       preferred_element_type=jnp.float32)
 
     def halo_combine(p, c0, c1, sgn):
         return p[0:_TILE3, c0:c1] + sgn * p[1 : _TILE3 + 1, c0:c1]
@@ -658,7 +663,7 @@ def _v4_call(blocks: jax.Array, n_tiles: int) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    dft_hi, dft_lo, sign, mel_cat, mel_hi, dct = (
+    dft_kcat, sign, mel_cat, mel_hi, dct = (
         jnp.asarray(a) for a in _kernel4_constants()
     )
     hb = _TILE3 // _HALO3
@@ -671,9 +676,7 @@ def _v4_call(blocks: jax.Array, n_tiles: int) -> jax.Array:
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_HALO3, _BLOCK), lambda j: (hb * (j + 1), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLOCK, _COLS4), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLOCK, _COLS4), lambda j: (0, 0),
+            pl.BlockSpec((3 * _BLOCK, _COLS4), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _MROWS4), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -692,7 +695,7 @@ def _v4_call(blocks: jax.Array, n_tiles: int) -> jax.Array:
             bytes_accessed=n_tiles * _TILE3 * (_BLOCK + _CH_PAD) * 4,
             transcendentals=n_tiles * _TILE3 * _CH_PAD,
         ),
-    )(blocks, blocks, dft_hi, dft_lo, sign, mel_cat, mel_hi, dct)
+    )(blocks, blocks, dft_kcat, sign, mel_cat, mel_hi, dct)
 
 
 @jax.jit
