@@ -125,6 +125,44 @@ def test_slot_exhaustion_raises(net):
         srv.open()
 
 
+def test_bounded_tick_and_pending_blocks(net):
+    """tick(drain=False) issues exactly one dispatch of <= block_batch
+    blocks per slot; pending_blocks reports the leftover backlog."""
+    from streamz_tpu import config
+
+    srv = MultiStreamIdentifier(net, n_streams=2, threshold=0.0, block_batch=4)
+    sid = srv.open()
+    srv.feed(sid, np.zeros(10 * config.HOP_SIZE, np.int16))
+    assert srv.pending_blocks() == 10
+    assert srv.tick(drain=False) == 1
+    assert srv.pending_blocks() == 6  # one dispatch drained k=4 blocks
+    assert srv.tick() == 2  # 6 remaining blocks at k=4: two more dispatches
+    assert srv.pending_blocks() == 0
+
+
+def test_mixed_dtype_wire_parity(net):
+    """A stream fed f32 chunks alongside streams fed i16 must produce the
+    same verdicts as all-i16 feeding — the wire format is an optimization,
+    never a semantic."""
+    clips = _clips(2, seed=21, seconds=0.7)
+    ref = MultiStreamIdentifier(net, n_streams=2, threshold=0.0)
+    mix = MultiStreamIdentifier(net, n_streams=2, threshold=0.0)
+    r0, r1 = ref.open(), ref.open()
+    m0, m1 = mix.open(), mix.open()
+    # ref: both i16; mix: slot 0 fed pre-converted f32, slot 1 i16.
+    f32_clip = clips[0].astype(np.float32) / 32767.0
+    step = 5000
+    for i in range(0, max(len(c) for c in clips), step):
+        ref.feed(r0, clips[0][i : i + step])
+        ref.feed(r1, clips[1][i : i + step])
+        mix.feed(m0, f32_clip[i : i + step])
+        mix.feed(m1, clips[1][i : i + step])
+        ref.tick()
+        mix.tick()
+    _assert_verdict_close(mix.finalize(m0), ref.finalize(r0))
+    _assert_verdict_close(mix.finalize(m1), ref.finalize(r1))
+
+
 def test_serving_shards_over_mesh(net):
     """With a mesh the slot axis is sharded; verdicts are identical to the
     unsharded server on the same feeds, and slots pad to the mesh size."""
