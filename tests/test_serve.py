@@ -163,6 +163,16 @@ def test_mixed_dtype_wire_parity(net):
     _assert_verdict_close(mix.finalize(m1), ref.finalize(r1))
 
 
+def test_multihost_guard(net, monkeypatch):
+    """Multi-host processes must get a clear error, not a hang/crash at the
+    first device_put of non-addressable shards."""
+    import jax
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(NotImplementedError):
+        MultiStreamIdentifier(net, n_streams=4)
+
+
 def test_serving_shards_over_mesh(net):
     """With a mesh the slot axis is sharded; verdicts are identical to the
     unsharded server on the same feeds, and slots pad to the mesh size."""
