@@ -101,10 +101,14 @@ def _file_body(
     emb = jnp.where(norm > 1e-6, s / norm, s)
 
     # --- cosine match vs current centroids (src/lib.rs:1499-1529) ---------
-    ids = jnp.arange(capacity)
     seen = run_cnt > 0
     cent = jnp.where(seen[:, None], run_sum, seed_cent)
-    valid_id = (seed_mask | seen) & (ids < num_speakers)
+    # Candidate set = EVERY centroid key — an explicitly-labeled file can
+    # seed an id at or beyond the live class count, and the reference
+    # argmaxes over the whole HashMap, checking range only AFTER the match
+    # (src/main.rs:791-797).  Pre-masking out-of-range ids here diverged
+    # from the host oracle on both the match and the <20 relaxation count.
+    valid_id = seed_mask | seen
     ne = jnp.sqrt((emb * emb).sum())
     nc = jnp.sqrt((cent * cent).sum(axis=1))
     denom = ne * nc
@@ -114,21 +118,25 @@ def _file_body(
     best = jnp.argmax(sims).astype(jnp.int32)
     dyn = jnp.where(n_ids < 20, 0.7 * threshold, threshold)
     matched_ok = (n_ids > 0) & (sims[best] > dyn)
+    in_range = best < num_speakers
 
     # --- label decision (src/main.rs:779-800 + --max-speakers doc) --------
     at_cap = num_speakers >= max_speakers
     is_labeled = label >= 0
     new_burn = burn_phase & (~is_labeled) & (~at_cap)
     unl = (~is_labeled) & (~new_burn)
-    new_class = unl & (~matched_ok) & (~at_cap)
-    best_forced = jnp.where(n_ids > 0, best, 0)  # at-cap: best centroid outright
+    # A below-threshold OR out-of-range best spawns a new class
+    # (src/main.rs:793-797); at cap, the best centroid wins outright —
+    # range-unchecked, exactly like the host oracle's -2.0 re-identify.
+    new_class = unl & (~(matched_ok & in_range)) & (~at_cap)
+    best_forced = jnp.where(n_ids > 0, best, 0)
     sid = jnp.where(
         is_labeled,
         label,
         jnp.where(
             new_burn | new_class,
             num_speakers,
-            jnp.where(matched_ok, best, best_forced),
+            jnp.where(matched_ok & in_range, best, best_forced),
         ),
     ).astype(jnp.int32)
     sid = jnp.where(is_active, sid, 0)
@@ -356,7 +364,11 @@ def run_incremental_device(
     seed_cent = jnp.asarray(seed_cent)
     seed_mask = jnp.asarray(seed_mask)
 
-    params = net.params
+    # Work on a device copy: the scan donates its params input (argnum 0),
+    # and donating the arrays net.params still references would leave the
+    # caller's net pointing at deleted buffers if a later chunk dispatch
+    # fails — net.params is only reassigned after ALL chunks complete.
+    params = jax.tree.map(jnp.copy, net.params)
     ns = jnp.int32(net.num_speakers)
     run_sum = jnp.zeros((capacity, h2), jnp.float32)
     run_cnt = jnp.zeros((capacity,), jnp.float32)

@@ -128,18 +128,42 @@ def evaluate(
     }
 
 
+def resolve_eval_targets(
+    train_files: List[Tuple[str, object]],
+    target_files: List[Tuple[str, int]],
+    eval_split: float,
+) -> List[Tuple[str, int]]:
+    """Resolve the evaluation set from the ALREADY-LOADED (and precached)
+    lists: ``target_files`` when present, else the tail ``eval_split``
+    fraction of the labeled training entries.
+
+    Takes the in-memory lists, not the list *files*, because
+    ``precache_mp3_files``/``precache_target_files`` rewrite MP3 entries to
+    their cache-WAV paths in place and the feature map is keyed by those
+    rewritten paths.  CONSCIOUS FIX of a reference bug (QUIRKS.md): the
+    reference RE-loads the raw list inside eval mode (``src/main.rs:525``)
+    and looks those original MP3 paths up in the precached-keyed map
+    (``:573``), silently evaluating zero files for any hand-written MP3
+    target list."""
+    if target_files:
+        return list(target_files)
+    labeled = [(p, c) for p, c in train_files if c is not None]
+    if not labeled or eval_split <= 0.0:
+        return []
+    n_eval = max(1, int(round(len(labeled) * min(eval_split, 1.0))))
+    return labeled[-n_eval:]
+
+
 def build_eval_targets(
     train_file_list: str,
     target_file_list: str,
     eval_split: float,
 ) -> List[Tuple[str, int]]:
-    """Resolve the evaluation set: ``target_files.txt`` when present, else the
-    tail ``eval_split`` fraction of the labeled training entries."""
-    targets = fl.load_target_files(target_file_list)
-    if targets:
-        return targets
-    labeled = [(p, c) for p, c in fl.load_train_files(train_file_list) if c is not None]
-    if not labeled or eval_split <= 0.0:
-        return []
-    n_eval = max(1, int(round(len(labeled) * min(eval_split, 1.0))))
-    return labeled[-n_eval:]
+    """File-path variant of :func:`resolve_eval_targets` (loads the lists
+    fresh; callers that precached MP3 entries must use the in-memory
+    variant instead)."""
+    return resolve_eval_targets(
+        fl.load_train_files(train_file_list),
+        fl.load_target_files(target_file_list),
+        eval_split,
+    )

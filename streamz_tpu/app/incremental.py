@@ -181,7 +181,9 @@ def run_incremental_host(
         if mesh is not None and len(windows) >= LONG_CLIP_WINDOW_THRESHOLD:
             from streamz_tpu.parallel.window_parallel import extract_embedding_sharded
 
-            emb = normalize(extract_embedding_sharded(net, windows, mesh))
+            # extract_embedding_sharded already L2-normalizes (its
+            # call-site contract) — no outer normalize.
+            emb = extract_embedding_sharded(net, windows, mesh)
         else:
             emb = normalize(extract_embedding_from_features(net, windows))
 

@@ -25,7 +25,7 @@ import numpy as np
 
 from streamz_tpu import config
 from streamz_tpu.app.embedquality import print_embedding_quality
-from streamz_tpu.app.evaluate import build_eval_targets, evaluate
+from streamz_tpu.app.evaluate import evaluate, resolve_eval_targets
 from streamz_tpu.app.incremental import finalize_and_save, run_incremental
 from streamz_tpu.dsp.features import FeatureExtractor
 from streamz_tpu.infer.cluster import cluster_embeddings
@@ -37,12 +37,15 @@ from streamz_tpu.runtime.profiler import PhaseTimer, trace
 from streamz_tpu.stego import codec
 
 
-def _flag_value(args: List[str], flag: str) -> Optional[str]:
+def _flag_value(
+    args: List[str], flag: str, warn: bool = True
+) -> Optional[str]:
     if flag in args:
         idx = args.index(flag)
         if idx + 1 < len(args):
             return args[idx + 1]
-        print(f"Missing value for {flag}", file=sys.stderr)
+        if warn:
+            print(f"Missing value for {flag}", file=sys.stderr)
     return None
 
 
@@ -160,7 +163,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     profile = "--profile" in args
     profile_dir = None
     if profile:
-        maybe = _flag_value(args, "--profile")
+        # The directory is optional: bare --profile is valid (no warning).
+        maybe = _flag_value(args, "--profile", warn=False)
         if maybe and not maybe.startswith("--"):
             profile_dir = maybe
     timer = PhaseTimer()
@@ -246,9 +250,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if eval_mode:
         print(f"Evaluating with threshold = {conf_threshold}")
-        targets = build_eval_targets(
-            config.TRAIN_FILE_LIST, config.TARGET_FILE_LIST, eval_split
-        )
+        # The in-memory lists: precache rewrote their MP3 entries to the
+        # cache-WAV paths the feature map is keyed by.  The reference
+        # re-loads the raw lists here (src/main.rs:525) and so silently
+        # evaluates zero files for MP3 target lists — consciously fixed
+        # (QUIRKS.md).
+        targets = resolve_eval_targets(train_files, target_files, eval_split)
         raw_train = fl.load_train_files(config.TRAIN_FILE_LIST)
         targets_opt = [(p, c) for p, c in targets]
         label_map = fl.build_label_map(raw_train, targets_opt)
@@ -258,12 +265,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f"Model file {config.MODEL_PATH} not found. Please train first.",
                 file=sys.stderr,
             )
+            _trace_stack.close()  # stop an active profiler trace cleanly
             return 1
         print(f"Loading model from {config.MODEL_PATH}")
         try:
             net = checkpoint.load(config.MODEL_PATH)
         except Exception as e:
             print(f"Failed to load model: {e}", file=sys.stderr)
+            _trace_stack.close()
             return 1
         print(f"Model contains {len(net.embeddings)} saved embeddings")
         with timer.phase("eval"):

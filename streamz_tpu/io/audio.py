@@ -190,15 +190,7 @@ def precache_mp3_files(files: List[Tuple[str, Optional[int]]]) -> None:
 
 def precache_target_files(files: List[Tuple[str, int]]) -> None:
     """Same as :func:`precache_mp3_files` for the eval list (src/main.rs:113-124)."""
-    for i, (path, label) in enumerate(files):
-        if path.lower().endswith(".mp3"):
-            local_wav = str(Path(path).with_suffix(".wav"))
-            if os.path.exists(local_wav):
-                files[i] = (local_wav, label)
-            else:
-                new_path = cache_mp3_as_wav(path)
-                if new_path is not None:
-                    files[i] = (new_path, label)
+    precache_mp3_files(files)  # identical rewrite rule, one implementation
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,12 @@ def load_train_files(path: str) -> List[TrainEntry]:
                     label = int(parts[1].strip())
                 except ValueError:
                     label = None
+                # The reference parses usize (src/main.rs:52): a negative
+                # label is unparseable there and the entry is unlabeled.
+                # (Negative ints would also collide with the device loop's
+                # -1 unlabeled sentinel.)
+                if label is not None and label < 0:
+                    label = None
             entries.append((p, label))
     return entries
 
@@ -68,9 +74,12 @@ def load_target_files(path: str) -> List[Tuple[str, int]]:
             if not p:
                 continue
             try:
-                entries.append((p, int(c)))
+                cls = int(c)
             except ValueError:
                 continue
+            if cls < 0:  # usize parse failure in the reference: line dropped
+                continue
+            entries.append((p, cls))
     return entries
 
 

@@ -73,7 +73,11 @@ def save(net: SpeakerNet, path: str) -> None:
         arrays["speaker_embeddings"] = embeds
         arrays["speaker_mean_sims"] = mean_sims
         arrays["speaker_std_sims"] = std_sims
-    np.savez(path, **arrays)
+    # Write through a file handle: np.savez(path_str) silently appends
+    # '.npz' when the suffix is missing, making save/load disagree about
+    # the file name for custom model paths.
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def _read_npz_raw(path: str) -> Dict[str, np.ndarray]:
@@ -117,8 +121,14 @@ def load(path: str) -> SpeakerNet:
         b3_live = np.asarray(data["b3"], np.float32).ravel()
         num_outputs = b3_live.shape[0]
     else:
-        w3_live = np.zeros((hidden2, 1), np.float32)
-        b3_live = np.zeros((1,), np.float32)
+        # No stored columns at all (0-speaker checkpoint): keep ZERO live
+        # columns so the first class discovered after resume exposes the
+        # content-seeded random init below — the reference's
+        # add_output_class also samples a fresh random column
+        # (src/lib.rs:807-810); pinning a zero column here would train the
+        # first speaker from an all-zero init, a distribution divergence.
+        w3_live = np.zeros((hidden2, 0), np.float32)
+        b3_live = np.zeros((0,), np.float32)
 
     # Optional stego layer columns (src/lib.rs:1169-1186, :1209-1226).
     columns4: List[np.ndarray] = []

@@ -28,7 +28,6 @@ from jax.experimental import pallas as pl
 
 from streamz_tpu.nn.model import MASK_LOGIT, Params
 
-_TILE = 512
 _IN_PAD = 64  # 60-dim features padded to a lane-friendly width
 
 
@@ -340,6 +339,11 @@ def train_windows_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     S, B, F = chunks.shape
+    if S == 0:
+        # Zero chunks (e.g. epochs=0): a grid-(0,) launch would never run
+        # the j==0 copy-from-input step, leaving the output params
+        # uninitialized.  Match the XLA scan's length-0 no-op instead.
+        return params, jnp.float32(0.0), jnp.float32(0.0)
     cap = params["b3"].shape[0]
     h1 = params["w1"].shape[1]
     h2 = params["w2"].shape[1]

@@ -35,13 +35,6 @@ import jax.numpy as jnp
 from streamz_tpu.nn.model import Params, forward_logits
 
 
-def report_loss(params: Params, x: jax.Array, target: jax.Array, num_speakers) -> jax.Array:
-    """Per-sample reference-reported CE loss: -sum t*ln(max(p,1e-12))."""
-    logits = forward_logits(params, x, num_speakers)
-    p = jax.nn.softmax(logits, axis=-1)
-    return -jnp.sum(target * jnp.log(jnp.maximum(p, 1e-12)), axis=-1)
-
-
 def train_batch(
     params: Params,
     batch: jax.Array,

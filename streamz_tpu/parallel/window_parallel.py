@@ -25,6 +25,7 @@ from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from streamz_tpu import config
@@ -125,9 +126,6 @@ def vote_sums_sharded(net, windows, mesh: Mesh):
     :func:`identify_speaker_sharded` and the ``mesh`` path of
     ``identify_speaker_with_threshold_feats``.  Returns a ``[num_speakers]``
     numpy array."""
-    import numpy as np
-    import jax.numpy as jnp
-
     padded, valid = _pad_to_mesh(windows, mesh)
     step = make_sharded_vote_step(mesh)
     sums, _ = step(
@@ -147,18 +145,12 @@ def identify_speaker_sharded(net, windows, mesh: Mesh) -> int:
 def extract_embedding_sharded(net, windows, mesh: Mesh):
     """Mean ReLU-h2 clip embedding sharded over the mesh, L2-normalized
     (the ``extract_embedding_from_features`` call-site contract)."""
-    import numpy as np
-
     from streamz_tpu.infer.embed import normalize
 
     if len(windows) == 0:
-        import numpy as np
-
         return np.zeros((net.embedding_size(),), np.float32)
     padded, valid = _pad_to_mesh(windows, mesh)
     step = make_sharded_embedding_step(mesh)
-    import jax.numpy as jnp
-
     emb = step(net.params, jnp.asarray(padded), jnp.asarray(valid))
     return normalize(np.asarray(emb))
 

@@ -203,6 +203,11 @@ def extract_file(w_out, b_out: np.ndarray | None = None) -> bytes:
     """
     if isinstance(w_out, SpeakerNet):
         w_out, b_out = w_out.output_layer()
+    if b_out is None:
+        raise ValueError(
+            "extract_file needs the bias vector: pass (w, b) arrays or a "
+            "SpeakerNet"
+        )
     input_bits = checksum_input_bits()
     h2 = _hidden_activation(input_bits, hidden2=int(w_out.shape[0]))
     out = 1.0 / (1.0 + np.exp(-(h2 @ np.asarray(w_out, np.float32) + np.asarray(b_out, np.float32))))

@@ -1,6 +1,7 @@
 """model.npz schema round-trip tests, incl. the legacy monolithic-w3 path."""
 
 import io
+import os
 import zipfile
 
 import numpy as np
@@ -201,3 +202,29 @@ def test_load_padding_differs_for_different_content(tmp_path):
     pad_a = np.asarray(la.params["w3"][:, la.num_speakers:])
     pad_b = np.asarray(lb.params["w3"][:, lb.num_speakers:])
     assert not np.array_equal(pad_a, pad_b)
+
+
+def test_zero_speaker_resume_random_first_column(tmp_path):
+    """A 0-speaker checkpoint must resume with a RANDOM (content-seeded)
+    first column, not all-zeros — the reference samples a fresh U(-0.5,0.5)
+    column in add_output_class (src/lib.rs:807-810)."""
+    net = SpeakerNet.new(output=0, seed=0)
+    p = str(tmp_path / "model.npz")
+    checkpoint.save(net, p)
+    loaded = checkpoint.load(p)
+    assert loaded.num_speakers == 0
+    col0 = np.asarray(loaded.params["w3"])[:, 0]
+    assert np.abs(col0).max() > 0.0  # random init, not pinned zeros
+    # determinism contract: reloading gives the identical padding
+    again = np.asarray(checkpoint.load(p).params["w3"])[:, 0]
+    np.testing.assert_array_equal(col0, again)
+
+
+def test_save_respects_custom_suffix(tmp_path):
+    """save(path) must write exactly `path` (np.savez silently appends
+    .npz to string paths without the suffix)."""
+    net = SpeakerNet.new(output=2, seed=0)
+    p = str(tmp_path / "model.ckpt")
+    checkpoint.save(net, p)
+    assert os.path.exists(p) and not os.path.exists(p + ".npz")
+    assert checkpoint.load(p).num_speakers == 2

@@ -306,3 +306,38 @@ def test_sharded_scan_env_escape(monkeypatch):
         mesh=comm.make_mesh(8),
     )
     assert calls["n"] == 0
+
+
+def test_out_of_range_label_then_match_follows_reference():
+    """An explicit label at/beyond the live class count seeds a centroid the
+    reference still argmaxes over, spawning a NEW class when that centroid
+    wins below the live range (src/main.rs:791-797).  The device loop must
+    reproduce the host oracle here, not pre-mask the id (which silently
+    matched the runner-up in-range centroid instead of spawning)."""
+    rng = np.random.default_rng(7)
+    dim, wpf = 60, 8
+    base = rng.normal(size=dim).astype(np.float32) * 3.0
+    tilt = rng.normal(size=dim).astype(np.float32)
+    # Two CORRELATED clusters: an unlabeled B-file clears the threshold
+    # against BOTH centroids, so the winner (not the gate) decides.
+    center_a = base
+    center_b = base + 1.2 * tilt
+
+    def mk(center):
+        return (center + rng.normal(0, 0.05, size=(wpf, dim))).astype(
+            np.float32
+        )
+
+    files = [("a0.wav", 0), ("b_lab.wav", 5), ("b0.wav", None),
+             ("b1.wav", None)]
+    fm = {"a0.wav": mk(center_a), "b_lab.wav": mk(center_b),
+          "b0.wav": mk(center_b), "b1.wav": mk(center_b)}
+    (net_d, fd, rd), (net_h, fh, rh) = _run_both(
+        files, fm, burn_in_limit=0, conf_threshold=0.2, dropout=0.0, epochs=1
+    )
+    assert [c for _, c in fd] == [c for _, c in fh]
+    # The unlabeled B-files must have spawned a NEW class (the out-of-range
+    # centroid 5 won), not matched class 0.
+    assert fh[2][1] == net_h.output_size() - 1 != 0
+    assert net_d.output_size() == net_h.output_size()
+    assert set(rd.speaker_embeddings) == set(rh.speaker_embeddings)

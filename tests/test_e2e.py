@@ -195,6 +195,32 @@ def test_force_retrains_from_scratch(workdir, capsys):
     assert "Loaded saved model" not in out
 
 
+def test_eval_with_raw_mp3_target_list(workdir, capsys):
+    """A hand-written target_files.txt pointing at the ORIGINAL .mp3 paths
+    must still evaluate every file: precache rewrites the in-memory target
+    list to the cache-WAV paths the feature map is keyed by.  (The
+    reference re-loads the raw list inside eval mode, src/main.rs:525, and
+    silently evaluates zero files here — consciously fixed, QUIRKS.md.)"""
+    labels = [0, 0, 1, 1, 0]
+    _write_train_list(workdir, labels)
+    assert cli_main([]) == 0
+    capsys.readouterr()
+
+    # Overwrite the training run's target list (cache paths) with raw MP3s.
+    fl.write_target_files(
+        str(workdir / "target_files.txt"),
+        [(f"data/{c}", labels[i]) for i, c in enumerate(CLIPS)],
+    )
+    assert cli_main(["--eval", "--threshold", "0.5"]) == 0
+    out = capsys.readouterr().out
+    assert "Evaluation complete:" in out
+    # With the feature map missing every target (the pre-fix behavior) the
+    # accuracy is exactly 0.00%; with the cache-path resolution it matches
+    # the in-corpus eval of test_labeled_train_then_eval.
+    acc_line = [l for l in out.splitlines() if "Accuracy" in l][0]
+    assert float(acc_line.split()[-1].rstrip("%")) >= 60.0
+
+
 def test_eval_split_without_target_files(workdir, capsys):
     """--eval-split reserves labeled tail when target_files.txt is absent."""
     labels = [0, 0, 1, 1, 0]

@@ -209,3 +209,24 @@ def test_fused_steps_zero_update_when_no_classes():
         np.testing.assert_allclose(
             np.asarray(out["pallas"][k]), np.asarray(net.params[k]), atol=0,
             err_msg=f"pallas moved {k}")
+
+
+def test_file_train_zero_epochs_is_noop():
+    """epochs=0 yields zero chunks: the Pallas path must return params
+    unchanged and zero loss (a grid-(0,) launch would leave the output
+    buffers uninitialized), matching the XLA scan's length-0 no-op."""
+    import jax.numpy as jnp
+
+    from streamz_tpu.nn.model import SpeakerNet
+    from streamz_tpu.nn.pallas_train import train_windows_pallas
+
+    net = SpeakerNet.new(output=2, seed=0)
+    chunks = jnp.zeros((0, 8, 60), jnp.float32)
+    masks = jnp.zeros((0, 8), jnp.float32)
+    tvec = jnp.zeros((net.capacity,), jnp.float32).at[0].set(1.0)
+    params, loss, cnt = train_windows_pallas(
+        net.params, chunks, masks, tvec, jnp.int32(2), jnp.float32(0.05)
+    )
+    assert float(loss) == 0.0 and float(cnt) == 0.0
+    for k in net.params:
+        np.testing.assert_array_equal(params[k], net.params[k])
