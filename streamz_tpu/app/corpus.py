@@ -93,7 +93,7 @@ def train_corpus(
         x = windows[idx]
         w = (np.arange(n_pad) < n).astype(np.float32)
         if dropout > 0.0:
-            keep = rng.random(x.shape) >= dropout
+            keep = rng.random(x.shape, dtype=np.float32) >= dropout
             x = x * keep
             w = w * np.any(x != 0.0, axis=-1)  # all-zero windows skipped
         x = x.astype(np.float32).reshape(steps, batch_size, -1)
@@ -109,5 +109,5 @@ def train_corpus(
             params, xb, yb, wb, jnp.int32(net.num_speakers), jnp.float32(lr)
         )
         losses.append(float(np.asarray(step_losses).mean()))
-    net.params = jax.tree_util.tree_map(lambda a: a, params)
+    net.params = params
     return losses

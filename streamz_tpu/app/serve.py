@@ -118,7 +118,8 @@ class MultiStreamIdentifier:
             jnp.zeros((S, 4, config.MFCC_SIZE), jnp.float32),
             jnp.zeros((S,), jnp.int32),
             jnp.zeros((S, cap), jnp.float32),
-            jnp.zeros((S,), jnp.float32),
+            jnp.zeros((S, cap), jnp.float32),  # Kahan compensation
+            jnp.zeros((S,), jnp.int32),
         )
         self._carry = self._place(carry)
 
@@ -267,7 +268,7 @@ class MultiStreamIdentifier:
         if sid in self._final:
             return self._final[sid]
         votes = np.asarray(self._carry[4][sid])
-        count = float(self._carry[5][sid])
+        count = float(self._carry[6][sid])
         return self._verdict(votes, count)
 
     def finalize(self, sid: int) -> Optional[Tuple[int, float]]:

@@ -44,7 +44,12 @@ def _make_stream_step(capacity: int, k: int):
     """Jitted streaming step for ``k`` blocks per dispatch.
 
     carry = (proj [802], has_prev, tail [4, 20], n_base, votes [capacity],
-    count); returns (carry', feats [k, 60], valid [k]).
+    votes_comp [capacity], count); returns (carry', feats [k, 60],
+    valid [k]).  ``count`` is int32 (exact forever) and the vote sums use
+    Kahan-compensated f32 accumulation — a plain f32 += stops absorbing
+    new windows once the sums reach ~2^24x the increment (~42 h of
+    continuous audio), silently freezing a long-running live stream's
+    confidence.
     """
     from streamz_tpu.dsp.mfcc import _PREC, _constants
 
@@ -52,7 +57,7 @@ def _make_stream_step(capacity: int, k: int):
     nbins = config.N_FFT_BINS
 
     def step(params, carry, blocks, n_new, num_speakers):
-        proj, has_prev, tail, n_base, votes, count = carry
+        proj, has_prev, tail, n_base, votes, vcomp, count = carry
 
         proj_new = jnp.dot(blocks, dft_top, precision=_PREC)  # [k, 802]
         all_proj = jnp.concatenate([proj[None], proj_new])  # [k+1, 802]
@@ -102,8 +107,14 @@ def _make_stream_step(capacity: int, k: int):
 
         probs = forward(params, feats, num_speakers)
         vmask = valid.astype(jnp.float32)
-        votes = votes + (probs * vmask[:, None]).sum(axis=0)
-        count = count + vmask.sum()
+        step_sum = (probs * vmask[:, None]).sum(axis=0)
+        # Kahan step: add the (compensation-corrected) increment, carry the
+        # rounding residue forward.
+        y = step_sum - vcomp
+        t = votes + y
+        vcomp = (t - votes) - y
+        votes = t
+        count = count + valid.sum().astype(jnp.int32)
 
         new_tail = jax.lax.dynamic_slice(seq, (m, 0), (4, seq.shape[1]))
         last_proj = all_proj[jnp.clip(n_new, 0, k)]
@@ -113,6 +124,7 @@ def _make_stream_step(capacity: int, k: int):
             new_tail,
             n_base + m,
             votes,
+            vcomp,
             count,
         )
         return carry_out, feats, vmask
@@ -124,7 +136,7 @@ def _make_finalize_step(capacity: int):
     """Flush the <=2 pending frames with the end-of-stream edge clamp."""
 
     def fin(params, carry, num_speakers):
-        _, _, tail, n_base, votes, count = carry
+        _, _, tail, n_base, votes, vcomp, count = carry
         n_t = n_base  # total base frames in the stream
 
         g = n_t - 2 + jnp.arange(2)
@@ -152,8 +164,8 @@ def _make_finalize_step(capacity: int):
 
         probs = forward(params, feats, num_speakers)
         vmask = valid.astype(jnp.float32)
-        votes = votes + (probs * vmask[:, None]).sum(axis=0)
-        count = count + vmask.sum()
+        votes = votes + ((probs * vmask[:, None]).sum(axis=0) - vcomp)
+        count = count + valid.sum().astype(jnp.int32)
         return votes, count, feats, vmask
 
     return jax.jit(fin)
@@ -208,7 +220,8 @@ class StreamingIdentifier:
             jnp.zeros((4, config.MFCC_SIZE), jnp.float32),
             jnp.int32(0),
             jnp.zeros((cap,), jnp.float32),
-            jnp.float32(0.0),
+            jnp.zeros((cap,), jnp.float32),
+            jnp.int32(0),
         )
 
     # -- feeding -------------------------------------------------------------
@@ -254,7 +267,7 @@ class StreamingIdentifier:
         """Rolling identification over the frames finalized so far
         (``identify_speaker_with_threshold`` semantics)."""
         votes = np.asarray(self._carry[4])
-        count = float(self._carry[5])
+        count = float(self._carry[6])
         return self._verdict(votes, count)
 
     def finalize(self) -> Optional[Tuple[int, float]]:
@@ -265,7 +278,9 @@ class StreamingIdentifier:
             votes, count, feats, vmask = self._fin(
                 self.net.params, self._carry, jnp.int32(self.net.num_speakers)
             )
-            self._carry = self._carry[:4] + (votes, count)
+            self._carry = self._carry[:4] + (
+                votes, jnp.zeros_like(votes), count,
+            )
             if self.collect_features:
                 self._collect(feats, vmask)
         return self.current()

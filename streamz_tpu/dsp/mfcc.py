@@ -121,7 +121,6 @@ def deltas_and_norm(base: jax.Array, n_win: jax.Array) -> jax.Array:
     std = jnp.maximum(jnp.sqrt(var), 1e-6)
     feats = (feats - mean) / std
 
-    valid = (idx < n_win[:, None])[..., None]
     return jnp.where(valid, feats, 0.0)
 
 

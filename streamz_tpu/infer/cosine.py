@@ -180,7 +180,8 @@ def compute_speaker_embeddings(
             out.append((np.zeros((net.embedding_size(),), np.float32), 0.0, 0.0))
             continue
         mean = normalize(np.mean(embeds, axis=0))
-        sims = np.array([cosine_similarity(e, mean) for e in embeds], np.float32)
+        # One [n_files x 1] GEMM instead of a per-file Python dot loop.
+        sims = cosine_matrix_many(np.stack(embeds), mean[None, :])[:, 0]
         mean_sim = float(sims.mean())
         std_sim = float(np.sqrt(((sims - mean_sim) ** 2).mean()))
         out.append((mean, mean_sim, std_sim))

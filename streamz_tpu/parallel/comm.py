@@ -74,6 +74,15 @@ def initialize_distributed(
     on the cluster environment's auto-detection.
     """
     if num_processes is None and coordinator_address is None:
+        if process_id is not None:
+            # A bare process_id is a misconfigured launcher, not a
+            # single-process job: silently skipping would leave every host
+            # running its own psum over local devices only.
+            raise ValueError(
+                "process_id given without --coordinator/--num-processes; "
+                "pass all three (or none, for cluster auto-detection via "
+                "jax.distributed.initialize() with no args)"
+            )
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

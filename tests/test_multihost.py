@@ -205,3 +205,15 @@ def test_two_process_cli_e2e(tmp_path):
     assert len(metrics(out_eval)) == 4
     for o in outs_eval:
         assert metrics(o) == metrics(out_eval)
+
+
+def test_partial_distributed_args_rejected():
+    """A bare process_id is a misconfigured launcher, not a single-process
+    job — silently skipping initialize would run per-host psums."""
+    import pytest
+
+    from streamz_tpu.parallel import comm
+
+    with pytest.raises(ValueError):
+        comm.initialize_distributed(process_id=1)
+    comm.initialize_distributed()  # all-None: the single-process no-op
