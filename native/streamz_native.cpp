@@ -171,6 +171,11 @@ int sz_read_wav(const char *path, int16_t **out, int64_t *out_len,
     uint32_t size;
     memcpy(&size, chdr + 4, 4);
     if (memcmp(chdr, "fmt ", 4) == 0) {
+      // A declared size below the 16-byte PCM header would make the field
+      // reads below run past the buffer; an absurd size would throw
+      // bad_alloc out of a batch worker thread (std::terminate).  Reject
+      // both as malformed instead of trusting the header.
+      if (size < 16 || size > (1u << 20)) break;
       std::vector<unsigned char> fmt(size);
       if (fread(fmt.data(), 1, size, f) != size) break;
       memcpy(&fmt_code, fmt.data(), 2);
@@ -179,6 +184,7 @@ int sz_read_wav(const char *path, int16_t **out, int64_t *out_len,
       memcpy(&bits, fmt.data() + 14, 2);
       have_fmt = true;
     } else if (memcmp(chdr, "data", 4) == 0) {
+      if (size == 0) break;
       nsamples = size / 2;
       data = static_cast<int16_t *>(malloc(size));
       if (!data || fread(data, 1, size, f) != size) {
@@ -200,6 +206,12 @@ int sz_read_wav(const char *path, int16_t **out, int64_t *out_len,
   if (bits != 16 || (fmt_code != 1 && fmt_code != 0xFFFE)) {
     free(data);
     return -5;  // "Only 16-bit audio supported"
+  }
+  if (sr == 0 || ch == 0) {
+    // rate 0 would divide by zero inside the resampler plan (SIGFPE kills
+    // the whole batch-ingest process); channels 0 breaks downmix.
+    free(data);
+    return -6;
   }
   *out = data;
   *out_len = nsamples;
@@ -308,6 +320,7 @@ int sz_batch_decode(const char **paths, int32_t n, int32_t threads,
                     SzClip *out) {
   if (n <= 0) return 0;
   if (threads <= 0) threads = std::thread::hardware_concurrency();
+  if (threads <= 0) threads = 1;  // hardware_concurrency() may return 0
   if (threads > n) threads = n;
   std::atomic<int32_t> next(0);
   std::vector<std::thread> pool;
@@ -332,6 +345,7 @@ int sz_batch_ingest(const char **paths, int32_t n, int32_t threads,
                     int32_t target_rate, SzClip *out) {
   if (n <= 0) return 0;
   if (threads <= 0) threads = std::thread::hardware_concurrency();
+  if (threads <= 0) threads = 1;  // hardware_concurrency() may return 0
   if (threads > n) threads = n;
   std::atomic<int32_t> next(0);
   std::vector<std::thread> pool;

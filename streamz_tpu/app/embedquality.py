@@ -7,27 +7,24 @@ from streamz_tpu.infer.cosine import compute_speaker_embeddings
 from streamz_tpu.nn.model import SpeakerNet
 
 
+def _report(items) -> None:
+    total = 0.0
+    for i, (_mean, mean_sim, std_sim) in enumerate(items):
+        total += mean_sim
+        print(
+            f"Speaker {i}: mean similarity {mean_sim:.4f}, "
+            f"std dev {std_sim:.4f}"
+        )
+    print(f"Average mean similarity: {total / len(items):.4f}")
+
+
 def print_embedding_quality(net: SpeakerNet) -> None:
     if net.embeddings:
         print("Saved embeddings found in model.npz:")
-        total = 0.0
-        for i, (_mean, mean_sim, std_sim) in enumerate(net.embeddings):
-            total += mean_sim
-            print(
-                f"Speaker {i}: mean similarity {mean_sim:.4f}, "
-                f"std dev {std_sim:.4f}"
-            )
-        print(f"Average mean similarity: {total / len(net.embeddings):.4f}")
+        _report(net.embeddings)
         return
-
     embeds = compute_speaker_embeddings(net)
     if not embeds:
         print("No embeddings available to evaluate")
         return
-    total = 0.0
-    for i, (_mean, mean_sim, std_sim) in enumerate(embeds):
-        total += mean_sim
-        print(
-            f"Speaker {i}: mean similarity {mean_sim:.4f}, std dev {std_sim:.4f}"
-        )
-    print(f"Average mean similarity: {total / len(embeds):.4f}")
+    _report(embeds)

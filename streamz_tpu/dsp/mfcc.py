@@ -64,6 +64,14 @@ def window_count(n_samples) -> jnp.ndarray:
     )
 
 
+def window_count_host(n_samples: int) -> int:
+    """Host-side (pure Python) twin of :func:`window_count` for routing
+    decisions that must not touch the device."""
+    if n_samples < config.WINDOW_SIZE:
+        return 0
+    return (n_samples - config.WINDOW_SIZE) // config.HOP_SIZE + 1
+
+
 def mfcc_base(pcm: jax.Array) -> jax.Array:
     """Base MFCCs for every candidate window. pcm: [B, T] f32 → [B, W, 20]
     where W = T//400 - 1.  No masking/deltas — the FLOP-heavy GEMM stage."""

@@ -64,9 +64,9 @@ def identify_speaker(
     (:func:`streamz_tpu.parallel.window_parallel.identify_speaker_pcm_sharded`).
     """
     sample = np.asarray(sample)
-    from streamz_tpu import config
+    from streamz_tpu.dsp.mfcc import window_count_host
 
-    n_win = max((len(sample) - config.WINDOW_SIZE) // config.HOP_SIZE + 1, 0)
+    n_win = window_count_host(len(sample))
     if _long_mesh(mesh, n_win) and net.num_speakers and _default_frontend(extractor):
         from streamz_tpu.parallel.window_parallel import identify_speaker_pcm_sharded
 

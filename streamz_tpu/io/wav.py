@@ -50,6 +50,8 @@ def read_wav(path: str) -> Tuple[np.ndarray, int, int]:
                 break
     if fmt is None or data is None:
         raise WavError(f"{path}: missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise WavError(f"{path}: malformed fmt chunk ({len(fmt)} bytes)")
     audio_format, channels, sample_rate, _, _, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
@@ -57,6 +59,11 @@ def read_wav(path: str) -> Tuple[np.ndarray, int, int]:
         raise WavError(f"{path}: unsupported WAV format {audio_format}")
     if bits != 16:
         raise WavError("Only 16-bit audio supported")
+    if sample_rate == 0 or channels == 0:
+        # Would divide by zero downstream (downmix/resample plan).
+        raise WavError(f"{path}: invalid rate/channels in fmt chunk")
+    if len(data) % 2 == 1:  # truncated mid-sample
+        data = data[:-1]
     samples = np.frombuffer(data, dtype="<i2")
     return samples.astype(np.int16, copy=False), int(sample_rate), int(channels)
 
@@ -74,6 +81,8 @@ def wav_spec(path: str) -> Tuple[int, int, int]:
             cid, size = struct.unpack("<4sI", chunk_hdr)
             if cid == b"fmt ":
                 fmt = f.read(size)
+                if len(fmt) < 16:
+                    raise WavError(f"{path}: malformed fmt chunk")
                 _, channels, sample_rate, _, _, bits = struct.unpack(
                     "<HHIIHH", fmt[:16]
                 )

@@ -233,10 +233,16 @@ class SpeakerNet:
         self.params = dict(self.params, w3=w3, b3=b3)
 
     def set_output_layer(self, w3: np.ndarray, b3: np.ndarray) -> None:
-        """Replace the live softmax layer (src/lib.rs:829-833)."""
+        """Replace the live softmax layer (src/lib.rs:829-833).
+
+        Padding columns are re-drawn U(-0.5, 0.5) — zero-filling them would
+        break the module invariant that revealing the next column via
+        ``add_output_class`` is distributionally a fresh random init."""
         n = int(b3.shape[0])
         cap = round_capacity(n)
-        w3_full = np.zeros((w3.shape[0], cap), np.float32)
+        rng = np.random.default_rng(self._growth_seed)
+        self._growth_seed += 1
+        w3_full = _uniform(rng, (w3.shape[0], cap))
         b3_full = np.zeros((cap,), np.float32)
         w3_full[:, :n] = w3
         b3_full[:n] = b3
@@ -325,11 +331,12 @@ class SpeakerNet:
         from streamz_tpu.nn import train as _T
 
         t_live = np.asarray(target, np.float32)
+        n_live = min(len(t_live), self.capacity)
         t_full = np.zeros((self.capacity,), np.float32)
-        t_full[: min(len(t_live), self.capacity)] = t_live[: self.capacity]
+        t_full[:n_live] = t_live[: self.capacity]
         self.params = _T.train_bits_step(
             self.params, jnp.asarray(x, jnp.float32), jnp.asarray(t_full),
-            jnp.float32(lr),
+            jnp.float32(lr), jnp.int32(n_live),
         )
 
     # -- persistence (src/lib.rs:1081-1281) ----------------------------------

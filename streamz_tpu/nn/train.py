@@ -277,19 +277,25 @@ def train_on_windows_sharded_impl(
 # ---------------------------------------------------------------------------
 
 
-def train_bits_step(params: Params, x: jax.Array, target: jax.Array, lr) -> Params:
-    """Single-sample MSE+sigmoid SGD step on the *unmasked* output layer.
+def train_bits_step(
+    params: Params, x: jax.Array, target: jax.Array, lr, n_live
+) -> Params:
+    """Single-sample MSE+sigmoid SGD step on the live output columns.
 
     Reference delta chain: ``delta_out = (out - t) * out * (1 - out)``
     (src/lib.rs:926-927) — exactly the gradient of 0.5*||sigmoid(z) - t||^2,
-    so plain autodiff of that loss reproduces it.
+    so plain autodiff of that loss reproduces it.  The reference's layer is
+    exact-size, so columns beyond ``n_live`` (the TPU capacity padding) are
+    masked out of the loss — their random weights would otherwise inject
+    phantom gradients into the shared w1/w2 trunk.
     """
 
     def loss(p):
         h1 = jax.nn.relu(x @ p["w1"] + p["b1"])
         h2 = jnp.tanh(h1 @ p["w2"] + p["b2"])
         out = jax.nn.sigmoid(h2 @ p["w3"] + p["b3"])
-        return 0.5 * jnp.sum((out - target) ** 2)
+        live = jnp.arange(out.shape[-1]) < n_live
+        return 0.5 * jnp.sum(jnp.where(live, (out - target) ** 2, 0.0))
 
     grads = jax.grad(loss)(params)
     return jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)

@@ -64,3 +64,65 @@ def test_batch_ingest_skips_bad_files(tmp_path):
 def test_loader_missing_file():
     with pytest.raises(Exception):
         audio.load_audio_samples("/nonexistent/file.wav")
+
+
+def _riff(chunks: bytes) -> bytes:
+    body = b"WAVE" + chunks
+    import struct
+
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _chunk(cid: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return cid + struct.pack("<I", len(payload)) + payload
+
+
+def test_malformed_fmt_chunk_rejected(tmp_path):
+    """A fmt chunk shorter than the 16-byte PCM header must raise WavError
+    (python) / status!=0 (native), never read out of bounds or crash."""
+    import struct
+
+    bad = _riff(_chunk(b"fmt ", b"\x01\x00") + _chunk(b"data", b"\x00" * 8))
+    p = tmp_path / "shortfmt.wav"
+    p.write_bytes(bad)
+    with pytest.raises(wav.WavError):
+        wav.read_wav(str(p))
+    from streamz_tpu.io import native
+
+    if native.available():
+        assert native.decode_file(str(p)) is None  # error status, no crash
+
+
+def test_zero_rate_wav_rejected(tmp_path):
+    """sample_rate=0 would divide by zero in the resampler plan: both
+    codecs must reject it at parse time."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    bad = _riff(_chunk(b"fmt ", fmt) + _chunk(b"data", b"\x00" * 8))
+    p = tmp_path / "zerorate.wav"
+    p.write_bytes(bad)
+    with pytest.raises(wav.WavError):
+        wav.read_wav(str(p))
+    from streamz_tpu.io import native
+
+    if native.available():
+        assert native.decode_file(str(p)) is None
+    # and the batch loader drops it instead of crashing the pool
+    out = audio.batch_resample([str(p)])
+    assert out == []
+
+
+def test_odd_length_data_chunk(tmp_path):
+    """A data chunk truncated mid-sample parses (dropping the half sample)
+    instead of raising a non-WavError from np.frombuffer."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    bad = _riff(_chunk(b"fmt ", fmt) + _chunk(b"data", b"\x00" * 7))
+    p = tmp_path / "odd.wav"
+    p.write_bytes(bad)
+    samples, rate, ch = wav.read_wav(str(p))
+    assert len(samples) == 3 and rate == 44100 and ch == 1

@@ -175,7 +175,8 @@ def test_train_bits_matches_oracle():
     want_w2 = p["w2"] - 0.5 * np.outer(h1, dh2)
 
     got = T.train_bits_step(
-        net.params, jnp.asarray(x, jnp.float32), jnp.asarray(t, jnp.float32), 0.5
+        net.params, jnp.asarray(x, jnp.float32), jnp.asarray(t, jnp.float32),
+        0.5, net.capacity,
     )
     np.testing.assert_allclose(np.asarray(got["w3"], np.float64), want_w3,
                                atol=1e-4, rtol=1e-3)
