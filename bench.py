@@ -151,7 +151,7 @@ def _bench_device(net, frontend_core, batch_clips: int = 32,
 
     live = int(net.num_speakers)
     algo_per_win = (
-        2 * 400 * (2 * 401) + 2 * 401 * 20 + 2 * 20 * 20
+        2 * 400 * (2 * 401) + 2 * 401 * _cfg.N_MELS + 2 * _cfg.N_MELS * 20
         + 2 * (60 * _cfg.HIDDEN1 + _cfg.HIDDEN1 * _cfg.HIDDEN2
                + _cfg.HIDDEN2 * live)
     )

@@ -16,6 +16,7 @@
 #include <complex>
 #include <cstdint>
 #include <map>
+#include <memory>
 #include <mutex>
 #include <numeric>
 #include <vector>

@@ -106,7 +106,9 @@ def dft_block_matrices(window: int = config.WINDOW_SIZE):
     the window assembly is a sign-flipped shifted add
     (see :func:`streamz_tpu.dsp.mfcc.mfcc_base`).  Halves the DFT GEMM FLOPs.
 
-    Returns (Ct, Cb, St, Sb), each [window/2, window/2 + 1] float64.
+    Returns (Ct, St), each [window/2, window/2 + 1] float64; the
+    bottom-role bases are ``bin_parity_sign() * Ct/St`` and are never
+    materialized (every consumer applies the sign trick itself).
     """
     b = window // 2
     n_bins = b + 1
@@ -115,10 +117,7 @@ def dft_block_matrices(window: int = config.WINDOW_SIZE):
     ang_top = 2.0 * np.pi * k * j / window
     ct = np.cos(ang_top)
     st = -np.sin(ang_top)
-    sign = np.where(np.arange(n_bins) % 2 == 0, 1.0, -1.0)[None, :]
-    cb = ct * sign
-    sb = st * sign
-    return ct, cb, st, sb
+    return ct, st
 
 
 @lru_cache(maxsize=8)

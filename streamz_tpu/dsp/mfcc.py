@@ -36,7 +36,7 @@ _PREC = jax.lax.Precision.HIGH
 
 
 def _constants():
-    ct, _cb, st, _sb = melmod.dft_block_matrices()
+    ct, st = melmod.dft_block_matrices()
     fb = melmod.mel_filterbank()
     dct = melmod.dct2_matrix()
     import numpy as _np

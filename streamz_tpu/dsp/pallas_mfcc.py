@@ -197,7 +197,7 @@ _BLOCK_PAD = 512  # 400-sample blocks padded to the lane tile for aligned DMA
 def _kernel2_constants():
     from streamz_tpu.dsp.mel import bin_parity_sign, dft_block_matrices
 
-    ct, _cb, st, _sb = dft_block_matrices()
+    ct, st = dft_block_matrices()
     n_bins = ct.shape[1]  # 401
 
     def pad_bins(m):
@@ -341,7 +341,7 @@ def _kernel3_constants(n_strips: int = None):
 
     if n_strips is None:
         n_strips = _STRIPS3
-    ct, _cb, st, _sb = dft_block_matrices()
+    ct, st = dft_block_matrices()
     n_bins = ct.shape[1]  # 401
 
     def pad_bins(m):
@@ -567,7 +567,7 @@ def _kernel4_constants():
         bin_parity_sign, dft_block_matrices, mel_filterbank,
     )
 
-    ct, _cb, st, _sb = dft_block_matrices()
+    ct, st = dft_block_matrices()
     n_bins = ct.shape[1]  # 401
     nt = n_bins - _T0     # 17 tail bins
 

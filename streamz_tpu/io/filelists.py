@@ -20,6 +20,16 @@ from typing import Dict, List, Optional, Sequence, Tuple
 TrainEntry = Tuple[str, Optional[int]]
 
 
+def _parse_usize(raw: str) -> Optional[int]:
+    """Rust ``usize`` parse semantics: ASCII digits only.  Python's int()
+    is laxer (underscores, unicode digits, sign) — '1_0' must be
+    unparseable like the reference, not label 10."""
+    raw = raw.strip()
+    if raw.isascii() and raw.isdigit():
+        return int(raw)
+    return None
+
+
 def load_train_files(path: str) -> List[TrainEntry]:
     """Parse ``train_files.txt`` into (path, optional-label) pairs."""
     if not os.path.exists(path):
@@ -33,18 +43,10 @@ def load_train_files(path: str) -> List[TrainEntry]:
             p = parts[0].strip()
             if not p:
                 continue
-            label: Optional[int] = None
-            if len(parts) > 1:
-                try:
-                    label = int(parts[1].strip())
-                except ValueError:
-                    label = None
-                # The reference parses usize (src/main.rs:52): a negative
-                # label is unparseable there and the entry is unlabeled.
-                # (Negative ints would also collide with the device loop's
-                # -1 unlabeled sentinel.)
-                if label is not None and label < 0:
-                    label = None
+            # usize semantics (src/main.rs:52): a negative or otherwise
+            # unparseable label leaves the entry unlabeled.  (Negative ints
+            # would also collide with the device loop's -1 sentinel.)
+            label = _parse_usize(parts[1]) if len(parts) > 1 else None
             entries.append((p, label))
     return entries
 
@@ -73,11 +75,8 @@ def load_target_files(path: str) -> List[Tuple[str, int]]:
             c = parts[1].strip()
             if not p:
                 continue
-            try:
-                cls = int(c)
-            except ValueError:
-                continue
-            if cls < 0:  # usize parse failure in the reference: line dropped
+            cls = _parse_usize(c)
+            if cls is None:  # usize parse failure in the reference: dropped
                 continue
             entries.append((p, cls))
     return entries
