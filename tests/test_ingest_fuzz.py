@@ -142,6 +142,45 @@ def test_fuzz_native_decoders_no_crash(tmp_path):
     assert "DECODED" in proc.stdout or "NATIVE_UNAVAILABLE" in proc.stdout
 
 
+def test_fuzz_native_mp3_frames_no_crash(tmp_path):
+    """Mutate a *real* LAME-encoded MP3 so corruption lands inside valid
+    frame syncs/side-info, exercising libmpg123's frame parser much deeper
+    than garbage bytes with an .mp3 extension."""
+    if not sznative.available():
+        pytest.skip("native library unavailable")
+    from test_ingest_parity import _LAME, _encode_mp3
+
+    if _LAME is None:
+        pytest.skip("libmp3lame not available")
+    rng = np.random.default_rng(3)
+    t = np.arange(44100) / 44100.0
+    pcm = (9000 * np.sin(2 * np.pi * 330 * t)).astype(np.int16)
+    base = _encode_mp3(pcm, 44100)
+    paths = []
+    for i in range(N_NATIVE_MUTATIONS):
+        p = str(tmp_path / f"fuzz_{i}.mp3")
+        with open(p, "wb") as f:
+            f.write(_mutate(rng, base))
+        paths.append(p)
+    good = str(tmp_path / "good.mp3")
+    with open(good, "wb") as f:
+        f.write(base)
+    paths.append(good)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__))) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _NATIVE_DRIVER, *paths],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert proc.returncode == 0, (
+        f"native mp3 decoder died (rc={proc.returncode}, likely a signal):\n"
+        f"stdout={proc.stdout!r}\nstderr={proc.stderr[-2000:]!r}"
+    )
+    assert "DECODED" in proc.stdout or "NATIVE_UNAVAILABLE" in proc.stdout
+
+
 def test_fuzz_batch_ingest_keeps_healthy_files(tmp_path):
     """Corrupt entries fail per-file; healthy neighbors still decode."""
     if not sznative.available():
