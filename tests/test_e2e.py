@@ -244,3 +244,27 @@ def test_burn_in_limit_zero_matches_instead_of_spawning(workdir, capsys):
     # With a tiny threshold everything matches the first speaker: fewer
     # classes than files.
     assert net.output_size() < len(CLIPS)
+
+
+def test_corrupt_model_falls_back_to_fresh(workdir, capsys):
+    """A corrupt model.npz must not abort discovery: the reference prints
+    the load error and trains a fresh net (src/main.rs:541-546)."""
+    _write_train_list(workdir)
+    (workdir / "model.npz").write_bytes(b"this is not a zip archive")
+    rc = cli_main([])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "Failed to load model" in captured.err
+    assert "Number of speakers discovered:" in captured.out
+    net = checkpoint.load(str(workdir / "model.npz"))  # rewritten, valid
+    assert net.output_size() >= 1
+
+
+def test_corrupt_model_eval_fails_cleanly(workdir, capsys):
+    """--eval with a corrupt checkpoint: clean rc=1, no traceback
+    (src/main.rs:358-363 prints the error instead of panicking)."""
+    _write_train_list(workdir, labels=[0, 0, 1, 1, 0])
+    (workdir / "model.npz").write_bytes(b"\x00" * 128)
+    rc = cli_main(["--eval"])
+    assert rc == 1
+    assert "Failed to load model" in capsys.readouterr().err
