@@ -36,6 +36,7 @@ from streamz_tpu.infer.cluster import cluster_embeddings
 from streamz_tpu.infer.cosine import (
     compute_speaker_embeddings,
     cosine_similarity,
+    identify_embedding_cosine,
     identify_speaker_cosine,
     identify_speaker_cosine_feats,
     identify_speaker_from_embedding,
@@ -117,6 +118,7 @@ __all__ = [
     "get_checksum_constant",
     "i16_to_f32",
     "identify_speaker",
+    "identify_embedding_cosine",
     "identify_speaker_cosine",
     "identify_speaker_cosine_feats",
     "identify_speaker_from_embedding",

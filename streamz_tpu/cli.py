@@ -9,6 +9,7 @@ in its README but dead in its code (``--force``/``--retrain``/``--eval-split``/
           [--no-cache-wav] [--eval] [--eval-split <frac>] [--check-embeddings]
           [--cluster-embeddings <k>] [--force] [--retrain] [--no-autotune]
           [--encode <file>] [--decode <out>] [--checksum <hex>]
+          [--identify <file>...]
 
 Parsing is intentionally lenient like the reference's hand-rolled scanner
 (``src/main.rs:343-448``): unknown flags are ignored, malformed values fall
@@ -150,6 +151,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     encode_path = _flag_value(args, "--encode")
     decode_path = _flag_value(args, "--decode")
     checksum_arg = _flag_value(args, "--checksum")
+    # --identify consumes every following non-flag token (one-shot "who is
+    # this clip?" — the reference library exposes identify_speaker_cosine
+    # but its binary never surfaces it; extra mode, MIGRATION.md).
+    identify_paths: List[str] = []
+    if "--identify" in args:
+        j = args.index("--identify") + 1
+        while j < len(args) and not args[j].startswith("--"):
+            identify_paths.append(args[j])
+            j += 1
+        if not identify_paths:
+            print("Missing value for --identify", file=sys.stderr)
+            return 1
     eval_mode = "--eval" in args
     check_embeddings = "--check-embeddings" in args
     force_retrain = "--force" in args or "--retrain" in args
@@ -209,6 +222,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         # (src/main.rs:450-469; the in-training decode branch at :672-685 is
         # unreachable because of this early return).
         return _standalone_decode(decode_path)
+
+    if identify_paths:
+        return _identify_mode(
+            identify_paths, extractor, conf_threshold, mesh, timer
+        )
 
     train_files = fl.load_train_files(config.TRAIN_FILE_LIST)
     if not train_files:
@@ -377,6 +395,69 @@ def main(argv: Optional[List[str]] = None) -> int:
     for i in range(net.output_size()):
         n = len(result.speaker_features.get(i, []))
         print(f"Speaker {i}: {n} samples")
+    return 0
+
+
+def _identify_mode(
+    paths: List[str], extractor, threshold: float, mesh, timer
+) -> int:
+    """One-shot identification of the given clips against the saved model.
+
+    Uses the discovery loop's adaptive cosine gate (src/lib.rs:1634-1661) on
+    embeddings computed in one bucketed batched device call — the same
+    pipeline stage as ``--eval``, minus the metric bookkeeping.
+    """
+    from streamz_tpu.infer.cosine import cosine_matrix_many, identify_embedding_cosine
+    from streamz_tpu.infer.embed import batch_clip_embeddings
+
+    try:
+        net = checkpoint.load(config.MODEL_PATH)
+    except Exception as e:
+        print(f"Failed to load model: {e}", file=sys.stderr)
+        return 1
+    if not net.embeddings:
+        # Older checkpoints may lack stored embeddings: rebuild from the
+        # per-speaker training file lists, exactly like resume does.
+        net.set_embeddings(
+            compute_speaker_embeddings(net, extractor, mesh=mesh) or []
+        )
+    if not net.embeddings:
+        print("Model has no speaker embeddings to match against", file=sys.stderr)
+        return 1
+    print(
+        f"Loaded {config.MODEL_PATH} "
+        f"({net.output_size()} speakers, {len(net.embeddings)} embeddings)"
+    )
+
+    feature_map = build_feature_map(paths, extractor, timer=timer, mesh=mesh)
+    present = [p for p in paths if feature_map.get(p) is not None]
+    embeddings = batch_clip_embeddings(
+        net, [feature_map[p] for p in present], mesh=mesh
+    )
+    centroids = np.stack(
+        [np.asarray(m, np.float32) for m, _, _ in net.embeddings]
+    )
+    sims = (
+        cosine_matrix_many(np.stack(embeddings), centroids)
+        if present
+        else np.zeros((0, len(net.embeddings)), np.float32)
+    )
+    emb_by_path = {p: (e, s) for p, e, s in zip(present, embeddings, sims)}
+
+    for p in paths:
+        if p not in emb_by_path:
+            print(f"{p}: failed to load", file=sys.stderr)
+            continue
+        emb, sim_row = emb_by_path[p]
+        sid = identify_embedding_cosine(emb, net.embeddings, threshold)
+        best = int(np.argmax(sim_row))
+        if sid is not None:
+            print(f"{p}: speaker {sid} (similarity {float(sim_row[sid]):.3f})")
+        else:
+            print(
+                f"{p}: unknown (best similarity {float(sim_row[best]):.3f} "
+                f"to speaker {best})"
+            )
     return 0
 
 

@@ -119,6 +119,25 @@ def _adaptive_match(
     return best_idx
 
 
+def identify_embedding_cosine(
+    emb: np.ndarray,
+    speaker_embeds: Sequence[SpeakerStats],
+    threshold: float,
+) -> Optional[int]:
+    """Adaptive-gate match on a precomputed clip embedding.
+
+    The same gate as :func:`identify_speaker_cosine(_feats)` factored to the
+    embedding level, so batched embedding producers
+    (:func:`streamz_tpu.infer.embed.batch_clip_embeddings`) can share one
+    device program across clips and gate each result on the host — used by
+    the CLI's ``--identify`` mode.  Cosine is scale-invariant, so ``emb``
+    need not be pre-normalized.
+    """
+    if not speaker_embeds:
+        return None
+    return _adaptive_match(np.asarray(emb, np.float32), speaker_embeds, threshold)
+
+
 def identify_speaker_cosine(
     net: SpeakerNet,
     speaker_embeds: Sequence[SpeakerStats],

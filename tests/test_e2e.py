@@ -268,3 +268,44 @@ def test_corrupt_model_eval_fails_cleanly(workdir, capsys):
     rc = cli_main(["--eval"])
     assert rc == 1
     assert "Failed to load model" in capsys.readouterr().err
+
+
+def test_identify_mode_matches_trained_speaker(workdir, capsys):
+    """--identify on a training clip: the trained model recognizes it."""
+    _write_train_list(workdir, labels=[0, 0, 1, 1, 0])
+    assert cli_main([]) == 0
+    capsys.readouterr()
+    clip = f"data/{CLIPS[0]}"
+    rc = cli_main(["--identify", clip, "--threshold", "0.2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines() if ln.startswith(clip)]
+    assert line and "speaker" in line[0] and "similarity" in line[0]
+
+
+def test_identify_mode_unknown_and_missing(workdir, capsys):
+    """High threshold -> unknown; nonexistent file -> per-file failure,
+    healthy neighbor still identified; rc stays 0."""
+    _write_train_list(workdir, labels=[0, 0, 1, 1, 0])
+    assert cli_main([]) == 0
+    capsys.readouterr()
+    clip = f"data/{CLIPS[1]}"
+    rc = cli_main(["--identify", "no_such_file.wav", clip,
+                   "--threshold", "0.999"])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "no_such_file.wav: failed to load" in captured.err
+    line = [ln for ln in captured.out.splitlines() if ln.startswith(clip)]
+    assert line and "unknown" in line[0]
+
+
+def test_identify_mode_requires_model(workdir, capsys):
+    rc = cli_main(["--identify", f"data/{CLIPS[0]}"])
+    assert rc == 1
+    assert "Failed to load model" in capsys.readouterr().err
+
+
+def test_identify_mode_missing_value(workdir, capsys):
+    rc = cli_main(["--identify", "--threshold", "0.5"])
+    assert rc == 1
+    assert "Missing value for --identify" in capsys.readouterr().err
