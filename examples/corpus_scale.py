@@ -33,13 +33,12 @@ from streamz_tpu.nn.model import SpeakerNet, forward
 from streamz_tpu.parallel import comm
 
 
-def main():
+def main(n_speakers=200, per_spk=300, epochs=10, batch_size=2048, lr=1.0):
     mesh = comm.make_mesh()
     print(f"mesh: {mesh.devices.size} device(s) on axis {comm.DATA_AXIS!r}")
 
-    # Synthetic separable corpus: 200 speakers x 300 windows.
+    # Synthetic separable corpus: n_speakers x per_spk windows.
     rng = np.random.default_rng(0)
-    n_speakers, per_spk = 200, 300
     centers = rng.normal(0, 2.0, (n_speakers, 60)).astype(np.float32)
     labels = np.repeat(np.arange(n_speakers), per_spk).astype(np.int32)
     windows = (
@@ -53,15 +52,16 @@ def main():
     # lr/batch — large batches want a proportionally larger lr.
     losses = train_corpus(
         net, windows, labels,
-        epochs=10, batch_size=2048, lr=1.0, mesh=mesh,
+        epochs=epochs, batch_size=batch_size, lr=lr, mesh=mesh,
     )
     print("per-epoch mean losses:", [round(l, 4) for l in losses])
 
     # Held-out style check: classify a sample of the pool.
-    idx = rng.choice(len(labels), 4096, replace=False)
+    idx = rng.choice(len(labels), min(4096, len(labels)), replace=False)
     probs = forward(net.params, jnp.asarray(windows[idx]), net.num_speakers)
     acc = float((np.asarray(probs).argmax(-1) == labels[idx]).mean())
     print(f"classification accuracy on {len(idx)} sampled windows: {acc:.3f}")
+    return losses, acc
 
 
 if __name__ == "__main__":
