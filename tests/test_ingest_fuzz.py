@@ -202,3 +202,32 @@ def test_fuzz_batch_ingest_keeps_healthy_files(tmp_path):
             samples, rate, ch = r
             assert rate == 44100 and ch == 1 and len(samples) > 0
         # mutated files may or may not survive — they just must not crash
+
+
+def test_fuzz_checkpoint_loader(tmp_path):
+    """Mutated model.npz must either load or raise — never hang, loop
+    unboundedly on crafted per-column keys, or crash the interpreter
+    (the CLI catches any exception and falls back to a fresh net)."""
+    from streamz_tpu.nn import checkpoint
+    from streamz_tpu.nn.model import SpeakerNet
+
+    net = SpeakerNet.new(input_size=8, hidden1=6, hidden2=4, output=3, seed=0)
+    base_path = str(tmp_path / "base.npz")
+    checkpoint.save(net, base_path)
+    with open(base_path, "rb") as f:
+        base = f.read()
+
+    rng = np.random.default_rng(4)
+    p = str(tmp_path / "fuzz.npz")
+    outcomes = {"ok": 0, "rejected": 0}
+    for _ in range(80):
+        with open(p, "wb") as f:
+            f.write(_mutate(rng, base))
+        try:
+            loaded = checkpoint.load(p)
+            assert loaded.output_size() >= 0
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["rejected"] += 1
+    assert sum(outcomes.values()) == 80
+    assert outcomes["rejected"] > 0
