@@ -37,6 +37,7 @@ from streamz_tpu.infer.cosine import (
     compute_speaker_embeddings,
     cosine_similarity,
     identify_embedding_cosine,
+    identify_sims_cosine,
     identify_speaker_cosine,
     identify_speaker_cosine_feats,
     identify_speaker_from_embedding,
@@ -119,6 +120,7 @@ __all__ = [
     "i16_to_f32",
     "identify_speaker",
     "identify_embedding_cosine",
+    "identify_sims_cosine",
     "identify_speaker_cosine",
     "identify_speaker_cosine_feats",
     "identify_speaker_from_embedding",

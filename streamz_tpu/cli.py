@@ -407,7 +407,7 @@ def _identify_mode(
     embeddings computed in one bucketed batched device call — the same
     pipeline stage as ``--eval``, minus the metric bookkeeping.
     """
-    from streamz_tpu.infer.cosine import cosine_matrix_many, identify_embedding_cosine
+    from streamz_tpu.infer.cosine import cosine_matrix_many, identify_sims_cosine
     from streamz_tpu.infer.embed import batch_clip_embeddings
 
     try:
@@ -442,14 +442,16 @@ def _identify_mode(
         if present
         else np.zeros((0, len(net.embeddings)), np.float32)
     )
-    emb_by_path = {p: (e, s) for p, e, s in zip(present, embeddings, sims)}
+    sims_by_path = {p: s for p, s in zip(present, sims)}
 
     for p in paths:
-        if p not in emb_by_path:
+        if p not in sims_by_path:
             print(f"{p}: failed to load", file=sys.stderr)
             continue
-        emb, sim_row = emb_by_path[p]
-        sid = identify_embedding_cosine(emb, net.embeddings, threshold)
+        sim_row = sims_by_path[p]
+        # One batched GEMM produced the sims; gate each row without
+        # recomputing the per-clip cosines.
+        sid = identify_sims_cosine(sim_row, net.embeddings, threshold)
         best = int(np.argmax(sim_row))
         if sid is not None:
             print(f"{p}: speaker {sid} (similarity {float(sim_row[sid]):.3f})")
@@ -458,6 +460,11 @@ def _identify_mode(
                 f"{p}: unknown (best similarity {float(sim_row[best]):.3f} "
                 f"to speaker {best})"
             )
+    if not present:
+        # Every input failed to load: distinguishable from a successful
+        # run for scripts checking the exit code.
+        print("No input file could be loaded", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -101,9 +101,27 @@ def _adaptive_match(
     if not speaker_embeds:
         return None
     centroids = np.stack([np.asarray(m, np.float32) for m, _, _ in speaker_embeds])
+    sims = _cosine_matrix(emb, centroids)
+    return identify_sims_cosine(sims, speaker_embeds, threshold)
+
+
+def identify_sims_cosine(
+    sims: np.ndarray,
+    speaker_embeds: Sequence[SpeakerStats],
+    threshold: float,
+) -> Optional[int]:
+    """The adaptive gate on a precomputed ``[n_speakers]`` cosine row.
+
+    Factored out so callers that already hold a batched similarity matrix
+    (one ``cosine_matrix_many`` GEMM over many clips — ``--eval``-style,
+    and the CLI's ``--identify``) gate each row without recomputing the
+    per-clip cosines.
+    """
+    if not speaker_embeds:
+        return None
+    sims = np.asarray(sims, np.float32)
     mean_sims = np.array([m for _, m, _ in speaker_embeds], np.float32)
     std_sims = np.array([s for _, _, s in speaker_embeds], np.float32)
-    sims = _cosine_matrix(emb, centroids)
 
     factor = 0.3 if len(speaker_embeds) < 200 else 1.0
     not_rejected = sims >= (mean_sims - 2.0 * std_sims)

@@ -309,3 +309,14 @@ def test_identify_mode_missing_value(workdir, capsys):
     rc = cli_main(["--identify", "--threshold", "0.5"])
     assert rc == 1
     assert "Missing value for --identify" in capsys.readouterr().err
+
+
+def test_identify_mode_all_inputs_failed(workdir, capsys):
+    """Every input unloadable -> rc 1 (scripts can detect total failure)."""
+    _write_train_list(workdir, labels=[0, 0, 1, 1, 0])
+    assert cli_main([]) == 0
+    capsys.readouterr()
+    rc = cli_main(["--identify", "nope1.wav", "nope2.wav"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "No input file could be loaded" in err

@@ -181,8 +181,30 @@ def test_fuzz_native_mp3_frames_no_crash(tmp_path):
     assert "DECODED" in proc.stdout or "NATIVE_UNAVAILABLE" in proc.stdout
 
 
+_BATCH_DRIVER = r"""
+import sys
+from streamz_tpu.io import native as sznative
+
+paths = sys.argv[1:]
+if sznative.load() is None:
+    print("NATIVE_UNAVAILABLE")
+    sys.exit(0)
+for i, r in enumerate(sznative.batch_ingest(paths, target_rate=44100, threads=3)):
+    if r is None:
+        print(f"BAD {i}")
+    else:
+        samples, rate, ch = r
+        ok = rate == 44100 and ch == 1 and len(samples) > 0
+        print(f"{'OK' if ok else 'MALFORMED'} {i}")
+"""
+
+
 def test_fuzz_batch_ingest_keeps_healthy_files(tmp_path):
-    """Corrupt entries fail per-file; healthy neighbors still decode."""
+    """Corrupt entries fail per-file; healthy neighbors still decode.
+
+    Like the other native fuzz tests, the mutated batch runs in a
+    SUBPROCESS — a native crash must fail this assertion, not kill the
+    pytest runner."""
     if not sznative.available():
         pytest.skip("native library unavailable")
     base = _valid_wav_bytes(tmp_path)
@@ -195,12 +217,27 @@ def test_fuzz_batch_ingest_keeps_healthy_files(tmp_path):
             f.write(base if good else _mutate(rng, base))
         paths.append(p)
         want_good.append(good)
-    out = sznative.batch_ingest(paths, target_rate=44100, threads=3)
-    for i, (r, good) in enumerate(zip(out, want_good)):
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__))) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _BATCH_DRIVER, *paths],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert proc.returncode == 0, (
+        f"batch ingest died (rc={proc.returncode}, likely a signal):\n"
+        f"stdout={proc.stdout!r}\nstderr={proc.stderr[-2000:]!r}"
+    )
+    if "NATIVE_UNAVAILABLE" in proc.stdout:
+        pytest.skip("native library unavailable in subprocess")
+    status = dict(
+        (int(ln.split()[1]), ln.split()[0])
+        for ln in proc.stdout.splitlines() if ln.strip()
+    )
+    for i, good in enumerate(want_good):
         if good:
-            assert r is not None, f"healthy file {i} was dropped"
-            samples, rate, ch = r
-            assert rate == 44100 and ch == 1 and len(samples) > 0
+            assert status.get(i) == "OK", f"healthy file {i}: {status.get(i)}"
         # mutated files may or may not survive — they just must not crash
 
 
