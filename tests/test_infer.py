@@ -185,3 +185,26 @@ def test_batch_median_embeddings_matches_per_clip(trained_net):
     for c, g in zip(clips, got):
         want = embed.median_embedding_from_features(net, c)
         np.testing.assert_allclose(g, want, atol=1e-5)
+
+
+def test_embedding_and_sims_gates_match_feats_gate(trained_net):
+    """identify_embedding_cosine / identify_sims_cosine == the _feats gate
+    on the same windows (one gate, three entry levels)."""
+    net, a, b = trained_net
+    emb_a = embed.normalize(embed.extract_embedding_from_features(net, a))
+    emb_b = embed.normalize(embed.extract_embedding_from_features(net, b))
+    stats = [(emb_a, 0.9, 0.05), (emb_b, 0.9, 0.05)]
+
+    for wins in (a, b, a[:7]):
+        want = cosine.identify_speaker_cosine_feats(net, stats, wins, 0.3)
+        emb_w = embed.extract_embedding_from_features(net, wins)
+        assert cosine.identify_embedding_cosine(emb_w, stats, 0.3) == want
+        sims = cosine.cosine_matrix_many(
+            embed.normalize(emb_w)[None],
+            np.stack([emb_a, emb_b]),
+        )[0]
+        assert cosine.identify_sims_cosine(sims, stats, 0.3) == want
+
+    # Empty stats: both gates answer None.
+    assert cosine.identify_embedding_cosine(emb_a, [], 0.3) is None
+    assert cosine.identify_sims_cosine(np.zeros((0,)), [], 0.3) is None
