@@ -320,3 +320,18 @@ def test_identify_mode_all_inputs_failed(workdir, capsys):
     assert rc == 1
     err = capsys.readouterr().err
     assert "No input file could be loaded" in err
+
+
+def test_profile_flag_reports_phases(workdir, capsys):
+    """--profile prints the phase-timing report; with a directory it also
+    writes a jax.profiler device trace there."""
+    _write_train_list(workdir)
+    rc = cli_main(["--profile", "traces"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Phase timing:" in out
+    assert "ingest" in out and "total" in out
+    trace_dir = workdir / "traces"
+    assert trace_dir.is_dir() and any(trace_dir.rglob("*")), (
+        "profiler trace directory empty"
+    )
