@@ -335,3 +335,28 @@ def test_profile_flag_reports_phases(workdir, capsys):
     assert trace_dir.is_dir() and any(trace_dir.rglob("*")), (
         "profiler trace directory empty"
     )
+
+
+def test_no_cache_wav_quirk_precache_still_writes(workdir, capsys):
+    """Preserved quirk: --no-cache-wav gates only load_audio_samples
+    (src/lib.rs:465); the MP3 precache (src/main.rs:142-183) writes
+    cache/*.wav unconditionally, so the flag is a no-op for MP3 training
+    lists (QUIRKS.md).  The library-level gate itself is covered in
+    test_audio_io."""
+    _write_train_list(workdir)
+    rc = cli_main(["--no-cache-wav"])
+    assert rc == 0
+    assert "Number of speakers discovered:" in capsys.readouterr().out
+    assert list((workdir / "cache").glob("*.wav"))  # quirk: still written
+
+
+def test_max_speakers_caps_discovery(workdir, capsys):
+    """--max-speakers 1: at the cap, unlabeled files assign to the best
+    centroid instead of spawning (README.md:68, dead in the reference)."""
+    _write_train_list(workdir)
+    rc = cli_main(["--max-speakers", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Number of speakers discovered: 1" in out
+    net = checkpoint.load(str(workdir / "model.npz"))
+    assert net.output_size() == 1
