@@ -207,7 +207,7 @@ def _bench_cpu_baseline(net, clip_seconds: float = 3.0, iters: int = 2):
     return n_win / elapsed
 
 
-def _wait_device_healthy(max_wait_s: float = 1500.0) -> None:
+def _wait_device_healthy(max_wait_s: float | None = None) -> None:
     """Pre-flight in a subprocess: the axon tunnel occasionally wedges for
     ~20-30 min after a heavy session (device-claim turnover).  Probing in a
     child process (with a timeout) lets this process start its own device
@@ -216,6 +216,8 @@ def _wait_device_healthy(max_wait_s: float = 1500.0) -> None:
     import subprocess
     import sys
 
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("STREAMZ_BENCH_PREFLIGHT_S", 1500.0))
     deadline = time.monotonic() + max_wait_s
     probe = "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))"
     while time.monotonic() < deadline:
@@ -340,5 +342,83 @@ def main() -> None:
     )
 
 
+def _extract_json_line(out: str) -> str | None:
+    """The bench JSON line from a child's stdout, ignoring any other noise."""
+    for line in out.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"metric"' in line:
+            try:
+                json.loads(line)
+            except ValueError:
+                continue
+            return line
+    return None
+
+
+def _supervise() -> int:
+    """Re-run the bench in child processes until one prints the JSON line.
+
+    The axon tunnel can wedge *between* a successful health probe and the
+    main process building its own device client (observed: the preflight
+    subprocess passes, then ``get_backend('axon')`` raises UNAVAILABLE and
+    the process dies with a traceback and no JSON).  A failed backend init
+    is cached for the life of a JAX process, so recovery means a fresh
+    process: supervise children until one succeeds or the budget runs out.
+    Each child probes briefly (STREAMZ_BENCH_PREFLIGHT_S) and the long
+    waiting happens across retries, so a child that wedges mid-run is
+    killed and retried instead of eating the whole budget.
+    """
+    import subprocess
+
+    budget_s = float(os.environ.get("STREAMZ_BENCH_BUDGET_S", 4200.0))
+    attempt_s = float(os.environ.get("STREAMZ_BENCH_ATTEMPT_S", 1800.0))
+    sleep_s = float(os.environ.get("STREAMZ_BENCH_SLEEP_S", 60.0))
+    deadline = time.monotonic() + budget_s
+    env = dict(os.environ, STREAMZ_BENCH_CHILD="1")
+    env.setdefault("STREAMZ_BENCH_PREFLIGHT_S", "240")
+    attempt = 0
+    last_err = ""
+    while time.monotonic() < deadline:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                capture_output=True, text=True, env=env,
+                timeout=max(60.0, min(attempt_s, remaining)),
+            )
+            out, err, rc = proc.stdout, proc.stderr, proc.returncode
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            err, rc = f"attempt timed out after {e.timeout:.0f}s", -1
+        found = _extract_json_line(out)
+        if found:
+            print(found)
+            return 0
+        last_err = err or out
+        print(
+            f"bench attempt {attempt} failed (rc={rc}); "
+            f"{max(0.0, deadline - time.monotonic()):.0f}s of budget left",
+            file=sys.stderr,
+        )
+        if time.monotonic() + sleep_s < deadline:
+            time.sleep(sleep_s)
+    print(f"bench budget exhausted; last error:\n{last_err[-2000:]}", file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("STREAMZ_BENCH_CHILD"):
+        # Supervisor self-test hooks (tests/test_bench_supervisor.py): fake
+        # a child that dies before JSON, or one that prints noise + JSON.
+        if os.environ.get("STREAMZ_BENCH_SELFTEST_FAIL"):
+            print("selftest: dying before any JSON", file=sys.stderr)
+            sys.exit(2)
+        if os.environ.get("STREAMZ_BENCH_SELFTEST_OK"):
+            print("WARNING: selftest noise line")
+            print(json.dumps({"metric": "selftest", "value": 1, "unit": "n/a",
+                              "vs_baseline": 1.0}))
+            sys.exit(0)
+        main()
+    else:
+        sys.exit(_supervise())
