@@ -221,14 +221,26 @@ def _wait_device_healthy(max_wait_s: float | None = None) -> None:
     deadline = time.monotonic() + max_wait_s
     probe = "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))"
     while time.monotonic() < deadline:
+        # NO pipes, and ABANDON a probe that outlives SIGKILL: a child
+        # blocked on the wedged tunnel sits in uninterruptible (D-state)
+        # sleep, so subprocess.run's post-kill wait() would block forever.
         try:
-            subprocess.run(
-                [sys.executable, "-c", probe], check=True, timeout=90,
-                capture_output=True,
+            proc = subprocess.Popen(
+                [sys.executable, "-c", probe],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             )
-            return
+            try:
+                if proc.wait(timeout=90) == 0:
+                    return
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                try:
+                    proc.wait(timeout=5)
+                except subprocess.TimeoutExpired:
+                    pass  # D-state: abandon it
         except Exception:
-            time.sleep(60)
+            pass
+        time.sleep(60)
 
 
 def _session_peak_tflops(iters: int = 8) -> float:
@@ -369,6 +381,7 @@ def _supervise() -> int:
     killed and retried instead of eating the whole budget.
     """
     import subprocess
+    import tempfile
 
     budget_s = float(os.environ.get("STREAMZ_BENCH_BUDGET_S", 4200.0))
     attempt_s = float(os.environ.get("STREAMZ_BENCH_ATTEMPT_S", 1800.0))
@@ -381,16 +394,32 @@ def _supervise() -> int:
     while time.monotonic() < deadline:
         attempt += 1
         remaining = deadline - time.monotonic()
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-u", os.path.abspath(__file__)],
-                capture_output=True, text=True, env=env,
-                timeout=max(60.0, min(attempt_s, remaining)),
-            )
-            out, err, rc = proc.stdout, proc.stderr, proc.returncode
-        except subprocess.TimeoutExpired as e:
-            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
-            err, rc = f"attempt timed out after {e.timeout:.0f}s", -1
+        # Child stdout/stderr go to FILES, not pipes, and a child that
+        # outlives SIGKILL is abandoned: one blocked on the wedged tunnel
+        # sits in uninterruptible (D-state) sleep, where a pipe would never
+        # reach EOF and subprocess.run's post-kill wait() blocks forever.
+        with tempfile.TemporaryFile("w+") as fo, tempfile.TemporaryFile("w+") as fe:
+            try:
+                proc = subprocess.Popen(
+                    [sys.executable, "-u", os.path.abspath(__file__)],
+                    stdout=fo, stderr=fe, env=env, text=True,
+                )
+                try:
+                    rc = proc.wait(timeout=max(60.0, min(attempt_s, remaining)))
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    try:
+                        proc.wait(timeout=5)
+                    except subprocess.TimeoutExpired:
+                        pass  # D-state: abandon it
+                    rc = -1
+            except Exception as e:
+                rc, out, err = -2, "", f"spawn failed: {e}"
+            else:
+                fo.seek(0), fe.seek(0)
+                out, err = fo.read(), fe.read()
+                if rc == -1:
+                    err = (err + "\n[attempt timed out]").strip()
         found = _extract_json_line(out)
         if found:
             print(found)
