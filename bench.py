@@ -207,7 +207,7 @@ def _bench_cpu_baseline(net, clip_seconds: float = 3.0, iters: int = 2):
     return n_win / elapsed
 
 
-def _wait_device_healthy(max_wait_s: float | None = None) -> None:
+def _wait_device_healthy(max_wait_s: float | None = None) -> bool:
     """Pre-flight in a subprocess: the axon tunnel occasionally wedges for
     ~20-30 min after a heavy session (device-claim turnover).  Probing in a
     child process (with a timeout) lets this process start its own device
@@ -231,7 +231,7 @@ def _wait_device_healthy(max_wait_s: float | None = None) -> None:
             )
             try:
                 if proc.wait(timeout=90) == 0:
-                    return
+                    return True
             except subprocess.TimeoutExpired:
                 proc.kill()
                 try:
@@ -241,6 +241,7 @@ def _wait_device_healthy(max_wait_s: float | None = None) -> None:
         except Exception:
             pass
         time.sleep(60)
+    return False
 
 
 def _session_peak_tflops(iters: int = 8) -> float:
@@ -281,7 +282,13 @@ def _session_peak_tflops(iters: int = 8) -> float:
 
 
 def main() -> None:
-    _wait_device_healthy()
+    if not _wait_device_healthy():
+        # Proceeding would hang at device-client init (wedged tunnel) and
+        # burn the whole attempt window; exit so the supervisor retries a
+        # cheap child instead and catches any recovery within minutes.
+        print("device preflight never went healthy; giving up this attempt",
+              file=sys.stderr)
+        sys.exit(3)
     _enable_compile_cache()
     net = _make_net()
     frontend_name, frontend_core = _pick_frontend()
