@@ -213,33 +213,17 @@ def _wait_device_healthy(max_wait_s: float | None = None) -> bool:
     child process (with a timeout) lets this process start its own device
     client only once the tunnel responds, instead of hanging inside PJRT
     init.  No-op as soon as a trivial computation succeeds."""
-    import subprocess
-    import sys
+    from streamz_tpu.runtime.procs import probe_ok
 
     if max_wait_s is None:
         max_wait_s = float(os.environ.get("STREAMZ_BENCH_PREFLIGHT_S", 1500.0))
     deadline = time.monotonic() + max_wait_s
     probe = "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))"
     while time.monotonic() < deadline:
-        # NO pipes, and ABANDON a probe that outlives SIGKILL: a child
-        # blocked on the wedged tunnel sits in uninterruptible (D-state)
-        # sleep, so subprocess.run's post-kill wait() would block forever.
-        try:
-            proc = subprocess.Popen(
-                [sys.executable, "-c", probe],
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            )
-            try:
-                if proc.wait(timeout=90) == 0:
-                    return True
-            except subprocess.TimeoutExpired:
-                proc.kill()
-                try:
-                    proc.wait(timeout=5)
-                except subprocess.TimeoutExpired:
-                    pass  # D-state: abandon it
-        except Exception:
-            pass
+        if probe_ok(probe, timeout=min(90.0, max(5.0, deadline - time.monotonic()))):
+            return True
+        if time.monotonic() + 60 >= deadline:
+            break
         time.sleep(60)
     return False
 
@@ -387,8 +371,7 @@ def _supervise() -> int:
     waiting happens across retries, so a child that wedges mid-run is
     killed and retried instead of eating the whole budget.
     """
-    import subprocess
-    import tempfile
+    from streamz_tpu.runtime.procs import run_abandonable
 
     budget_s = float(os.environ.get("STREAMZ_BENCH_BUDGET_S", 4200.0))
     attempt_s = float(os.environ.get("STREAMZ_BENCH_ATTEMPT_S", 1800.0))
@@ -401,32 +384,13 @@ def _supervise() -> int:
     while time.monotonic() < deadline:
         attempt += 1
         remaining = deadline - time.monotonic()
-        # Child stdout/stderr go to FILES, not pipes, and a child that
-        # outlives SIGKILL is abandoned: one blocked on the wedged tunnel
-        # sits in uninterruptible (D-state) sleep, where a pipe would never
-        # reach EOF and subprocess.run's post-kill wait() blocks forever.
-        with tempfile.TemporaryFile("w+") as fo, tempfile.TemporaryFile("w+") as fe:
-            try:
-                proc = subprocess.Popen(
-                    [sys.executable, "-u", os.path.abspath(__file__)],
-                    stdout=fo, stderr=fe, env=env, text=True,
-                )
-                try:
-                    rc = proc.wait(timeout=max(60.0, min(attempt_s, remaining)))
-                except subprocess.TimeoutExpired:
-                    proc.kill()
-                    try:
-                        proc.wait(timeout=5)
-                    except subprocess.TimeoutExpired:
-                        pass  # D-state: abandon it
-                    rc = -1
-            except Exception as e:
-                rc, out, err = -2, "", f"spawn failed: {e}"
-            else:
-                fo.seek(0), fe.seek(0)
-                out, err = fo.read(), fe.read()
-                if rc == -1:
-                    err = (err + "\n[attempt timed out]").strip()
+        rc, timed_out, out, err = run_abandonable(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            timeout=min(attempt_s, max(30.0, remaining)),
+            env=env, capture=True,
+        )
+        if timed_out:
+            err = (err + "\n[attempt timed out]").strip()
         found = _extract_json_line(out)
         if found:
             print(found)

@@ -344,7 +344,10 @@ def test_no_cache_wav_quirk_precache_still_writes(workdir, capsys):
     lists (QUIRKS.md).  The library-level gate itself is covered in
     test_audio_io."""
     _write_train_list(workdir)
-    rc = cli_main(["--no-cache-wav"])
+    try:
+        rc = cli_main(["--no-cache-wav"])
+    finally:
+        config.set_wav_cache_enabled(True)  # process-global: restore
     assert rc == 0
     assert "Number of speakers discovered:" in capsys.readouterr().out
     assert list((workdir / "cache").glob("*.wav"))  # quirk: still written
