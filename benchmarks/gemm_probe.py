@@ -53,23 +53,30 @@ def _chain(fn, *args, iters=8):
     return sorted(times)[1] / iters
 
 
-def _wait_device_healthy(max_wait_s: float = 2400.0) -> None:
-    """Probe in a subprocess until the tunnel responds (see bench.py)."""
-    import subprocess
+def _wait_device_healthy(max_wait_s: float = 2400.0) -> bool:
+    """Probe in abandonable subprocesses until the tunnel responds.
+
+    Uses the shared wedge-proof helper (streamz_tpu/runtime/procs.py): a
+    probe blocked on the wedged tunnel sits in uninterruptible D-state
+    sleep where SIGKILL does not take, so plain subprocess.run would hang
+    this process in its post-kill wait()."""
+    from streamz_tpu.runtime.procs import probe_ok
 
     deadline = time.monotonic() + max_wait_s
     probe = "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))"
     while time.monotonic() < deadline:
-        try:
-            subprocess.run([sys.executable, "-c", probe], check=True,
-                           timeout=90, capture_output=True)
-            return
-        except Exception:
-            time.sleep(60)
+        if probe_ok(probe, timeout=min(90.0, max(5.0, deadline - time.monotonic()))):
+            return True
+        if time.monotonic() + 60 >= deadline:
+            break
+        time.sleep(60)
+    return False
 
 
 def main():
-    _wait_device_healthy()
+    if not _wait_device_healthy():
+        print("device preflight never went healthy", file=sys.stderr)
+        sys.exit(3)
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/streamz_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -344,7 +344,10 @@ SECTIONS = {
 def main(sections=None):
     from bench import _wait_device_healthy  # repo root is on sys.path
 
-    _wait_device_healthy(max_wait_s=900.0)
+    if not _wait_device_healthy(max_wait_s=900.0):
+        # Proceeding would hang at device-client init on a wedged tunnel.
+        print("device preflight never went healthy", file=sys.stderr)
+        sys.exit(3)
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir", "/tmp/streamz_jax_cache")
