@@ -38,3 +38,43 @@ def test_ambient_usable_rejects_oversized_request():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_dryrun_ambient_accelerator_uses_subprocess_then_falls_back(monkeypatch):
+    """Non-cpu-only platform + passing probe: the ambient attempt must run
+    in an abandonable SUBPROCESS (never in-process — the probe-passes-then-
+    tunnel-wedges race), and a failing attempt falls back to the CPU mesh."""
+    import streamz_tpu.runtime.procs as procs
+
+    calls = []
+
+    def fake_run(cmd, timeout, **kw):
+        calls.append([str(c) for c in cmd])
+        return 1, False, "", ""  # ambient attempt fails
+
+    monkeypatch.setattr(graft, "_platforms_cpu_only", lambda: False)
+    monkeypatch.setattr(graft, "_ambient_devices_usable", lambda n: True)
+    monkeypatch.setattr(procs, "run_abandonable", fake_run)
+    graft.dryrun_multichip(8)  # must still go green via the CPU re-exec
+    assert any("--dryrun-ambient" in " ".join(c) for c in calls)
+
+
+def test_dryrun_ambient_child_branch(tmp_path):
+    """The --dryrun-ambient __main__ branch runs the impl on the inherited
+    backend (forced to an 8-device CPU mesh here) and exits 0."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py"),
+         "--dryrun-ambient", "8"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ambient devices" in proc.stdout
