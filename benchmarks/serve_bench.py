@@ -41,16 +41,23 @@ def bench_slots(n_streams: int, chunk_ms: float = 100.0, ticks: int = 30):
             srv.feed(sid, chunks[sid])
         srv.tick()
 
+    def fence():
+        # Read back one scalar to fence the tunnel's lazy sync: the last
+        # carry element is the per-slot window count ([S] int32) — indexed
+        # from the end so inserting new per-slot state (e.g. the Kahan
+        # compensation array) does not silently break the fence.
+        float(np.asarray(srv._carry[-1][0]))
+
     for _ in range(3):  # warm: compile + autotune settle
         one_tick()
-    float(np.asarray(srv._carry[5][0]))  # fence
+    fence()
 
     best = float("inf")
     for _ in range(3):
         start = time.perf_counter()
         for _ in range(ticks):
             one_tick()
-        float(np.asarray(srv._carry[5][0]))  # fence
+        fence()
         best = min(best, (time.perf_counter() - start) / ticks)
 
     rtf = n_streams * (chunk_ms / 1000.0) / best

@@ -196,3 +196,25 @@ def test_serving_shards_over_mesh(net):
     # the carry really is distributed over the mesh's data axis
     votes = shard._carry[4]
     assert votes.sharding.spec == comm.batch_sharded(mesh).spec
+
+
+def test_serve_bench_runs(net):
+    """The serving benchmark harness stays runnable: it reaches into the
+    server's carry for its readback fence, so a carry-layout change (e.g.
+    inserting the Kahan compensation array) must break this test rather
+    than silently nulling bench.py's ``serve64_aggregate_rtf``."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks",
+        ),
+    )
+    from serve_bench import bench_slots
+
+    out = bench_slots(2, chunk_ms=100.0, ticks=2)
+    assert out["streams"] == 2
+    assert out["aggregate_rtf"] > 0
