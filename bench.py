@@ -207,62 +207,19 @@ def _bench_cpu_baseline(net, clip_seconds: float = 3.0, iters: int = 2):
     return n_win / elapsed
 
 
+# Shared wedge-proof preflight + canonical-GEMM peak probe: single
+# implementation in streamz_tpu/runtime/measure.py, used by every harness
+# (also benchmarks/gemm_probe.py, benchmarks/run_all.py).
 def _wait_device_healthy(max_wait_s: float | None = None) -> bool:
-    """Pre-flight in a subprocess: the axon tunnel occasionally wedges for
-    ~20-30 min after a heavy session (device-claim turnover).  Probing in a
-    child process (with a timeout) lets this process start its own device
-    client only once the tunnel responds, instead of hanging inside PJRT
-    init.  No-op as soon as a trivial computation succeeds."""
-    from streamz_tpu.runtime.procs import probe_ok
+    from streamz_tpu.runtime.measure import wait_device_healthy
 
-    if max_wait_s is None:
-        max_wait_s = float(os.environ.get("STREAMZ_BENCH_PREFLIGHT_S", 1500.0))
-    deadline = time.monotonic() + max_wait_s
-    probe = "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))"
-    while time.monotonic() < deadline:
-        if probe_ok(probe, timeout=min(90.0, max(5.0, deadline - time.monotonic()))):
-            return True
-        if time.monotonic() + 60 >= deadline:
-            break
-        time.sleep(60)
-    return False
+    return wait_device_healthy(max_wait_s)
 
 
 def _session_peak_tflops(iters: int = 8) -> float:
-    """Measured bf16 MXU rate on a canonical 4096^3 GEMM *this session*.
+    from streamz_tpu.runtime.measure import session_peak_tflops
 
-    The axon tunnel sessions run the chip anywhere from ~20% to ~100% of
-    nameplate (measured range 41-197 TF — benchmarks/gemm_probe.py), so
-    utilization against the spec sheet conflates session state with kernel
-    efficiency; this is the honest denominator."""
-    import jax
-    import jax.numpy as jnp
-
-    n = 4096
-    rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32), jnp.bfloat16)
-    b = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32), jnp.bfloat16)
-
-    @jax.jit
-    def chained(x, y):
-        def body(c, _):
-            r = jnp.dot(x + c.astype(x.dtype), y,
-                        preferred_element_type=jnp.float32)
-            # Full-sum consumer: a sliced consumer (sum(r[:1,:1])) lets
-            # XLA's slice-of-dot rewrite shrink the 4096^3 GEMM to a 1x1
-            # dot, and the "peak" becomes pure dispatch latency (verified
-            # in compiled HLO; the reduce it adds is ~10% of GEMM time).
-            return jnp.sum(r) * 1e-20, None
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return c
-
-    float(chained(a, b))
-    best = float("inf")
-    for _ in range(3):
-        start = time.perf_counter()
-        float(chained(a, b))
-        best = min(best, (time.perf_counter() - start) / iters)
-    return 2 * n**3 / best / 1e12
+    return session_peak_tflops(iters)
 
 
 def main() -> None:

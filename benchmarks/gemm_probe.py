@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -27,54 +26,17 @@ import jax
 import jax.numpy as jnp
 
 
-def _chain(fn, *args, iters=8):
-    @jax.jit
-    def chained(*a):
-        def body(c, _):
-            # Data-dependency chaining without dtype promotion: adding the
-            # f32 carry to a bf16 operand would silently upcast the GEMM.
-            r = fn(*(x + c.astype(x.dtype) if i == 0 else x
-                     for i, x in enumerate(a)))
-            # The consumer MUST keep every output element live: a sliced
-            # consumer (sum(r[:1,:1])) lets XLA's slice-of-dot rewrite
-            # shrink the whole GEMM to a 1x1 dot, and the probe then times
-            # dispatch latency (verified in compiled HLO — the round-3
-            # numbers recorded before this fix were exactly that artifact).
-            return jnp.sum(r).astype(jnp.float32) * 1e-20, None
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return c
-
-    float(chained(*args))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(chained(*args))
-        times.append(time.perf_counter() - t0)
-    return sorted(times)[1] / iters
-
-
-def _wait_device_healthy(max_wait_s: float = 2400.0) -> bool:
-    """Probe in abandonable subprocesses until the tunnel responds.
-
-    Uses the shared wedge-proof helper (streamz_tpu/runtime/procs.py): a
-    probe blocked on the wedged tunnel sits in uninterruptible D-state
-    sleep where SIGKILL does not take, so plain subprocess.run would hang
-    this process in its post-kill wait()."""
-    from streamz_tpu.runtime.procs import probe_ok
-
-    deadline = time.monotonic() + max_wait_s
-    probe = "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))"
-    while time.monotonic() < deadline:
-        if probe_ok(probe, timeout=min(90.0, max(5.0, deadline - time.monotonic()))):
-            return True
-        if time.monotonic() + 60 >= deadline:
-            break
-        time.sleep(60)
-    return False
+# Shared chained-scan timer + wedge-proof preflight + canonical peak probe
+# (single implementation: streamz_tpu/runtime/measure.py).
+from streamz_tpu.runtime.measure import (  # noqa: E402
+    chain_timer as _chain,
+    session_peak_tflops,
+    wait_device_healthy,
+)
 
 
 def main():
-    if not _wait_device_healthy():
+    if not wait_device_healthy(max_wait_s=2400.0):
         print("device preflight never went healthy", file=sys.stderr)
         sys.exit(3)
     try:
@@ -84,14 +46,9 @@ def main():
         pass
     rng = np.random.default_rng(0)
 
-    # Canonical peak.
-    N = 4096
-    a = jnp.asarray(rng.normal(size=(N, N)).astype(np.float32), jnp.bfloat16)
-    b = jnp.asarray(rng.normal(size=(N, N)).astype(np.float32), jnp.bfloat16)
-    t = _chain(lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32), a, b)
-    flops = 2 * N**3
+    # Canonical peak — the same probe bench.py normalizes against.
     print(json.dumps({"variant": "gemm_peak_bf16",
-                      "tflops": round(flops / t / 1e12, 1)}), flush=True)
+                      "tflops": round(session_peak_tflops(), 1)}), flush=True)
 
     # The DFT shape (one bf16 pass).
     rows = 64 * 512

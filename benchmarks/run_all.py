@@ -342,7 +342,9 @@ SECTIONS = {
 
 
 def main(sections=None):
-    from bench import _wait_device_healthy  # repo root is on sys.path
+    from streamz_tpu.runtime.measure import (
+        wait_device_healthy as _wait_device_healthy,
+    )
 
     if not _wait_device_healthy(max_wait_s=900.0):
         # Proceeding would hang at device-client init on a wedged tunnel.

@@ -109,7 +109,9 @@ class MultiStreamIdentifier:
         if mesh is not None:
             from streamz_tpu.parallel import comm
 
-            self._sharding = comm.batch_sharded(mesh)
+            # Shard over the mesh's own leading axis, whatever its name —
+            # callers may pass a window-axis or custom-named mesh.
+            self._sharding = comm.batch_sharded(mesh, axis=mesh.axis_names[0])
 
         S = self.n_slots
         carry = (
@@ -213,15 +215,26 @@ class MultiStreamIdentifier:
             counts = np.minimum(counts, k)
             if not counts.any():
                 return dispatches
-            # Ship raw i16 when every contributing slot buffered i16 —
-            # the common serving wire format — converting on device.
+            # Ship raw i16 whenever possible — the common serving wire
+            # format — converting on device.  A mixed fleet (some slots
+            # holding f32 remainders) must not drag every slot onto the
+            # 2x-byte f32 wire: under drain, dispatch the i16 slots alone
+            # first and let the loop pick up the f32 slots next iteration.
+            # drain=False keeps its one-dispatch-covers-all contract, so a
+            # mixed fleet there ships f32 for that single dispatch.
             from streamz_tpu.dsp.mfcc import _to_f32
 
-            wire_i16 = all(
-                self._rem[sid].dtype == np.int16
-                for sid in range(S)
-                if counts[sid]
+            slot_i16 = np.array(
+                [self._rem[sid].dtype == np.int16 for sid in range(S)]
             )
+            mixed = bool((counts[slot_i16] > 0).any()) and bool(
+                (counts[~slot_i16] > 0).any()
+            )
+            if mixed and drain:
+                wire_i16 = True
+                counts = np.where(slot_i16, counts, 0).astype(np.int32)
+            else:
+                wire_i16 = bool((counts[slot_i16] > 0).any()) and not mixed
             dtype = np.int16 if wire_i16 else np.float32
             blocks = np.zeros((S, k, block), dtype)
             for sid in range(S):

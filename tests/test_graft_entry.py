@@ -59,6 +59,25 @@ def test_dryrun_ambient_accelerator_uses_subprocess_then_falls_back(monkeypatch)
     assert any("--dryrun-ambient" in " ".join(c) for c in calls)
 
 
+def test_dryrun_cpu_inprocess_failure_falls_back_to_subprocess(monkeypatch):
+    """Even on an exactly-cpu platform, a transient in-process impl failure
+    (compile OOM, conflicting jax config set by the host process) must fall
+    through to the fresh forced-CPU-mesh subprocess, not propagate."""
+    calls = []
+
+    def boom(n):
+        raise RuntimeError("transient in-process failure")
+
+    monkeypatch.setattr(graft, "_platforms_cpu_only", lambda: True)
+    monkeypatch.setattr(graft, "_ambient_devices_usable", lambda n: True)
+    monkeypatch.setattr(graft, "_dryrun_multichip_impl", boom)
+    monkeypatch.setattr(
+        graft, "_reexec_dryrun_on_cpu_mesh", lambda n: calls.append(n)
+    )
+    graft.dryrun_multichip(8)
+    assert calls == [8]
+
+
 def test_dryrun_ambient_child_branch(tmp_path):
     """The --dryrun-ambient __main__ branch runs the impl on the inherited
     backend (forced to an 8-device CPU mesh here) and exits 0."""

@@ -35,6 +35,28 @@ def test_watchdog_fires_and_clears(capsys):
     assert "slow-phase" in err and "[watchdog]" in err
 
 
+def test_chain_timer_times_and_preserves_math():
+    """The shared chained-scan timer (runtime/measure.py) returns a sane
+    per-iteration time and its carry/consumer fences don't break the timed
+    function's shapes or dtypes."""
+    import jax.numpy as jnp
+
+    from streamz_tpu.runtime.measure import chain_timer
+
+    a = jnp.ones((64, 64), jnp.bfloat16)
+    b = jnp.ones((64, 64), jnp.bfloat16)
+    t = chain_timer(
+        lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32),
+        a, b, iters=4, repeats=2,
+    )
+    assert 0.0 < t < 10.0
+    t_best = chain_timer(
+        lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32),
+        a, b, iters=4, repeats=2, best=True,
+    )
+    assert 0.0 < t_best <= t * 10  # min-of-repeats is a time, too
+
+
 def test_no_autotune_escape(monkeypatch, tmp_path):
     """STREAMZ_NO_AUTOTUNE=1 skips measurement probes (static default, no
     pinning) while cached decisions are still honored."""

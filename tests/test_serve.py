@@ -163,6 +163,66 @@ def test_mixed_dtype_wire_parity(net):
     _assert_verdict_close(mix.finalize(m1), ref.finalize(r1))
 
 
+def test_mixed_fleet_keeps_i16_wire(net):
+    """One slot holding an f32 remainder must not drag the whole fleet onto
+    the 2x-byte f32 wire: under drain, the i16 slots dispatch on the i16
+    wire first and the f32 slots follow; drain=False keeps its
+    one-dispatch-covers-all contract (f32 for that dispatch)."""
+    clips = _clips(3, seed=31, seconds=0.5)
+    srv = MultiStreamIdentifier(net, n_streams=3, threshold=0.0)
+    sids = [srv.open() for _ in clips]
+
+    wires = []
+    orig_f32, orig_i16 = srv._step, srv._step_i16
+    srv._step = lambda *a: (wires.append("f32"), orig_f32(*a))[1]
+    srv._step_i16 = lambda *a: (wires.append("i16"), orig_i16(*a))[1]
+
+    srv.feed(sids[0], clips[0].astype(np.float32) / 32767.0)
+    srv.feed(sids[1], clips[1])
+    srv.feed(sids[2], clips[2])
+    srv.tick()
+    assert "i16" in wires and "f32" in wires
+    assert wires.index("i16") < wires.index("f32")  # i16 group goes first
+
+    # drain=False on a mixed fleet: ONE dispatch covering every slot (f32).
+    wires.clear()
+    srv2 = MultiStreamIdentifier(net, n_streams=2, threshold=0.0)
+    a, b = srv2.open(), srv2.open()
+    orig2_f32, orig2_i16 = srv2._step, srv2._step_i16
+    srv2._step = lambda *x: (wires.append("f32"), orig2_f32(*x))[1]
+    srv2._step_i16 = lambda *x: (wires.append("i16"), orig2_i16(*x))[1]
+    srv2.feed(a, clips[0].astype(np.float32) / 32767.0)
+    srv2.feed(b, clips[1])
+    assert srv2.tick(drain=False) == 1
+    assert wires == ["f32"]
+
+    # And the wire split never changes a verdict.
+    for sid, clip in zip(sids, clips):
+        ref = StreamingIdentifier(net, threshold=0.0)
+        ref.feed(clip)
+        _assert_verdict_close(srv.finalize(sid), ref.finalize())
+
+
+def test_serving_accepts_custom_axis_mesh(net):
+    """A mesh whose leading axis is not named 'data' (e.g. a window-axis
+    mesh) must shard the slot axis over its own axis name, not crash."""
+    from streamz_tpu.parallel import comm
+
+    mesh = comm.make_mesh(8, axis=comm.WINDOW_AXIS)
+    clip = _clips(1, seed=41, seconds=0.5)[0]
+    srv = MultiStreamIdentifier(net, n_streams=3, threshold=0.0, mesh=mesh)
+    assert srv.n_slots == 8
+    sid = srv.open()
+    srv.feed(sid, clip)
+    srv.tick()
+    ref = StreamingIdentifier(net, threshold=0.0)
+    ref.feed(clip)
+    _assert_verdict_close(srv.finalize(sid), ref.finalize())
+    assert srv._carry[4].sharding.spec == comm.batch_sharded(
+        mesh, axis=comm.WINDOW_AXIS
+    ).spec
+
+
 def test_multihost_guard(net, monkeypatch):
     """Multi-host processes must get a clear error, not a hang/crash at the
     first device_put of non-addressable shards."""
