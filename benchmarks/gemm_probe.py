@@ -11,6 +11,12 @@ Companion to stage_probe.py. The stage decomposition shows the v3 kernel is
 - ``v3_full``: the shipped kernel, for the same-session ratio.
 
 Prints one JSON line per variant with achieved TFLOP/s and ns/window-equiv.
+
+Statistics: ``gemm_peak_bf16`` uses the shared ``session_peak_tflops`` probe
+(min-of-3 — the statistic bench.py normalizes against; rows recorded before
+the helpers were unified used median-of-3, a few-percent difference, far
+inside the 41-197 TF session variance).  The per-shape variants keep
+median-of-3 via ``chain_timer``.
 """
 
 from __future__ import annotations

@@ -109,9 +109,13 @@ class MultiStreamIdentifier:
         if mesh is not None:
             from streamz_tpu.parallel import comm
 
-            # Shard over the mesh's own leading axis, whatever its name —
-            # callers may pass a window-axis or custom-named mesh.
-            self._sharding = comm.batch_sharded(mesh, axis=mesh.axis_names[0])
+            # Shard the slot axis over EVERY mesh axis jointly (n_slots is
+            # padded to mesh.devices.size above): robust to custom axis
+            # names and to multi-axis meshes — a leading size-1 axis (e.g.
+            # ('replica', 'data')) must not silently replicate the fleet.
+            self._sharding = comm.batch_sharded(
+                mesh, axis=tuple(mesh.axis_names)
+            )
 
         S = self.n_slots
         carry = (
@@ -215,26 +219,22 @@ class MultiStreamIdentifier:
             counts = np.minimum(counts, k)
             if not counts.any():
                 return dispatches
-            # Ship raw i16 whenever possible — the common serving wire
-            # format — converting on device.  A mixed fleet (some slots
-            # holding f32 remainders) must not drag every slot onto the
-            # 2x-byte f32 wire: under drain, dispatch the i16 slots alone
-            # first and let the loop pick up the f32 slots next iteration.
-            # drain=False keeps its one-dispatch-covers-all contract, so a
-            # mixed fleet there ships f32 for that single dispatch.
+            # Ship raw i16 when every contributing slot buffered i16 —
+            # the common serving wire format — converting on device.  A
+            # mixed fleet (some slot holding an f32 remainder) ships f32
+            # for the whole dispatch: the transfer is ONE dense
+            # (S, k, block) array, so splitting by dtype would ship the
+            # full-size buffer twice (2+4 bytes/elem across two
+            # dispatches vs 4 in one) — grouping cannot win here.  The
+            # downgrade is transient: feed() returns a slot to the i16
+            # wire whenever its remainder is empty, and close() resets it.
             from streamz_tpu.dsp.mfcc import _to_f32
 
-            slot_i16 = np.array(
-                [self._rem[sid].dtype == np.int16 for sid in range(S)]
+            wire_i16 = all(
+                self._rem[sid].dtype == np.int16
+                for sid in range(S)
+                if counts[sid]
             )
-            mixed = bool((counts[slot_i16] > 0).any()) and bool(
-                (counts[~slot_i16] > 0).any()
-            )
-            if mixed and drain:
-                wire_i16 = True
-                counts = np.where(slot_i16, counts, 0).astype(np.int32)
-            else:
-                wire_i16 = bool((counts[slot_i16] > 0).any()) and not mixed
             dtype = np.int16 if wire_i16 else np.float32
             blocks = np.zeros((S, k, block), dtype)
             for sid in range(S):

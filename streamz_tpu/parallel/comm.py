@@ -57,8 +57,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharded(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
-    """Shard the leading (batch) dimension across the mesh axis."""
+def batch_sharded(mesh: Mesh, axis=DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dimension across the mesh axis.
+
+    ``axis`` may be one axis name or a tuple of names — a tuple shards the
+    leading dimension over those axes jointly (e.g. every axis of a
+    multi-axis mesh)."""
     return NamedSharding(mesh, P(axis))
 
 

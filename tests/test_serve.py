@@ -163,11 +163,11 @@ def test_mixed_dtype_wire_parity(net):
     _assert_verdict_close(mix.finalize(m1), ref.finalize(r1))
 
 
-def test_mixed_fleet_keeps_i16_wire(net):
-    """One slot holding an f32 remainder must not drag the whole fleet onto
-    the 2x-byte f32 wire: under drain, the i16 slots dispatch on the i16
-    wire first and the f32 slots follow; drain=False keeps its
-    one-dispatch-covers-all contract (f32 for that dispatch)."""
+def test_mixed_fleet_wire_policy(net):
+    """A mixed fleet ships ONE f32 dispatch (the transfer is one dense
+    (S,k,block) array, so dtype-splitting would ship the buffer twice),
+    and the downgrade is transient: a slot returns to the i16 wire once
+    its f32 remainder is gone (close/reopen)."""
     clips = _clips(3, seed=31, seconds=0.5)
     srv = MultiStreamIdentifier(net, n_streams=3, threshold=0.0)
     sids = [srv.open() for _ in clips]
@@ -181,26 +181,22 @@ def test_mixed_fleet_keeps_i16_wire(net):
     srv.feed(sids[1], clips[1])
     srv.feed(sids[2], clips[2])
     srv.tick()
-    assert "i16" in wires and "f32" in wires
-    assert wires.index("i16") < wires.index("f32")  # i16 group goes first
+    assert "f32" in wires and "i16" not in wires  # one wire per dispatch
 
-    # drain=False on a mixed fleet: ONE dispatch covering every slot (f32).
-    wires.clear()
-    srv2 = MultiStreamIdentifier(net, n_streams=2, threshold=0.0)
-    a, b = srv2.open(), srv2.open()
-    orig2_f32, orig2_i16 = srv2._step, srv2._step_i16
-    srv2._step = lambda *x: (wires.append("f32"), orig2_f32(*x))[1]
-    srv2._step_i16 = lambda *x: (wires.append("i16"), orig2_i16(*x))[1]
-    srv2.feed(a, clips[0].astype(np.float32) / 32767.0)
-    srv2.feed(b, clips[1])
-    assert srv2.tick(drain=False) == 1
-    assert wires == ["f32"]
-
-    # And the wire split never changes a verdict.
+    # Mixed dispatch never changes a verdict.
     for sid, clip in zip(sids, clips):
         ref = StreamingIdentifier(net, threshold=0.0)
         ref.feed(clip)
         _assert_verdict_close(srv.finalize(sid), ref.finalize())
+
+    # The f32 slot's stream ends; after close the fleet is i16 again.
+    for sid in sids:
+        srv.close(sid)
+    wires.clear()
+    s = srv.open()
+    srv.feed(s, clips[1])
+    srv.tick()
+    assert wires and all(w == "i16" for w in wires)
 
 
 def test_serving_accepts_custom_axis_mesh(net):
@@ -218,9 +214,34 @@ def test_serving_accepts_custom_axis_mesh(net):
     ref = StreamingIdentifier(net, threshold=0.0)
     ref.feed(clip)
     _assert_verdict_close(srv.finalize(sid), ref.finalize())
-    assert srv._carry[4].sharding.spec == comm.batch_sharded(
-        mesh, axis=comm.WINDOW_AXIS
-    ).spec
+    assert not srv._carry[4].sharding.is_fully_replicated
+    # the slot axis really lands one shard per device
+    assert len(srv._carry[4].sharding.device_set) == 8
+
+
+def test_serving_shards_over_multi_axis_mesh(net):
+    """A multi-axis mesh with a leading size-1 axis (('replica','data'))
+    must still shard the slot axis across all 8 devices — not silently
+    replicate it over the trivial first axis."""
+    import jax
+    import numpy as np_
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np_.array(jax.devices()[:8]).reshape(1, 8),
+                ("replica", "data"))
+    clip = _clips(1, seed=42, seconds=0.5)[0]
+    srv = MultiStreamIdentifier(net, n_streams=5, threshold=0.0, mesh=mesh)
+    assert srv.n_slots == 8
+    votes = srv._carry[4]
+    assert not votes.sharding.is_fully_replicated
+    # 8-way sharded along the slot axis: each device holds 1 of 8 rows
+    assert votes.sharding.shard_shape(votes.shape)[0] == 1
+    sid = srv.open()
+    srv.feed(sid, clip)
+    srv.tick()
+    ref = StreamingIdentifier(net, threshold=0.0)
+    ref.feed(clip)
+    _assert_verdict_close(srv.finalize(sid), ref.finalize())
 
 
 def test_multihost_guard(net, monkeypatch):
