@@ -76,50 +76,25 @@ def run_incremental(
 ) -> IncrementalResult:
     """Mutates ``net`` and the labels inside ``train_files``; returns stats.
 
-    Default path: the device-resident fused loop
+    Always the device-resident fused loop
     (:mod:`streamz_tpu.app.device_loop`) — one async dispatch per file, one
     synchronization at the end, so remote-TPU dispatch latency pipelines
-    instead of stacking per file.
-
-    Exception: when a ``mesh`` is active and the run contains clips at or
-    above ``LONG_CLIP_WINDOW_THRESHOLD`` windows, the host-stepped loop runs
-    instead so those clips' embeddings use the window-sharded step
-    (the CP analogue, SURVEY.md §5.7) — long clips are compute-bound, not
-    dispatch-bound, so the fused loop's advantage doesn't apply there.
+    instead of stacking per file.  With a ``mesh`` the scan itself runs
+    SPMD, window-sharding every file's embed forward and training gradients
+    (the CP analogue, SURVEY.md §5.7) — long clips included, so one long
+    clip no longer demotes the whole corpus to the host-stepped loop (which
+    would cost ~2 blocking round-trips for every *other* file).  The
+    bucket-spread cap keeps a long clip from inflating its neighbors'
+    padding, and its padded windows are at most 2x the clip itself.
     """
-    long_run = mesh is not None and any(
-        feature_map.get(p) is not None
-        and len(feature_map[p]) >= LONG_CLIP_WINDOW_THRESHOLD
-        for p, _ in train_files
-    )
-    if not long_run:
-        from streamz_tpu.app.device_loop import run_incremental_device
-        from streamz_tpu.nn.train import autotune_file_train
+    from streamz_tpu.app.device_loop import run_incremental_device
+    from streamz_tpu.nn.train import autotune_file_train
 
-        # Pick the per-file train kernel by measurement before tracing the
-        # fused loop (a no-op off-TPU and on multi-host — autotune.py).
-        autotune_file_train()
+    # Pick the per-file train kernel by measurement before tracing the
+    # fused loop (a no-op off-TPU and on multi-host — autotune.py).
+    autotune_file_train()
 
-        total_loss, processed, sf, se = run_incremental_device(
-            net,
-            train_files,
-            feature_map,
-            burn_in_limit=burn_in_limit,
-            conf_threshold=conf_threshold,
-            dropout=dropout,
-            batch_size=batch_size,
-            epochs=epochs,
-            max_speakers=max_speakers,
-            show_progress=show_progress,
-            mesh=mesh,
-        )
-        return IncrementalResult(
-            total_loss=total_loss,
-            processed=processed,
-            speaker_features=sf,
-            speaker_embeddings=se,
-        )
-    return run_incremental_host(
+    total_loss, processed, sf, se = run_incremental_device(
         net,
         train_files,
         feature_map,
@@ -131,6 +106,12 @@ def run_incremental(
         max_speakers=max_speakers,
         show_progress=show_progress,
         mesh=mesh,
+    )
+    return IncrementalResult(
+        total_loss=total_loss,
+        processed=processed,
+        speaker_features=sf,
+        speaker_embeddings=se,
     )
 
 
@@ -150,10 +131,11 @@ def run_incremental_host(
 ) -> IncrementalResult:
     """Host-stepped formulation of the same loop.
 
-    Kept as (a) the long-clip path — with ``mesh`` it extracts embeddings of
-    clips over ``LONG_CLIP_WINDOW_THRESHOLD`` windows via the window-sharded
-    step — and (b) the behavioral oracle the fused device loop is tested
-    against (``tests/test_device_loop.py``).
+    Kept as the behavioral oracle the fused device loop is tested against
+    (``tests/test_device_loop.py``).  With ``mesh`` it extracts embeddings
+    of clips over ``LONG_CLIP_WINDOW_THRESHOLD`` windows via the
+    feature-level window-sharded step — the same CP semantics the fused
+    scan's psum-merged embed implements on-device.
     """
 
     # Seed the centroid map from the model's stored embeddings

@@ -203,6 +203,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
 
     if cluster_k is not None:
+        if cluster_k < 0:
+            print(
+                f"--cluster-embeddings expects a non-negative k, got {cluster_k}",
+                file=sys.stderr,
+            )
+            return 1
         try:
             net = checkpoint.load(config.MODEL_PATH)
         except Exception as e:

@@ -13,6 +13,16 @@ from __future__ import annotations
 
 import threading
 
+import jax
+
+# The framework's determinism contracts (pad-invariant per-file training in
+# app/device_loop.py: uniform(key, (n,))[i] independent of n; stable
+# chunk-bucket batching) require the counter-based threefry lowering.  It is
+# the default in current JAX, but the flag is load-bearing here — pin it so
+# an environment or future default flip cannot silently change training
+# trajectories with run composition.
+jax.config.update("jax_threefry_partitionable", True)
+
 # ---------------------------------------------------------------------------
 # Audio / feature numerology (src/lib.rs:25-36)
 # ---------------------------------------------------------------------------

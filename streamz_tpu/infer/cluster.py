@@ -61,6 +61,8 @@ def cluster_embeddings(
 ) -> List[int]:
     """Cluster embeddings into k groups; returns per-embedding cluster ids."""
     embeds = np.asarray(embeds, np.float32)
+    if k < 0:
+        raise ValueError(f"k must be non-negative, got {k}")
     if len(embeds) == 0 or k == 0:
         return []
     k = min(k, len(embeds))

@@ -196,7 +196,13 @@ def compute_speaker_embeddings(
     # bucketed batched device calls (one dispatch per bucket, not per file).
     per_speaker_wins: List[List[np.ndarray]] = []
     flat_wins: List[np.ndarray] = []
-    for files in net.file_lists[: net.output_size()]:
+    # One stats entry per LIVE class, always: a net whose file_lists lags
+    # num_speakers (grown without recorded files) gets zero-centroid stats
+    # for the tail instead of silently dropping those speakers from the
+    # saved embeddings.
+    file_lists: List[List[str]] = list(net.file_lists[: net.output_size()])
+    file_lists += [[] for _ in range(net.output_size() - len(file_lists))]
+    for files in file_lists:
         wins_list: List[np.ndarray] = []
         for path in files:
             try:

@@ -78,13 +78,13 @@ def _put_bucket(batch, lens, mesh):
     return jnp.asarray(batch), jnp.asarray(lens)
 
 
-def batch_clip_embeddings(net: SpeakerNet, clips, mesh=None) -> list:
-    """Mean-pooled ReLU-h2 embeddings for many clips in few device calls.
+def _batch_pooled(net: SpeakerNet, clips, mesh, kernel) -> list:
+    """Shared scaffold of the batched pooled-embedding paths.
 
-    Equivalent to calling :func:`extract_embedding_from_features` per clip
-    (same normalization contract) but batched with window-count bucketing —
-    one device dispatch per bucket instead of per clip.  With ``mesh`` the
-    clip axis is sharded across the data mesh (SPMD via pjit).
+    Buckets clips by power-of-two window count, pads each bucket, runs the
+    jitted masked pooling ``kernel`` (mean or exact-median) once per bucket
+    (clip axis sharded when ``mesh`` is given), and L2-normalizes — one
+    device dispatch per bucket instead of per clip.
     """
     if not clips:
         return []
@@ -109,10 +109,21 @@ def batch_clip_embeddings(net: SpeakerNet, clips, mesh=None) -> list:
         batch_d, lens_d = _put_bucket(batch, lens, mesh)
         from streamz_tpu.parallel.mesh import fetch
 
-        embs = fetch(_fembed_mean_batch(net.params, batch_d, lens_d))
+        embs = fetch(kernel(net.params, batch_d, lens_d))
         for row, i in enumerate(idxs):
             out[i] = normalize(embs[row])
     return out
+
+
+def batch_clip_embeddings(net: SpeakerNet, clips, mesh=None) -> list:
+    """Mean-pooled ReLU-h2 embeddings for many clips in few device calls.
+
+    Equivalent to calling :func:`extract_embedding_from_features` per clip
+    (same normalization contract) but batched with window-count bucketing —
+    one device dispatch per bucket instead of per clip.  With ``mesh`` the
+    clip axis is sharded across the data mesh (SPMD via pjit).
+    """
+    return _batch_pooled(net, clips, mesh, _fembed_mean_batch)
 
 
 @jax.jit
@@ -145,33 +156,7 @@ def batch_median_embeddings(net: SpeakerNet, clips, mesh=None) -> list:
     the even-count midpoint rule, src/lib.rs:1483-1492), L2-normalized.
     With ``mesh`` the clip axis is sharded across the data mesh.
     """
-    if not clips:
-        return []
-    arrs = [np.asarray(c, np.float32) for c in clips]
-    out = [None] * len(arrs)
-    feat = next((a.shape[1] for a in arrs if a.ndim == 2 and len(a)), None)
-    buckets: dict = {}
-    for i, a in enumerate(arrs):
-        if len(a) == 0:
-            out[i] = np.zeros((net.embedding_size(),), np.float32)
-            continue
-        n_pad = 1
-        while n_pad < len(a):
-            n_pad *= 2
-        buckets.setdefault(n_pad, []).append(i)
-    for n_pad, idxs in buckets.items():
-        batch = np.zeros((len(idxs), n_pad, feat), np.float32)
-        lens = np.zeros((len(idxs),), np.int32)
-        for row, i in enumerate(idxs):
-            batch[row, : len(arrs[i])] = arrs[i]
-            lens[row] = len(arrs[i])
-        batch_d, lens_d = _put_bucket(batch, lens, mesh)
-        from streamz_tpu.parallel.mesh import fetch
-
-        embs = fetch(_fembed_median_batch(net.params, batch_d, lens_d))
-        for row, i in enumerate(idxs):
-            out[i] = normalize(embs[row])
-    return out
+    return _batch_pooled(net, clips, mesh, _fembed_median_batch)
 
 
 def extract_embedding(net: SpeakerNet, sample, extractor=None) -> np.ndarray:

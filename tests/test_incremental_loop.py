@@ -66,3 +66,58 @@ def test_max_speakers_cap_enforced():
     )
     assert net.output_size() <= 4
     assert all(c is not None and c < 4 for _, c in files if len(fm[_]) >= 5)
+
+
+def test_long_clip_stays_on_device_loop_with_mesh(monkeypatch):
+    """One long clip must not demote the whole corpus to the host-stepped
+    loop when a mesh is active: the fused sharded scan window-shards every
+    file's embed/train itself, and labels match the host oracle."""
+    from streamz_tpu.app import incremental as inc
+    from streamz_tpu.app.incremental import run_incremental_host
+    from streamz_tpu.parallel import comm
+
+    rng = np.random.default_rng(3)
+    files, fm = _synthetic_corpus(8, 2, rng)
+    # Make one clip "long" relative to a lowered threshold so the test stays
+    # light; the routing must ignore it either way.
+    long_path = files[3][0]
+    fm[long_path] = np.tile(fm[long_path], (8, 1))  # 64 windows
+    import streamz_tpu.parallel.window_parallel as wp
+
+    monkeypatch.setattr(wp, "LONG_CLIP_WINDOW_THRESHOLD", 32)
+
+    called = {"host": 0}
+    real_host = inc.run_incremental_host
+
+    def spy_host(*a, **k):
+        called["host"] += 1
+        return real_host(*a, **k)
+
+    monkeypatch.setattr(inc, "run_incremental_host", spy_host)
+
+    mesh = comm.make_mesh(8)
+    net_d = SpeakerNet.new(output=1, seed=0)
+    files_d = [(p, (0 if i == 0 else lab)) for i, (p, lab) in enumerate(files)]
+    run_incremental(
+        net_d, files_d, dict(fm), burn_in_limit=3, epochs=1,
+        show_progress=False, mesh=mesh,
+    )
+    assert called["host"] == 0  # fused device loop took the whole corpus
+
+    net_h = SpeakerNet.new(output=1, seed=0)
+    files_h = [(p, (0 if i == 0 else lab)) for i, (p, lab) in enumerate(files)]
+    run_incremental_host(
+        net_h, files_h, dict(fm), burn_in_limit=3, epochs=1,
+        show_progress=False, mesh=mesh,
+    )
+    assert [lab for _, lab in files_d] == [lab for _, lab in files_h]
+
+
+def test_threefry_partitionable_pinned():
+    """The device loop's pad-invariant per-file PRNG contract requires the
+    counter-based threefry lowering; the package pins the flag on import."""
+    import jax
+
+    import streamz_tpu  # noqa: F401
+
+    assert jax.config.jax_threefry_partitionable is True

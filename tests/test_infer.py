@@ -140,6 +140,11 @@ def test_kmeans_edge_cases():
     # k > n clamps
     labels = cluster.cluster_embeddings([[1.0, 0.0], [0.9, 0.1]], 5, 3)
     assert len(labels) == 2
+    # negative k is a clean error, not an opaque trace crash
+    import pytest
+
+    with pytest.raises(ValueError):
+        cluster.cluster_embeddings([[1.0, 0.0]], -5, 3)
 
 
 def test_compute_speaker_embeddings_empty_lists():
@@ -147,6 +152,19 @@ def test_compute_speaker_embeddings_empty_lists():
     stats = cosine.compute_speaker_embeddings(net)
     assert len(stats) == 2
     for mean, ms, ss in stats:
+        np.testing.assert_array_equal(mean, np.zeros(4, np.float32))
+        assert ms == 0.0 and ss == 0.0
+
+
+def test_compute_speaker_embeddings_short_file_lists():
+    """A net whose file_lists lags num_speakers still gets one stats entry
+    per LIVE class (zero-centroid tail), so finalize_and_save never stores
+    a short embeddings list that silently drops speakers."""
+    net = SpeakerNet.new(input_size=8, hidden1=4, hidden2=4, output=3, seed=0)
+    net.file_lists = net.file_lists[:1]
+    stats = cosine.compute_speaker_embeddings(net)
+    assert len(stats) == 3
+    for mean, ms, ss in stats[1:]:
         np.testing.assert_array_equal(mean, np.zeros(4, np.float32))
         assert ms == 0.0 and ss == 0.0
 
