@@ -16,7 +16,6 @@ only run there in interpret mode, which is for testing, not speed.
 
 from __future__ import annotations
 
-import time
 from typing import Callable, List, Sequence, TypeVar
 
 import numpy as np
@@ -52,26 +51,12 @@ def _core_for(backend: str):
 
 
 def _time_frontend(core, pcm, n_samples, iters: int = 8) -> float:
-    """Median-of-3 time of ``iters`` chained frontend calls (dispatch-
-    amortized: the iterations run inside one jitted scan)."""
-    import jax
-    import jax.numpy as jnp
+    """Median-of-3 time of ``iters`` chained frontend calls, via the shared
+    chained-scan timer (dispatch-amortized; one warm+median protocol for
+    every probe and harness — streamz_tpu/runtime/measure.py)."""
+    from streamz_tpu.runtime.measure import chain_timer
 
-    @jax.jit
-    def chained(p, n):
-        def body(c, _):
-            r = core(p + c, n)
-            return jnp.sum(r) * 1e-20, None
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return c
-
-    float(chained(pcm, n_samples))  # compile + warm
-    times = []
-    for _ in range(3):
-        start = time.perf_counter()
-        float(chained(pcm, n_samples))
-        times.append(time.perf_counter() - start)
-    return sorted(times)[1]
+    return chain_timer(core, pcm, n_samples, iters=iters) * iters
 
 
 def autotune_frontend(force: bool = False) -> str:

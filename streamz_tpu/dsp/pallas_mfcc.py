@@ -429,9 +429,9 @@ def _mfcc_kernel_v3(main_ref, halo_ref, dft_hi_ref, dft_lo_ref, sign_ref,
 
 
 def _use_interpret() -> bool:
-    from streamz_tpu.runtime import autotune
+    from streamz_tpu.runtime.autotune import use_interpret
 
-    return not autotune.on_tpu()
+    return use_interpret()
 
 
 def _v3_call(blocks: jax.Array, n_tiles: int) -> jax.Array:
@@ -501,11 +501,15 @@ def _pipelined_base(pcm: jax.Array, call_fn) -> jax.Array:
 
     tail_rows = rows - n_full * _TILE3  # in (0, _TILE3 + _HALO3)
     if tail_rows > 0:
+        # tail_rows can EXCEED _TILE3 (up to _TILE3 + _HALO3 - 1, e.g.
+        # rows = 516: n_full = 0), so the tail may need two tiles — one
+        # tile would emit only _TILE3 rows and silently truncate.
+        n_tt = -(-tail_rows // _TILE3)
         tail = blocks[n_full * _TILE3 :]
         tail = jnp.pad(
-            tail, ((0, _TILE3 + _HALO3 - tail_rows), (0, 0))
+            tail, ((0, n_tt * _TILE3 + _HALO3 - tail_rows), (0, 0))
         )
-        outs.append(call_fn(tail, 1)[:tail_rows])
+        outs.append(call_fn(tail, n_tt)[:tail_rows])
 
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     base = out[:rows].reshape(B, nb, _CH_PAD)

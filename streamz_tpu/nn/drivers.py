@@ -39,7 +39,11 @@ def _fresh_key(seed: Optional[int] = None) -> jax.Array:
 
 
 def _pad_windows(windows: np.ndarray, batch_size: int) -> Tuple[np.ndarray, int]:
-    """Pad [N, F] windows up to batch_size * next_pow2(ceil(N/bs)) rows."""
+    """Pad [N, F] windows up to batch_size * next_pow2(ceil(N/bs)) rows.
+
+    ``batch_size`` is clamped to >= 1 like the reference's
+    ``chunks(batch_size.max(1))`` (src/lib.rs:371, :602)."""
+    batch_size = max(1, int(batch_size))
     n = len(windows)
     chunks = max(1, -(-n // batch_size))
     p = 1
@@ -78,6 +82,7 @@ def pretrain_from_features(
     windows = np.asarray(windows, np.float32)
     if windows.ndim != 2 or len(windows) == 0:
         return 0.0
+    batch_size = max(1, int(batch_size))  # reference clamp (src/lib.rs:602)
     padded, n_valid = _pad_windows(windows, batch_size)
     tvec = _target_vec(net.capacity, target_class, num_classes)
     params, mean_loss = T.train_on_windows(

@@ -103,9 +103,14 @@ def forward_logits(params: Params, x: jax.Array, num_speakers) -> jax.Array:
 def forward(params: Params, x: jax.Array, num_speakers) -> jax.Array:
     """Softmax probabilities over live classes (src/lib.rs:880-891).
 
-    Returns [..., capacity]; inactive columns are exactly 0.0.
+    Returns [..., capacity]; inactive columns are exactly 0.0.  The
+    explicit mask also holds the documented invariant when
+    ``num_speakers == 0`` (a loadable checkpoint state), where the
+    all-``MASK_LOGIT`` softmax would otherwise degenerate to a uniform
+    1/capacity row.
     """
-    return jax.nn.softmax(forward_logits(params, x, num_speakers), axis=-1)
+    probs = jax.nn.softmax(forward_logits(params, x, num_speakers), axis=-1)
+    return probs * class_mask(probs.shape[-1], num_speakers)
 
 
 def embed(params: Params, x: jax.Array) -> jax.Array:

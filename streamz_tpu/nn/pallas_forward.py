@@ -27,9 +27,9 @@ _IN_PAD = 64  # 60-dim features padded to the f32 sublane-friendly width
 
 
 def _use_interpret() -> bool:
-    from streamz_tpu.runtime import autotune
+    from streamz_tpu.runtime.autotune import use_interpret
 
-    return not autotune.on_tpu()
+    return use_interpret()
 
 
 def _fwd_kernel(ns_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
@@ -50,7 +50,11 @@ def _fwd_kernel(ns_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     logits = jnp.where(col < ns_ref[0], logits, MASK_LOGIT)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
-    out_ref[:] = e / jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    # Keep the documented invariant (inactive columns exactly 0.0) in the
+    # ns == 0 degeneracy too, where the all-MASK_LOGIT softmax would emit a
+    # uniform 1/capacity row — matches model.forward's explicit mask.
+    out_ref[:] = jnp.where(col < ns_ref[0], probs, 0.0)
 
 
 @jax.jit

@@ -45,9 +45,9 @@ def _tile_for(capacity: int) -> int:
 
 
 def _use_interpret() -> bool:
-    from streamz_tpu.runtime import autotune
+    from streamz_tpu.runtime.autotune import use_interpret
 
-    return not autotune.on_tpu()
+    return use_interpret()
 
 
 def _dotT_rows(a: jax.Array, b: jax.Array) -> jax.Array:

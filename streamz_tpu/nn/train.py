@@ -186,9 +186,25 @@ def train_on_windows_impl(
     return params, mean_loss
 
 
-train_on_windows = partial(
+_train_on_windows_jit = partial(
     jax.jit, static_argnames=("epochs", "batch_size", "backend"),
     donate_argnums=(0,))(train_on_windows_impl)
+
+
+def train_on_windows(
+    params, windows, n_valid, target_vec, num_speakers, key, lr, dropout,
+    *, epochs: int, batch_size: int, backend: str = "auto",
+):
+    """Jitted :func:`train_on_windows_impl` with 'auto' resolved at CALL
+    time, outside the trace: the jit cache is keyed on the concrete
+    backend, so an autotune decision landing after the first call reaches
+    already-warm shapes instead of a stale 'auto'-keyed program pinning the
+    losing kernel for the process lifetime."""
+    return _train_on_windows_jit(
+        params, windows, n_valid, target_vec, num_speakers, key, lr,
+        dropout, epochs=epochs, batch_size=batch_size,
+        backend=_resolve_backend("file_train", backend),
+    )
 
 
 def train_on_windows_sharded_impl(

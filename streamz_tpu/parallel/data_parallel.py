@@ -30,7 +30,13 @@ def make_dp_train_step(mesh: Mesh, backend: str = "auto"):
     replicated.  Semantics match the reference's mean-gradient ``train_batch``
     (``src/lib.rs:1002-1060``) over the *global* batch: the division uses the
     global valid count, so results are independent of the device count.
+
+    'auto' resolves HERE, at build time (not inside the trace), so the
+    returned program is pinned to the decision current when the trainer was
+    built — run the stage autotune (``autotune_train_kernel``) first, as
+    ``train_corpus`` does.
     """
+    backend = train.resolve_train_backend(backend)
 
     def _local_step(params, batch, labels, weights, num_speakers, lr):
         grads_local, loss_local, count_local = train.corpus_grads(
@@ -59,7 +65,10 @@ def make_dp_train_step(mesh: Mesh, backend: str = "auto"):
 
 def make_dp_train_epoch(mesh: Mesh, *, steps: int, backend: str = "auto"):
     """A jitted multi-step trainer: ``lax.scan`` of the DP step over
-    pre-batched data [steps, B, F] (B sharded across devices)."""
+    pre-batched data [steps, B, F] (B sharded across devices).
+
+    'auto' resolves at build time — see :func:`make_dp_train_step`."""
+    backend = train.resolve_train_backend(backend)
 
     def _local_epoch(params, batches, labels, weights, num_speakers, lr):
         def body(params, inp):

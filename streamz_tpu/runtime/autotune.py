@@ -40,14 +40,31 @@ def _disk_get_entry(key: str):
 
 
 def _disk_put(key: str, value) -> None:
+    """Merge ``key: value`` into the shared cache file atomically.
+
+    Concurrent cold processes probe different stages at once, so the
+    read-modify-write holds an exclusive lock on a sidecar lockfile (two
+    writers must not drop each other's multi-minute probe results) and
+    publishes via temp-file + ``os.replace`` (readers never observe torn
+    JSON — ``_disk_get`` would silently fall back to the static default)."""
     try:
-        cached = {}
-        if os.path.exists(_CACHE_PATH):
-            with open(_CACHE_PATH) as f:
-                cached = json.load(f)
-        cached[key] = value
-        with open(_CACHE_PATH, "w") as f:
-            json.dump(cached, f)
+        lock_path = _CACHE_PATH + ".lock"
+        with open(lock_path, "w") as lock_f:
+            try:
+                import fcntl
+
+                fcntl.flock(lock_f, fcntl.LOCK_EX)
+            except Exception:
+                pass  # no flock on this platform: still atomic via replace
+            cached = {}
+            if os.path.exists(_CACHE_PATH):
+                with open(_CACHE_PATH) as f:
+                    cached = json.load(f)
+            cached[key] = value
+            tmp = _CACHE_PATH + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(cached, f)
+            os.replace(tmp, _CACHE_PATH)
     except Exception:
         pass
 
@@ -57,6 +74,14 @@ def on_tpu() -> bool:
 
     dev = jax.devices()[0]
     return jax.default_backend() == "tpu" or "axon" in str(dev.platform)
+
+
+def use_interpret() -> bool:
+    """Pallas kernels run in interpret mode off-TPU (testing, not speed).
+
+    The single policy point for every kernel module (dsp/pallas_mfcc,
+    nn/pallas_forward, nn/pallas_train)."""
+    return not on_tpu()
 
 
 def probing_disabled() -> bool:

@@ -80,3 +80,23 @@ def test_train_from_files_decay(tmp_path, tones, monkeypatch):
     assert not np.allclose(np.asarray(net.params["w1"]), before)
     assert pa in net.file_lists[0]
     assert pb in net.file_lists[1]
+
+
+def test_batch_size_zero_clamped_like_reference():
+    """batch_size=0 trains with chunks of 1 (the reference's
+    chunks(batch_size.max(1)), src/lib.rs:602) instead of crashing."""
+    from streamz_tpu.nn.drivers import pretrain_from_features
+    from streamz_tpu.nn.model import SpeakerNet
+
+    import jax
+
+    rng = np.random.default_rng(0)
+    net = SpeakerNet.new(output=2, seed=0)
+    wins = rng.normal(size=(6, 60)).astype(np.float32)
+    # Same explicit key: the key drives the per-epoch shuffle, and with
+    # batch_size=1 the SGD order changes the loss.
+    key = jax.random.PRNGKey(7)
+    loss0 = pretrain_from_features(net, wins, 0, 2, 1, 0.05, 0.0, 0, key=key)
+    net1 = SpeakerNet.new(output=2, seed=0)
+    loss1 = pretrain_from_features(net1, wins, 0, 2, 1, 0.05, 0.0, 1, key=key)
+    assert np.isfinite(loss0) and loss0 == loss1  # identical to batch_size=1

@@ -126,3 +126,20 @@ def test_weights_change_after_training():
         for k in ("w1", "w2", "b1", "b2")
     )
     assert changed, "weights did not change after training step"
+
+
+def test_zero_speaker_forward_is_all_zero():
+    """num_speakers == 0 (a loadable checkpoint state) must keep the
+    documented invariant — inactive columns exactly 0.0 — instead of the
+    degenerate uniform 1/capacity softmax."""
+    import jax.numpy as jnp
+
+    from streamz_tpu.nn.model import SpeakerNet, forward
+    from streamz_tpu.nn.pallas_forward import forward_probs_pallas
+
+    net = SpeakerNet.new(output=1, seed=0)
+    x = jnp.ones((3, 60), jnp.float32)
+    probs = np.asarray(forward(net.params, x, 0))
+    np.testing.assert_array_equal(probs, np.zeros_like(probs))
+    probs_k = np.asarray(forward_probs_pallas(net.params, x, 0))
+    np.testing.assert_array_equal(probs_k, np.zeros_like(probs_k))

@@ -86,7 +86,10 @@ def test_v3_tail_split_shapes():
     from streamz_tpu.dsp.pallas_mfcc import mfcc_base_pallas_v3
 
     rng = np.random.default_rng(2)
-    for B, T in [(1, 800), (1, 2000), (2, 4000), (1, 208000), (3, 208000)]:
+    # (129, 1600) and (513, 800) pin the two-tile tail: rows mod _TILE3 in
+    # 1.._HALO3-1 with rows > _TILE3 used to truncate the tail to one tile.
+    for B, T in [(1, 800), (1, 2000), (2, 4000), (1, 208000), (3, 208000),
+                 (129, 1600), (513, 800)]:
         pcm = jnp.asarray(rng.normal(0, 0.1, (B, T)).astype(np.float32))
         a = np.asarray(mfcc_base(pcm))
         b = np.asarray(mfcc_base_pallas_v3(pcm))
@@ -133,7 +136,10 @@ def test_v4_tail_split_shapes():
     from streamz_tpu.dsp.pallas_mfcc import mfcc_base_pallas_v4
 
     rng = np.random.default_rng(2)
-    for B, T in [(1, 800), (1, 2000), (2, 4000), (1, 208000), (3, 208000)]:
+    # (129, 1600) and (513, 800) pin the two-tile tail: rows mod _TILE3 in
+    # 1.._HALO3-1 with rows > _TILE3 used to truncate the tail to one tile.
+    for B, T in [(1, 800), (1, 2000), (2, 4000), (1, 208000), (3, 208000),
+                 (129, 1600), (513, 800)]:
         pcm = jnp.asarray(rng.normal(0, 0.1, (B, T)).astype(np.float32))
         a = np.asarray(mfcc_base(pcm))
         b = np.asarray(mfcc_base_pallas_v4(pcm))

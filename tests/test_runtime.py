@@ -181,3 +181,29 @@ def test_autotune_cache_invalidated_by_new_candidate(monkeypatch, tmp_path):
     got = autotune.measured_choice("t_inv", {"a": mk(1.0), "b": mk(2.0)}, "b")
     assert got == "b" and probed["n"] == 7
     autotune.reset()
+
+
+def test_autotune_disk_put_concurrent_writers(monkeypatch, tmp_path):
+    """Concurrent cold processes probing different stages must not drop each
+    other's cached decisions (locked read-modify-write + atomic replace)."""
+    import json
+    import subprocess
+    import sys
+
+    cache = tmp_path / "cache.json"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", (
+                "import streamz_tpu.runtime.autotune as at\n"
+                f"at._CACHE_PATH = {str(cache)!r}\n"
+                f"at._disk_put('stage{i}:kind', {{'choice': 'a', 'candidates': ['a']}})\n"
+            )],
+            cwd="/root/repo",
+        )
+        for i in range(8)
+    ]
+    for p in procs:
+        assert p.wait(timeout=120) == 0
+    data = json.loads(cache.read_text())
+    assert sorted(data) == [f"stage{i}:kind" for i in range(8)]
+    assert not list(tmp_path.glob("*.tmp.*"))  # no leftover temp files

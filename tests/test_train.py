@@ -201,3 +201,35 @@ def test_corpus_step_improves_loss():
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7
+
+
+def test_train_on_windows_resolves_backend_at_call_time(monkeypatch):
+    """'auto' must resolve OUTSIDE the jit, per call — a stale 'auto'-keyed
+    compiled program would pin the losing kernel after autotune lands."""
+    import jax.numpy as jnp
+
+    from streamz_tpu.nn import train as T
+    from streamz_tpu.nn.model import SpeakerNet
+
+    seen = []
+
+    def fake_resolve(stage, backend):
+        seen.append((stage, backend))
+        return "xla"
+
+    monkeypatch.setattr(T, "_resolve_backend", fake_resolve)
+    net = SpeakerNet.new(output=2, seed=0)
+    wins = jnp.ones((8, 60), jnp.float32)
+    tvec = jnp.zeros((net.capacity,), jnp.float32).at[0].set(1.0)
+    params = net.params
+    for _ in range(2):
+        # params is donated (donate_argnums=(0,)) — thread the return value.
+        params, _ = T.train_on_windows(
+            params, wins, jnp.int32(8), tvec, jnp.int32(2),
+            jax.random.PRNGKey(0), jnp.float32(0.01), jnp.float32(0.0),
+            epochs=1, batch_size=8,
+        )
+    # The impl also passes the concrete backend through _resolve_backend at
+    # trace time (a no-op passthrough); only the 'auto' resolutions matter —
+    # one per CALL, not one per trace.
+    assert [s for s in seen if s[1] == "auto"] == [("file_train", "auto")] * 2
