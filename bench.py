@@ -271,6 +271,13 @@ def main() -> None:
         serve_rtf = bench_slots(64, ticks=20)["aggregate_rtf"]
     except Exception:
         serve_rtf = None
+    try:
+        # Same fleet on the G.711 mu-law wire (u8, decoded on device) —
+        # half the i16 transfer, the knee of the serving curve.
+        serve_rtf_ulaw = bench_slots(64, ticks=20, wire="ulaw")[
+            "aggregate_rtf"]
+    except Exception:
+        serve_rtf_ulaw = None
     print(
         json.dumps(
             {
@@ -295,8 +302,10 @@ def main() -> None:
                     if session_peak else None
                 ),
                 # 64 concurrent live streams, 100 ms chunks, i16 wire
-                # (transfer-bound through the tunnel — ROOFLINE.md).
+                # (transfer-bound through the tunnel — ROOFLINE.md), and
+                # the same fleet on the G.711 mu-law u8 wire.
                 "serve64_aggregate_rtf": serve_rtf,
+                "serve64_aggregate_rtf_ulaw": serve_rtf_ulaw,
             }
         )
     )

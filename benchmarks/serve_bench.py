@@ -24,7 +24,8 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def bench_slots(n_streams: int, chunk_ms: float = 100.0, ticks: int = 30):
+def bench_slots(n_streams: int, chunk_ms: float = 100.0, ticks: int = 30,
+                wire: str = "i16"):
     from streamz_tpu.app.serve import MultiStreamIdentifier
     from streamz_tpu.nn.model import SpeakerNet
 
@@ -35,10 +36,25 @@ def bench_slots(n_streams: int, chunk_ms: float = 100.0, ticks: int = 30):
     rng = np.random.default_rng(0)
     chunk_len = int(44100 * chunk_ms / 1000.0)
     chunks = rng.normal(0, 3000, size=(n_streams, chunk_len)).astype(np.int16)
+    enc = None
+    if wire == "f32":
+        chunks = chunks.astype(np.float32) / 32767.0
+    elif wire in ("ulaw", "alaw"):
+        # The telephony wire: G.711 bytes shipped raw, expanded on device —
+        # half the i16 transfer (the measured serving bottleneck).
+        from streamz_tpu.io import g711
+
+        chunks = np.stack([
+            (g711.ulaw_encode if wire == "ulaw" else g711.alaw_encode)(c)
+            for c in chunks
+        ])
+        enc = wire
+    elif wire != "i16":
+        raise ValueError(f"unknown wire {wire!r}")
 
     def one_tick():
         for sid in sids:
-            srv.feed(sid, chunks[sid])
+            srv.feed(sid, chunks[sid], encoding=enc)
         srv.tick()
 
     def fence():
@@ -63,6 +79,7 @@ def bench_slots(n_streams: int, chunk_ms: float = 100.0, ticks: int = 30):
     rtf = n_streams * (chunk_ms / 1000.0) / best
     return {
         "streams": n_streams,
+        "wire": wire,
         "tick_ms": round(best * 1e3, 2),
         "aggregate_rtf": round(rtf, 1),
         "rtf_per_stream": round(rtf / n_streams, 2),
@@ -70,9 +87,13 @@ def bench_slots(n_streams: int, chunk_ms: float = 100.0, ticks: int = 30):
 
 
 def main():
-    slot_counts = [int(a) for a in sys.argv[1:]] or [16, 64, 256]
+    args = sys.argv[1:]
+    wire = "i16"
+    if args and args[0].startswith("--wire="):
+        wire = args.pop(0).split("=", 1)[1]
+    slot_counts = [int(a) for a in args] or [16, 64, 256]
     for s in slot_counts:
-        print(bench_slots(s))
+        print(bench_slots(s, wire=wire))
 
 
 if __name__ == "__main__":

@@ -67,6 +67,12 @@ from streamz_tpu.io.audio import (
     load_wav_samples,
 )
 from streamz_tpu.app.corpus import train_corpus
+from streamz_tpu.io.g711 import (
+    alaw_decode,
+    alaw_encode,
+    ulaw_decode,
+    ulaw_encode,
+)
 from streamz_tpu.app.serve import MultiStreamIdentifier
 from streamz_tpu.app.stream import StreamingIdentifier
 from streamz_tpu.nn.drivers import (
@@ -101,6 +107,10 @@ __all__ = [
     "SpeakerNet",
     "MultiStreamIdentifier",
     "StreamingIdentifier",
+    "alaw_decode",
+    "alaw_encode",
+    "ulaw_decode",
+    "ulaw_encode",
     "corpus_step",
     "train_corpus",
     "audio_metadata",

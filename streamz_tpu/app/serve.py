@@ -43,10 +43,13 @@ from streamz_tpu.app.stream import _make_stream_step
 def _batched_step(capacity: int, k: int):
     """vmapped streaming step over the stream-slot axis.
 
-    Returns (f32_step, i16_step).  The i16 entry takes raw int16 blocks and
-    converts on device — serving PCM is i16 on the wire, and shipping it
-    unconverted halves the host→device transfer, the dominant cost of a
-    tick through a remote tunnel (benchmarks/serve_bench.py).
+    Returns (f32_step, i16_step, u8_step).  The i16 entry takes raw int16
+    blocks and converts on device — serving PCM is i16 on the wire, and
+    shipping it unconverted halves the host→device transfer, the dominant
+    cost of a tick through a remote tunnel (benchmarks/serve_bench.py).
+    The u8 entry takes G.711-companded bytes plus the 256-entry decode
+    table (mu-law or A-law, :mod:`streamz_tpu.io.g711`) and expands them on
+    device — halving the wire again for telephony sources.
     """
     step = jax.vmap(_make_stream_step(capacity, k),
                     in_axes=(None, 0, 0, 0, None))
@@ -57,7 +60,15 @@ def _batched_step(capacity: int, k: int):
         blocks = blocks_i16.astype(jnp.float32) / 32767.0
         return step(params, carry, blocks, n_new, num_speakers)
 
-    return jax.jit(step), jax.jit(step_i16)
+    def step_u8(params, carry, codes_u8, n_new, num_speakers, table):
+        # Table gather yields the exact linear i16 value (as f32, exact for
+        # small integers), then the SAME /32767 conversion as the i16 wire:
+        # a companded byte is bit-identical to host-decoding it to i16 and
+        # shipping that (tests/test_serve.py::test_ulaw_wire_bit_parity).
+        lin = table[codes_u8.astype(jnp.int32)]
+        return step(params, carry, lin / 32767.0, n_new, num_speakers)
+
+    return jax.jit(step), jax.jit(step_i16), jax.jit(step_u8)
 
 
 class MultiStreamIdentifier:
@@ -104,7 +115,7 @@ class MultiStreamIdentifier:
             n = -(-n // nd) * nd  # pad slots to fill every device shard
         self.n_slots = n
         cap = net.capacity
-        self._step, self._step_i16 = _batched_step(cap, self.k)
+        self._step, self._step_i16, self._step_u8 = _batched_step(cap, self.k)
         self._sharding = None
         if mesh is not None:
             from streamz_tpu.parallel import comm
@@ -134,12 +145,31 @@ class MultiStreamIdentifier:
             return tuple(c.at[sid].set(0) for c in carry)
 
         self._zero_slot = zero_slot
-        # host state per slot
+        # host state per slot; _renc tags a uint8 remainder with its G.711
+        # encoding ('ulaw' | 'alaw'), None for linear PCM remainders.
         self._rem: List[np.ndarray] = [
             np.zeros((0,), np.float32) for _ in range(S)
         ]
+        self._renc: List[Optional[str]] = [None] * S
+        self._tables: Dict[str, jax.Array] = {}
         self._open = [False] * S
         self._final: Dict[int, Optional[Tuple[int, float]]] = {}
+
+    def _table(self, enc: str):
+        """Device-resident (replicated under a mesh) G.711 decode table."""
+        tab = self._tables.get(enc)
+        if tab is None:
+            from streamz_tpu.io import g711
+
+            tab = jnp.asarray(g711.TABLES[enc][0])
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                tab = jax.device_put(
+                    tab, NamedSharding(self.mesh, PartitionSpec())
+                )
+            self._tables[enc] = tab
+        return tab
 
     def _place(self, carry):
         if self._sharding is None:
@@ -163,6 +193,7 @@ class MultiStreamIdentifier:
         self._open[sid] = False
         self._final.pop(sid, None)
         self._rem[sid] = np.zeros((0,), np.float32)
+        self._renc[sid] = None
         # Device-side single-row zeroing: no fleet-state round trip, and
         # under a mesh the update stays sharded.
         self._carry = self._zero_slot(self._carry, sid)
@@ -173,20 +204,50 @@ class MultiStreamIdentifier:
 
     # -- feeding -------------------------------------------------------------
 
-    def feed(self, sid: int, pcm) -> None:
-        """Buffer the next PCM chunk (i16 or f32, any length) for ``sid``.
+    def feed(self, sid: int, pcm, encoding: Optional[str] = None) -> None:
+        """Buffer the next PCM chunk (i16, f32, or G.711 bytes) for ``sid``.
 
         int16 chunks stay int16 on the host and convert on *device* —
         half the host→device bytes per tick, bit-identical features (the
-        same ``/32767`` conversion runs in the jitted step).
+        same ``/32767`` conversion runs in the jitted step).  With
+        ``encoding='ulaw'`` or ``'alaw'`` the chunk is raw G.711-companded
+        bytes — the telephony wire — kept as uint8 and expanded on device:
+        half the bytes again, bit-identical to host-decoding to i16.
         """
         self._check(sid)
         if sid in self._final:
             raise RuntimeError(f"stream {sid} already finalized")
         from streamz_tpu.dsp.mfcc import _to_f32
+        from streamz_tpu.io import g711
 
+        if isinstance(pcm, (bytes, bytearray)):
+            pcm = np.frombuffer(pcm, np.uint8)
         pcm = np.asarray(pcm)
-        buf = self._rem[sid]
+        buf, tag = self._rem[sid], self._renc[sid]
+        if encoding is not None:
+            if encoding not in g711.TABLES:
+                raise ValueError(f"unknown G.711 encoding {encoding!r}")
+            if pcm.dtype != np.uint8:
+                raise TypeError("G.711 chunks must be uint8 bytes")
+            if len(buf) == 0 or tag == encoding:
+                self._rem[sid] = np.concatenate(
+                    [buf.astype(np.uint8), pcm]
+                )
+                self._renc[sid] = encoding
+                return
+            # Remainder holds a different representation: expand the G.711
+            # chunk (exact i16 values) and fall through to the linear rules.
+            pcm = g711.decode(pcm, encoding)
+        elif pcm.dtype == np.uint8:
+            raise TypeError(
+                "uint8 chunks are ambiguous: pass encoding='ulaw'/'alaw' "
+                "for G.711 bytes, or convert linear PCM to int16/float32"
+            )
+        if tag is not None:
+            # Linear PCM after G.711 bytes: expand the buffered bytes
+            # (exact) and continue on the linear wire.
+            buf = g711.decode(buf, tag)
+            self._renc[sid] = None
         if pcm.dtype == np.int16 and (buf.dtype == np.int16 or len(buf) == 0):
             self._rem[sid] = np.concatenate([buf.astype(np.int16), pcm])
         else:
@@ -219,33 +280,46 @@ class MultiStreamIdentifier:
             counts = np.minimum(counts, k)
             if not counts.any():
                 return dispatches
-            # Ship raw i16 when every contributing slot buffered i16 —
-            # the common serving wire format — converting on device.  A
-            # mixed fleet (some slot holding an f32 remainder) ships f32
-            # for the whole dispatch: the transfer is ONE dense
+            # One dtype per dispatch — the transfer is ONE dense
             # (S, k, block) array, so splitting by dtype would ship the
-            # full-size buffer twice (2+4 bytes/elem across two
-            # dispatches vs 4 in one) — grouping cannot win here.  The
-            # downgrade is transient: feed() returns a slot to the i16
-            # wire whenever its remainder is empty, and close() resets it.
+            # full-size buffer multiple times.  Narrowest wire that covers
+            # every contributing slot exactly:
+            #   u8  — all slots hold G.711 bytes of the SAME encoding
+            #         (expanded on device via the table gather);
+            #   i16 — no f32 remainder (G.711 slots host-expand to their
+            #         exact i16 values, so mixing u8+i16 loses nothing);
+            #   f32 — anything else.
+            # Downgrades are transient: feed() returns a slot to its
+            # narrow wire whenever its remainder empties, close() resets.
             from streamz_tpu.dsp.mfcc import _to_f32
+            from streamz_tpu.io import g711
 
-            wire_i16 = all(
-                self._rem[sid].dtype == np.int16
-                for sid in range(S)
-                if counts[sid]
+            live = [sid for sid in range(S) if counts[sid]]
+            tags = {self._renc[sid] for sid in live}
+            wire_u8 = (
+                len(tags) == 1
+                and None not in tags
+                and all(self._rem[sid].dtype == np.uint8 for sid in live)
             )
-            dtype = np.int16 if wire_i16 else np.float32
+            wire_i16 = not wire_u8 and all(
+                self._rem[sid].dtype != np.float32 for sid in live
+            )
+            dtype = (
+                np.uint8 if wire_u8
+                else np.int16 if wire_i16
+                else np.float32
+            )
             blocks = np.zeros((S, k, block), dtype)
-            for sid in range(S):
+            for sid in live:
                 nb = int(counts[sid])
-                if nb:
-                    take = nb * block
-                    chunk = self._rem[sid][:take]
-                    if not wire_i16:
-                        chunk = _to_f32(chunk)
-                    blocks[sid, :nb] = chunk.reshape(nb, block)
-                    self._rem[sid] = self._rem[sid][take:]
+                take = nb * block
+                chunk = self._rem[sid][:take]
+                if chunk.dtype == np.uint8 and not wire_u8:
+                    chunk = g711.decode(chunk, self._renc[sid])
+                if dtype == np.float32:
+                    chunk = _to_f32(chunk)
+                blocks[sid, :nb] = chunk.reshape(nb, block)
+                self._rem[sid] = self._rem[sid][take:]
             # One transfer: device_put the host arrays straight into the
             # slot sharding (an asarray-then-reshard would ship them twice).
             if self._sharding is not None:
@@ -254,14 +328,24 @@ class MultiStreamIdentifier:
             else:
                 xb = jnp.asarray(blocks)
                 xn = jnp.asarray(counts)
-            step = self._step_i16 if wire_i16 else self._step
-            self._carry, _, _ = step(
-                self.net.params,
-                self._carry,
-                xb,
-                xn,
-                jnp.int32(self.net.num_speakers),
-            )
+            if wire_u8:
+                self._carry, _, _ = self._step_u8(
+                    self.net.params,
+                    self._carry,
+                    xb,
+                    xn,
+                    jnp.int32(self.net.num_speakers),
+                    self._table(next(iter(tags))),
+                )
+            else:
+                step = self._step_i16 if wire_i16 else self._step
+                self._carry, _, _ = step(
+                    self.net.params,
+                    self._carry,
+                    xb,
+                    xn,
+                    jnp.int32(self.net.num_speakers),
+                )
             dispatches += 1
             if not drain:
                 return dispatches

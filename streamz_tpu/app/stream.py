@@ -226,11 +226,20 @@ class StreamingIdentifier:
 
     # -- feeding -------------------------------------------------------------
 
-    def feed(self, pcm) -> None:
-        """Accept the next PCM chunk (i16 or f32, any length)."""
+    def feed(self, pcm, encoding: Optional[str] = None) -> None:
+        """Accept the next PCM chunk (i16, f32, or G.711 bytes with
+        ``encoding='ulaw'``/``'alaw'`` — expanded to exact i16 on host;
+        the batched multi-stream server ships the bytes to the device
+        instead, see :mod:`streamz_tpu.app.serve`)."""
         assert not self._finalized, "stream already finalized"
         from streamz_tpu.dsp.mfcc import _to_f32
 
+        if encoding is not None:
+            from streamz_tpu.io import g711
+
+            if isinstance(pcm, (bytes, bytearray)):
+                pcm = np.frombuffer(pcm, np.uint8)
+            pcm = g711.decode(pcm, encoding)
         pcm = _to_f32(np.asarray(pcm))
         self._rem = np.concatenate([self._rem, pcm])
         block = config.HOP_SIZE

@@ -299,3 +299,184 @@ def test_serve_bench_runs(net):
     out = bench_slots(2, chunk_ms=100.0, ticks=2)
     assert out["streams"] == 2
     assert out["aggregate_rtf"] > 0
+
+
+# -- G.711 companded wire (io/g711.py) ----------------------------------------
+
+
+def _spy_wires(srv):
+    """Record which wire each dispatch used ('f32' | 'i16' | 'u8')."""
+    wires = []
+    f32, i16, u8 = srv._step, srv._step_i16, srv._step_u8
+    srv._step = lambda *a: (wires.append("f32"), f32(*a))[1]
+    srv._step_i16 = lambda *a: (wires.append("i16"), i16(*a))[1]
+    srv._step_u8 = lambda *a: (wires.append("u8"), u8(*a))[1]
+    return wires
+
+
+def test_ulaw_wire_bit_parity(net):
+    """Feeding G.711 mu-law bytes must be BIT-identical to host-decoding
+    those bytes to i16 and feeding the i16 — the device table gather runs
+    the same exact values through the same /32767 conversion."""
+    from streamz_tpu.io import g711
+
+    clips = _clips(2, seed=51, seconds=0.7)
+    codes = [g711.ulaw_encode(c) for c in clips]
+
+    u8 = MultiStreamIdentifier(net, n_streams=2, threshold=0.0)
+    i16 = MultiStreamIdentifier(net, n_streams=2, threshold=0.0)
+    wires = _spy_wires(u8)
+    u_sids = [u8.open() for _ in clips]
+    d_sids = [i16.open() for _ in clips]
+    step = 5000
+    for i in range(0, max(len(c) for c in codes), step):
+        for sid, c in zip(u_sids, codes):
+            u8.feed(sid, c[i : i + step], encoding="ulaw")
+        for sid, c in zip(d_sids, codes):
+            i16.feed(sid, g711.ulaw_decode(c[i : i + step]))
+        u8.tick()
+        i16.tick()
+    assert wires and all(w == "u8" for w in wires)
+    np.testing.assert_array_equal(
+        np.asarray(u8._carry[4]), np.asarray(i16._carry[4])
+    )
+    for us, ds in zip(u_sids, d_sids):
+        got, ref = u8.finalize(us), i16.finalize(ds)
+        assert (got is None) == (ref is None)
+        if ref is not None:
+            assert got[0] == ref[0] and got[1] == ref[1]
+
+
+def test_alaw_wire_matches_host_decode(net):
+    from streamz_tpu.io import g711
+
+    clip = _clips(1, seed=52, seconds=0.6)[0]
+    codes = g711.alaw_encode(clip)
+
+    srv = MultiStreamIdentifier(net, n_streams=1, threshold=0.0)
+    wires = _spy_wires(srv)
+    sid = srv.open()
+    srv.feed(sid, codes.tobytes(), encoding="alaw")  # raw bytes accepted
+    srv.tick()
+    assert wires == ["u8"] * len(wires) and wires
+
+    ref = StreamingIdentifier(net, threshold=0.0)
+    ref.feed(g711.alaw_decode(codes))
+    _assert_verdict_close(srv.finalize(sid), ref.finalize())
+
+
+def test_g711_mixed_fleet_downgrades_exactly(net):
+    """mu-law + i16 slots share an i16 dispatch (G.711 expands to exact
+    i16, so nothing is lost); adding an f32 slot downgrades to f32; and
+    mu-law + A-law slots cannot share a table so they ship i16."""
+    from streamz_tpu.io import g711
+
+    clips = _clips(3, seed=53, seconds=0.5)
+
+    def fresh(feeds):
+        srv = MultiStreamIdentifier(net, n_streams=3, threshold=0.0)
+        wires = _spy_wires(srv)
+        sids = [srv.open() for _ in feeds]
+        for sid, (pcm, enc) in zip(sids, feeds):
+            srv.feed(sid, pcm, encoding=enc)
+        srv.tick()
+        return srv, sids, wires
+
+    srv, sids, wires = fresh([
+        (g711.ulaw_encode(clips[0]), "ulaw"),
+        (clips[1], None),
+        (clips[2], None),
+    ])
+    assert set(wires) == {"i16"}
+    # Verdicts equal the single-stream reference on the decoded audio.
+    ref = StreamingIdentifier(net, threshold=0.0)
+    ref.feed(g711.ulaw_decode(g711.ulaw_encode(clips[0])))
+    _assert_verdict_close(srv.finalize(sids[0]), ref.finalize())
+
+    _, _, wires = fresh([
+        (g711.ulaw_encode(clips[0]), "ulaw"),
+        (clips[1].astype(np.float32) / 32767.0, None),
+        (clips[2], None),
+    ])
+    assert set(wires) == {"f32"}
+
+    _, _, wires = fresh([
+        (g711.ulaw_encode(clips[0]), "ulaw"),
+        (g711.alaw_encode(clips[1]), "alaw"),
+        (clips[2][:0], None),  # empty linear feed: no remainder, no vote
+    ])
+    assert set(wires) == {"i16"}
+
+
+def test_g711_slot_switches_wire_midstream(net):
+    """One slot fed mu-law bytes then linear i16 must equal feeding the
+    decoded concatenation — representation changes are never semantic."""
+    from streamz_tpu.io import g711
+
+    clip = _clips(1, seed=54, seconds=0.8)[0]
+    half = len(clip) // 2
+    codes = g711.ulaw_encode(clip[:half])
+
+    srv = MultiStreamIdentifier(net, n_streams=1, threshold=0.0)
+    sid = srv.open()
+    srv.feed(sid, codes[: half // 2], encoding="ulaw")
+    # switch to linear while G.711 bytes are still buffered
+    srv.feed(sid, g711.ulaw_decode(codes[half // 2 :]))
+    srv.feed(sid, clip[half:])
+    srv.tick()
+
+    ref = StreamingIdentifier(net, threshold=0.0)
+    ref.feed(np.concatenate([g711.ulaw_decode(codes), clip[half:]]))
+    _assert_verdict_close(srv.finalize(sid), ref.finalize())
+
+
+def test_g711_feed_validation(net):
+    srv = MultiStreamIdentifier(net, n_streams=1, threshold=0.0)
+    sid = srv.open()
+    with pytest.raises(TypeError):  # ambiguous u8 without an encoding
+        srv.feed(sid, np.zeros(10, np.uint8))
+    with pytest.raises(ValueError):
+        srv.feed(sid, np.zeros(10, np.uint8), encoding="g722")
+    with pytest.raises(TypeError):  # G.711 chunks must be bytes
+        srv.feed(sid, np.zeros(10, np.int16), encoding="ulaw")
+
+
+def test_streaming_identifier_accepts_g711(net):
+    from streamz_tpu.io import g711
+
+    clip = _clips(1, seed=55, seconds=0.5)[0]
+    codes = g711.ulaw_encode(clip)
+    a = StreamingIdentifier(net, threshold=0.0)
+    a.feed(codes, encoding="ulaw")
+    b = StreamingIdentifier(net, threshold=0.0)
+    b.feed(g711.ulaw_decode(codes))
+    ra, rb = a.finalize(), b.finalize()
+    assert (ra is None) == (rb is None)
+    if rb is not None:
+        assert ra[0] == rb[0] and ra[1] == rb[1]
+
+
+def test_g711_wire_shards_over_mesh(net):
+    """The u8 wire composes with the slot-sharded mesh: same verdicts,
+    decode table replicated, blocks sharded."""
+    from streamz_tpu.io import g711
+    from streamz_tpu.parallel import comm
+
+    mesh = comm.make_mesh(8)
+    clips = _clips(3, seed=56, seconds=0.5)
+    codes = [g711.ulaw_encode(c) for c in clips]
+
+    plain = MultiStreamIdentifier(net, n_streams=3, threshold=0.0)
+    shard = MultiStreamIdentifier(net, n_streams=3, threshold=0.0, mesh=mesh)
+    wires = _spy_wires(shard)
+    p_sids = [plain.open() for _ in clips]
+    s_sids = [shard.open() for _ in clips]
+    for sid, c in zip(p_sids, codes):
+        plain.feed(sid, c, encoding="ulaw")
+    for sid, c in zip(s_sids, codes):
+        shard.feed(sid, c, encoding="ulaw")
+    plain.tick()
+    shard.tick()
+    assert wires and all(w == "u8" for w in wires)
+    for ps, ss in zip(p_sids, s_sids):
+        _assert_verdict_close(shard.finalize(ss), plain.finalize(ps))
