@@ -65,11 +65,23 @@ def make_sources(n, argv_clips):
 
 def main():
     args = sys.argv[1:]
+    wire = None
+    if args and args[0].startswith("--wire="):
+        # --wire=ulaw / --wire=alaw: simulate telephony callers — clips are
+        # G.711-companded on the host ONCE (as a PSTN source would deliver
+        # them) and the raw bytes ship to the device each tick.
+        wire = args.pop(0).split("=", 1)[1]
     n = int(args[0]) if args and args[0].isdigit() else 8
     clip_args = args[1:] if args and args[0].isdigit() else args
 
     net = make_net()
     clips = make_sources(n, clip_args)
+    if wire:
+        from streamz_tpu.io import g711
+
+        enc = g711.ulaw_encode if wire == "ulaw" else g711.alaw_encode
+        clips = [enc(c) for c in clips]
+        print(f"G.711 {wire} wire: u8 bytes shipped raw, expanded on device")
     srv = MultiStreamIdentifier(net, n_streams=n, threshold=0.0)
     sids = [srv.open() for _ in range(n)]
 
@@ -88,7 +100,8 @@ def main():
     while any(p < len(c) for p, c in zip(pos, clips)):
         for i, sid in enumerate(sids):
             if pos[i] < len(clips[i]):
-                srv.feed(sid, clips[i][pos[i] : pos[i] + chunk])
+                srv.feed(sid, clips[i][pos[i] : pos[i] + chunk],
+                         encoding=wire)
                 pos[i] += chunk
         srv.tick()
         ticks += 1
@@ -110,6 +123,12 @@ def main():
     print(
         f"\n{n} streams, {total_audio:.1f}s total audio in {wall:.2f}s wall "
         f"-> {total_audio / wall:.1f}x aggregate real-time"
+    )
+    st = srv.stats()
+    print(
+        f"server stats: {st['dispatches']} dispatches, "
+        f"{st['bytes_shipped'] / 1e6:.2f} MB shipped, "
+        f"wires {st['wire_dispatches']}"
     )
 
 

@@ -154,6 +154,10 @@ class MultiStreamIdentifier:
         self._tables: Dict[str, jax.Array] = {}
         self._open = [False] * S
         self._final: Dict[int, Optional[Tuple[int, float]]] = {}
+        # observability counters (stats())
+        self._n_dispatches = 0
+        self._bytes_shipped = 0
+        self._wire_counts: Dict[str, int] = {"u8": 0, "i16": 0, "f32": 0}
 
     def _table(self, enc: str):
         """Device-resident (replicated under a mesh) G.711 decode table."""
@@ -259,6 +263,20 @@ class MultiStreamIdentifier:
             (len(r) // config.HOP_SIZE for r in self._rem), default=0
         )
 
+    def stats(self) -> Dict[str, object]:
+        """Serving counters for production observability: dispatch count,
+        bytes shipped to the device, per-wire dispatch histogram, slot
+        occupancy, and host-buffered backlog."""
+        return {
+            "dispatches": self._n_dispatches,
+            "bytes_shipped": self._bytes_shipped,
+            "wire_dispatches": dict(self._wire_counts),
+            "open_slots": sum(self._open),
+            "n_slots": self.n_slots,
+            "pending_blocks": self.pending_blocks(),
+            "buffered_samples": sum(len(r) for r in self._rem),
+        }
+
     def tick(self, drain: bool = True) -> int:
         """Process buffered PCM for ALL slots in batched dispatches.
 
@@ -347,6 +365,11 @@ class MultiStreamIdentifier:
                     jnp.int32(self.net.num_speakers),
                 )
             dispatches += 1
+            self._n_dispatches += 1
+            self._bytes_shipped += blocks.nbytes + counts.nbytes
+            self._wire_counts[
+                "u8" if wire_u8 else "i16" if wire_i16 else "f32"
+            ] += 1
             if not drain:
                 return dispatches
 

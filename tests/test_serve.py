@@ -480,3 +480,80 @@ def test_g711_wire_shards_over_mesh(net):
     assert wires and all(w == "u8" for w in wires)
     for ps, ss in zip(p_sids, s_sids):
         _assert_verdict_close(shard.finalize(ss), plain.finalize(ps))
+
+
+def test_serve_lifecycle_fuzz(net):
+    """Randomized open/feed/tick/finalize/close interleavings: every
+    finalized stream must match the single-stream oracle on exactly the
+    audio it was fed, across slot reuse, wire mixes, and partial ticks."""
+    from streamz_tpu.io import g711
+
+    rng = np.random.default_rng(99)
+    srv = MultiStreamIdentifier(net, n_streams=3, threshold=0.0)
+    live = {}   # sid -> list of fed (decoded) PCM pieces
+    checked = 0
+
+    def random_chunk():
+        n = int(rng.integers(1, 4000))
+        return (rng.normal(0, 3000, size=n)).astype(np.int16)
+
+    for step in range(120):
+        op = rng.choice(["open", "feed", "tick", "finish"])
+        if op == "open" and len(live) < srv.n_slots:
+            sid = srv.open()
+            live[sid] = []
+        elif op == "feed" and live:
+            sid = int(rng.choice(list(live)))
+            pcm = random_chunk()
+            kind = rng.choice(["i16", "f32", "ulaw", "alaw"])
+            if kind == "i16":
+                srv.feed(sid, pcm)
+                live[sid].append(pcm)
+            elif kind == "f32":
+                srv.feed(sid, pcm.astype(np.float32) / 32767.0)
+                live[sid].append(pcm)
+            else:
+                enc = g711.ulaw_encode if kind == "ulaw" else g711.alaw_encode
+                codes = enc(pcm)
+                srv.feed(sid, codes, encoding=kind)
+                live[sid].append(g711.decode(codes, kind))
+        elif op == "tick":
+            srv.tick(drain=bool(rng.integers(0, 2)))
+        elif op == "finish" and live:
+            sid = int(rng.choice(list(live)))
+            got = srv.finalize(sid)
+            ref = StreamingIdentifier(net, threshold=0.0)
+            for piece in live[sid]:
+                ref.feed(piece)
+            _assert_verdict_close(got, ref.finalize())
+            srv.close(sid)
+            del live[sid]
+            checked += 1
+
+    for sid in list(live):
+        got = srv.finalize(sid)
+        ref = StreamingIdentifier(net, threshold=0.0)
+        for piece in live[sid]:
+            ref.feed(piece)
+        _assert_verdict_close(got, ref.finalize())
+        checked += 1
+    assert checked >= 5  # the schedule really exercised finalization
+
+
+def test_serve_stats_accounting(net):
+    """stats() counters reflect exactly what tick() shipped."""
+    from streamz_tpu import config
+
+    srv = MultiStreamIdentifier(net, n_streams=2, threshold=0.0, block_batch=4)
+    assert srv.stats()["dispatches"] == 0
+    sid = srv.open()
+    # 6 full blocks at block_batch=4 -> 2 dispatches when draining
+    srv.feed(sid, np.zeros(6 * config.HOP_SIZE, np.int16))
+    n = srv.tick()
+    st = srv.stats()
+    assert n == 2 and st["dispatches"] == 2
+    assert st["wire_dispatches"] == {"u8": 0, "i16": 2, "f32": 0}
+    per = 2 * 4 * config.HOP_SIZE * 2 + 2 * 4  # (S,k,block) i16 + counts
+    assert st["bytes_shipped"] == 2 * per
+    assert st["open_slots"] == 1 and st["n_slots"] == 2
+    assert st["pending_blocks"] == 0 and st["buffered_samples"] == 0
