@@ -206,6 +206,39 @@ class MultiStreamIdentifier:
         if not (0 <= sid < self.n_slots) or not self._open[sid]:
             raise KeyError(f"stream {sid} is not open")
 
+    # -- model hot-swap --------------------------------------------------------
+
+    def update_model(self, net) -> None:
+        """Swap in an updated model for the WHOLE fleet without dropping any
+        live stream — the serving counterpart of incremental discovery
+        (training grows the classifier while streams are live; speaker ids
+        are stable because growth only appends output columns,
+        ``src/lib.rs:797-821``).  Same-capacity swaps are free: params are
+        an argument of every dispatch.  Capacity growth zero-pads every
+        slot's vote carry to the new width (on device, preserving the slot
+        sharding) and re-resolves the jitted programs.  Already-finalized
+        slots keep their verdicts."""
+        old_cap, new_cap = self.net.capacity, net.capacity
+        if new_cap < old_cap:
+            raise ValueError(
+                f"model capacity shrank ({old_cap} -> {new_cap}); votes "
+                "for existing speakers would be dropped"
+            )
+        if new_cap != old_cap:
+            pad = new_cap - old_cap
+            c = self._carry
+            grown = c[:4] + (
+                jnp.pad(c[4], ((0, 0), (0, pad))),
+                jnp.pad(c[5], ((0, 0), (0, pad))),
+                c[6],
+            )
+            self._carry = self._place(grown)
+            self._step, self._step_i16, self._step_u8 = _batched_step(
+                new_cap, self.k
+            )
+            # _zero_slot retraces on the new carry shapes automatically.
+        self.net = net
+
     # -- feeding -------------------------------------------------------------
 
     def feed(self, sid: int, pcm, encoding: Optional[str] = None) -> None:

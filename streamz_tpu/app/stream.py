@@ -224,6 +224,39 @@ class StreamingIdentifier:
             jnp.int32(0),
         )
 
+    # -- model hot-swap --------------------------------------------------------
+
+    def update_model(self, net) -> None:
+        """Swap in an updated model without dropping the stream.
+
+        The serving counterpart of the app's incremental discovery: training
+        grows the classifier while streams are live, and speaker ids are
+        stable (growth only appends output columns —
+        ``src/lib.rs:797-821``), so votes already accumulated keep their
+        meaning.  Same-capacity swaps are free (params are an argument of
+        every dispatch); capacity growth zero-pads the vote carries to the
+        new width.  Frames already finalized were scored by the old model —
+        inherent to any online update, not an approximation of this one.
+        """
+        if self._finalized:
+            raise RuntimeError("stream already finalized")
+        old_cap, new_cap = self.net.capacity, net.capacity
+        if new_cap < old_cap:
+            raise ValueError(
+                f"model capacity shrank ({old_cap} -> {new_cap}); votes "
+                "for existing speakers would be dropped"
+            )
+        if new_cap != old_cap:
+            pad = new_cap - old_cap
+            c = self._carry
+            self._carry = c[:4] + (
+                jnp.pad(c[4], (0, pad)),
+                jnp.pad(c[5], (0, pad)),
+                c[6],
+            )
+            self._step, self._fin = _programs(new_cap, self.k)
+        self.net = net
+
     # -- feeding -------------------------------------------------------------
 
     def feed(self, pcm, encoding: Optional[str] = None) -> None:

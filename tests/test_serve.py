@@ -557,3 +557,98 @@ def test_serve_stats_accounting(net):
     assert st["bytes_shipped"] == 2 * per
     assert st["open_slots"] == 1 and st["n_slots"] == 2
     assert st["pending_blocks"] == 0 and st["buffered_samples"] == 0
+
+
+# -- online model hot-swap -----------------------------------------------------
+
+
+def test_update_model_same_capacity(net):
+    """Swapping params (same capacity) mid-stream matches the single-stream
+    oracle performing the identical swap."""
+    clip = _clips(1, seed=61, seconds=1.0)[0]
+    half = len(clip) // 2
+    net2 = SpeakerNet.new(output=5, seed=7)
+    assert net2.capacity == net.capacity
+
+    srv = MultiStreamIdentifier(net, n_streams=2, threshold=0.0)
+    sid = srv.open()
+    srv.feed(sid, clip[:half])
+    srv.tick()
+    srv.update_model(net2)
+    srv.feed(sid, clip[half:])
+    srv.tick()
+
+    ref = StreamingIdentifier(net, threshold=0.0)
+    ref.feed(clip[:half])
+    ref.update_model(net2)
+    ref.feed(clip[half:])
+    _assert_verdict_close(srv.finalize(sid), ref.finalize())
+
+
+def test_update_model_capacity_growth(net):
+    """Growing the classifier (new speakers discovered while serving) pads
+    the vote carries; accumulated votes keep their meaning and the verdict
+    matches the oracle with the identical swap."""
+    clip = _clips(1, seed=62, seconds=1.0)[0]
+    half = len(clip) // 2
+    grown = SpeakerNet.new(output=5, seed=0)
+    grown.ensure_capacity(net.capacity + 1)  # force a capacity doubling
+    assert grown.capacity > net.capacity
+
+    srv = MultiStreamIdentifier(net, n_streams=2, threshold=0.0)
+    a, b = srv.open(), srv.open()
+    other = _clips(1, seed=63, seconds=0.6)[0]
+    srv.feed(a, clip[:half])
+    srv.feed(b, other)
+    srv.tick()
+    srv.update_model(grown)
+    srv.feed(a, clip[half:])
+    srv.tick()
+
+    ref = StreamingIdentifier(net, threshold=0.0)
+    ref.feed(clip[:half])
+    ref.update_model(grown)
+    ref.feed(clip[half:])
+    _assert_verdict_close(srv.finalize(a), ref.finalize())
+
+    # the untouched slot is unaffected by the fleet-wide swap pad
+    ref_b = StreamingIdentifier(net, threshold=0.0)
+    ref_b.feed(other)
+    ref_b.update_model(grown)
+    _assert_verdict_close(srv.finalize(b), ref_b.finalize())
+
+
+def test_update_model_growth_over_mesh(net):
+    """The carry pad preserves the slot sharding."""
+    from streamz_tpu.parallel import comm
+
+    mesh = comm.make_mesh(8)
+    grown = SpeakerNet.new(output=5, seed=0)
+    grown.ensure_capacity(net.capacity + 1)
+
+    clip = _clips(1, seed=64, seconds=0.5)[0]
+    srv = MultiStreamIdentifier(net, n_streams=3, threshold=0.0, mesh=mesh)
+    sid = srv.open()
+    srv.feed(sid, clip[: len(clip) // 2])
+    srv.tick()
+    srv.update_model(grown)
+    assert not srv._carry[4].sharding.is_fully_replicated
+    srv.feed(sid, clip[len(clip) // 2 :])
+    srv.tick()
+
+    ref = StreamingIdentifier(net, threshold=0.0)
+    ref.feed(clip[: len(clip) // 2])
+    ref.update_model(grown)
+    ref.feed(clip[len(clip) // 2 :])
+    _assert_verdict_close(srv.finalize(sid), ref.finalize())
+
+
+def test_update_model_rejects_shrink(net):
+    grown = SpeakerNet.new(output=5, seed=0)
+    grown.ensure_capacity(net.capacity + 1)
+    srv = MultiStreamIdentifier(grown, n_streams=1, threshold=0.0)
+    with pytest.raises(ValueError):
+        srv.update_model(net)
+    s = StreamingIdentifier(grown, threshold=0.0)
+    with pytest.raises(ValueError):
+        s.update_model(net)
