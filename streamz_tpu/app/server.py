@@ -1,0 +1,477 @@
+"""Network serving daemon: live speaker identification over TCP.
+
+The reference's serving story ends at a stub example
+(``streamz-rs/examples/live_stream.rs:1-9``).  :mod:`streamz_tpu.app.serve`
+already batches N concurrent streams into single fixed-shape device
+dispatches; this module puts a production transport in front of it — a
+socket server speaking a tiny length-prefixed binary protocol — so clients
+in any language can stream PCM and read rolling/final verdicts without
+linking Python.
+
+Design:
+
+- **One device owner.**  All device work stays on the server's
+  :class:`~streamz_tpu.app.serve.MultiStreamIdentifier`; client threads only
+  parse frames and buffer host-side PCM.  A single lock serializes
+  identifier calls (the device dispatch itself dominates; contention is
+  irrelevant at protocol rates).
+- **Batched ticks.**  A ticker thread drains every connection's buffered
+  blocks in shared dispatches at ``tick_interval`` — the transport layer
+  never issues per-client device calls, preserving the batched-serving
+  economics measured in ``benchmarks/serve_bench.py``.
+- **Narrow wires end-to-end.**  The FEED frame carries the wire tag
+  (f32 / i16 / G.711 mu-law / A-law); G.711 bytes pass through to the
+  device-side table expansion (:mod:`streamz_tpu.io.g711`), so a telephony
+  client ships exactly one byte per sample all the way to HBM.
+- **Model hot-reload.**  With ``watch_model`` the ticker polls the
+  checkpoint's mtime and swaps the fleet's model in place via
+  :meth:`MultiStreamIdentifier.update_model` — no stream is dropped, no
+  socket is closed (capacity growth included; the write must be atomic-ish:
+  the file is only loaded once its mtime has been stable for one poll).
+
+Wire protocol (all integers little-endian)::
+
+    frame   := opcode:u8  length:u32  payload[length]
+
+    client -> server
+      0x01 FEED      payload = wire:u8 + samples
+                     wire 0 = f32, 1 = i16, 2 = G.711 mu-law, 3 = A-law
+                     (no reply; a failed FEED is reported as the ERROR
+                     reply to the NEXT CURRENT/FINALIZE, keeping the
+                     request/response pairing strict)
+      0x02 CURRENT   -> VERDICT(final=0) over frames finalized so far
+      0x03 FINALIZE  -> VERDICT(final=1), exact offline parity
+      0x04 STATS     -> STATS json
+
+    server -> client
+      0x81 VERDICT   payload = speaker:i32 (-1 = none) + confidence:f32
+                               + final:u8
+      0x82 STATS     payload = utf-8 json
+      0x7f ERROR     payload = utf-8 message, replacing a VERDICT reply
+                               (the connection stays open); protocol
+                               violations (bad opcode, oversized frame)
+                               close the connection instead
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import struct
+import threading
+from typing import Dict, Optional
+
+from streamz_tpu import config
+from streamz_tpu.app.serve import MultiStreamIdentifier
+
+OP_FEED = 0x01
+OP_CURRENT = 0x02
+OP_FINALIZE = 0x03
+OP_STATS = 0x04
+OP_VERDICT = 0x81
+OP_STATS_REPLY = 0x82
+OP_ERROR = 0x7F
+
+_WIRES = {0: ("f32", None), 1: ("i16", None), 2: ("u8", "ulaw"), 3: ("u8", "alaw")}
+_HDR = struct.Struct("<BI")
+_VERDICT = struct.Struct("<ifB")
+
+MAX_FRAME = 1 << 24  # 16 MiB: ~3 min of f32 PCM in one frame is plenty
+
+
+def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
+    """Read exactly ``n`` bytes or return None on EOF."""
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def send_frame(sock: socket.socket, opcode: int, payload: bytes = b"") -> None:
+    sock.sendall(_HDR.pack(opcode, len(payload)) + payload)
+
+
+def recv_frame(sock: socket.socket):
+    """Read one frame; returns (opcode, payload) or None on EOF."""
+    hdr = _recv_exact(sock, _HDR.size)
+    if hdr is None:
+        return None
+    opcode, length = _HDR.unpack(hdr)
+    if length > MAX_FRAME:
+        raise ValueError(f"frame length {length} exceeds {MAX_FRAME}")
+    payload = _recv_exact(sock, length) if length else b""
+    if payload is None:
+        return None
+    return opcode, payload
+
+
+class SpeakerServer:
+    """Serve live identification streams over TCP.
+
+    >>> srv = SpeakerServer(net, port=0)       # 0 = ephemeral
+    >>> srv.start()
+    >>> srv.port                                # the bound port
+    >>> ...                                     # clients connect and stream
+    >>> srv.stop()
+
+    One TCP connection == one stream slot, claimed on accept and released
+    on disconnect.  ``n_streams`` bounds the fleet; an at-capacity connect
+    receives an ERROR frame and is closed.
+    """
+
+    def __init__(
+        self,
+        net,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        n_streams: int = 64,
+        threshold: float = config.DEFAULT_CONF_THRESHOLD,
+        block_batch: int = 16,
+        mesh=None,
+        tick_interval: float = 0.02,
+        watch_model: Optional[str] = None,
+        watch_interval: float = 1.0,
+    ):
+        self.ident = MultiStreamIdentifier(
+            net,
+            n_streams=n_streams,
+            threshold=threshold,
+            block_batch=block_batch,
+            mesh=mesh,
+        )
+        self._host, self._requested_port = host, int(port)
+        self.tick_interval = float(tick_interval)
+        self.watch_model = watch_model
+        self.watch_interval = float(watch_interval)
+        self._lock = threading.Lock()  # serializes ALL identifier calls
+        self._listener: Optional[socket.socket] = None
+        self._threads: list = []
+        self._conns: Dict[int, socket.socket] = {}  # sid -> socket
+        self._conns_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._n_accepted = 0
+        self._n_rejected = 0
+        self._sticky_errors: Dict[int, str] = {}  # sid -> failed-FEED message
+        self._model_mtime: Optional[float] = None
+        self._pending_mtime: Optional[float] = None
+        self._n_reloads = 0
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @property
+    def port(self) -> int:
+        if self._listener is None:
+            raise RuntimeError("server not started")
+        return self._listener.getsockname()[1]
+
+    def start(self) -> None:
+        if self._listener is not None:
+            raise RuntimeError("server already started")
+        if self.watch_model and os.path.exists(self.watch_model):
+            self._model_mtime = os.path.getmtime(self.watch_model)
+        ls = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        ls.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        ls.bind((self._host, self._requested_port))
+        ls.listen(128)
+        self._listener = ls
+        for target in (self._accept_loop, self._tick_loop):
+            t = threading.Thread(target=target, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def stop(self) -> None:
+        """Stop accepting, close every connection, join the threads."""
+        self._stop.set()
+        if self._listener is not None:
+            try:
+                self._listener.close()
+            except OSError:
+                pass
+        with self._conns_lock:
+            socks = list(self._conns.values())
+        for s in socks:
+            try:
+                s.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                s.close()
+            except OSError:
+                pass
+        for t in self._threads:
+            t.join(timeout=5.0)
+        self._threads = []
+
+    def serve_forever(self) -> None:
+        """Block until interrupted (the CLI ``--serve`` entry)."""
+        try:
+            while not self._stop.is_set():
+                self._stop.wait(0.5)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()
+
+    def stats(self) -> Dict[str, object]:
+        with self._lock:
+            s = self.ident.stats()
+        with self._conns_lock:
+            s["connections"] = len(self._conns)
+        s["accepted"] = self._n_accepted
+        s["rejected"] = self._n_rejected
+        s["model_reloads"] = self._n_reloads
+        return s
+
+    # -- internals -----------------------------------------------------------
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _addr = self._listener.accept()
+            except OSError:
+                return  # listener closed
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            try:
+                with self._lock:
+                    sid = self.ident.open()
+            except RuntimeError as e:  # fleet at capacity
+                self._n_rejected += 1
+                try:
+                    send_frame(conn, OP_ERROR, str(e).encode())
+                    conn.close()
+                except OSError:
+                    pass
+                continue
+            self._n_accepted += 1
+            with self._conns_lock:
+                self._conns[sid] = conn
+            t = threading.Thread(
+                target=self._client_loop, args=(conn, sid), daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+
+    def _client_loop(self, conn: socket.socket, sid: int) -> None:
+        try:
+            while not self._stop.is_set():
+                try:
+                    frame = recv_frame(conn)
+                except (ValueError, OSError):
+                    break  # protocol violation / socket error: drop
+                if frame is None:
+                    break  # EOF
+                opcode, payload = frame
+                try:
+                    self._handle(conn, sid, opcode, payload)
+                except (BrokenPipeError, ConnectionError, OSError):
+                    break
+                except Exception:
+                    break  # protocol violation: drop the connection
+        finally:
+            with self._conns_lock:
+                self._conns.pop(sid, None)
+            try:
+                conn.close()
+            except OSError:
+                pass
+            self._sticky_errors.pop(sid, None)
+            with self._lock:
+                try:
+                    self.ident.close(sid)
+                except KeyError:
+                    pass
+
+    def _handle(
+        self, conn: socket.socket, sid: int, opcode: int, payload: bytes
+    ) -> None:
+        import numpy as np
+
+        if opcode == OP_FEED:
+            try:
+                if not payload:
+                    raise ValueError("FEED frame needs a wire tag byte")
+                wire = _WIRES.get(payload[0])
+                if wire is None:
+                    raise ValueError(f"unknown wire tag {payload[0]}")
+                kind, encoding = wire
+                raw = payload[1:]
+                if kind == "f32":
+                    pcm = np.frombuffer(raw, np.dtype("<f4"))
+                elif kind == "i16":
+                    pcm = np.frombuffer(raw, np.dtype("<i2"))
+                else:
+                    pcm = np.frombuffer(raw, np.uint8)
+                with self._lock:
+                    self.ident.feed(sid, pcm, encoding=encoding)
+            except Exception as e:
+                # FEED has no reply frame; surface the failure as the ERROR
+                # reply to this stream's next CURRENT/FINALIZE.
+                self._sticky_errors.setdefault(sid, str(e))
+        elif opcode in (OP_CURRENT, OP_FINALIZE):
+            sticky = self._sticky_errors.pop(sid, None)
+            if sticky is not None:
+                send_frame(conn, OP_ERROR, sticky.encode())
+                return
+            try:
+                with self._lock:
+                    res = (
+                        self.ident.current(sid)
+                        if opcode == OP_CURRENT
+                        else self.ident.finalize(sid)
+                    )
+            except Exception as e:
+                send_frame(conn, OP_ERROR, str(e).encode())
+                return
+            self._send_verdict(conn, res, final=opcode == OP_FINALIZE)
+        elif opcode == OP_STATS:
+            send_frame(
+                conn, OP_STATS_REPLY, json.dumps(self.stats()).encode()
+            )
+        else:
+            raise ValueError(f"unknown opcode 0x{opcode:02x}")
+
+    @staticmethod
+    def _send_verdict(conn, res, final: bool) -> None:
+        speaker, conf = (-1, 0.0) if res is None else res
+        send_frame(
+            conn, OP_VERDICT, _VERDICT.pack(int(speaker), float(conf), final)
+        )
+
+    def _tick_loop(self) -> None:
+        last_watch = 0.0
+        import time
+
+        while not self._stop.is_set():
+            with self._lock:
+                pending = self.ident.pending_blocks()
+                if pending:
+                    self.ident.tick()
+            now = time.monotonic()
+            if (
+                self.watch_model
+                and now - last_watch >= self.watch_interval
+            ):
+                last_watch = now
+                self._maybe_reload()
+            self._stop.wait(self.tick_interval)
+
+    def _maybe_reload(self) -> None:
+        """Hot-swap the model when the watched checkpoint changes.
+
+        Two-poll mtime stability gate: a newer mtime is remembered on the
+        first sighting and only loaded once a subsequent poll sees the SAME
+        value — so a checkpoint mid-write (mtime still advancing) is never
+        loaded.  Load failures (e.g. a non-atomic writer caught between
+        polls) are skipped and retried on the next change.
+        """
+        try:
+            mtime = os.path.getmtime(self.watch_model)
+        except OSError:
+            return
+        if self._model_mtime is not None and mtime <= self._model_mtime:
+            return
+        if self._pending_mtime != mtime:
+            self._pending_mtime = mtime  # first sighting: wait one poll
+            return
+        from streamz_tpu.nn import checkpoint
+
+        try:
+            net = checkpoint.load(self.watch_model)
+        except Exception as e:
+            print(f"[serve] model reload failed, will retry: {e}")
+            return
+        try:
+            with self._lock:
+                self.ident.update_model(net)
+        except ValueError as e:  # capacity shrink: refuse, keep serving
+            print(f"[serve] model reload rejected: {e}")
+            self._model_mtime = mtime  # don't retry this file version
+            self._pending_mtime = None
+            return
+        self._model_mtime = mtime
+        self._pending_mtime = None
+        self._n_reloads += 1
+        print(
+            f"[serve] model hot-swapped ({net.num_speakers} speakers, "
+            f"capacity {net.capacity})"
+        )
+
+
+class StreamClient:
+    """Minimal blocking client for :class:`SpeakerServer` (tests, examples;
+    the protocol is trivially reimplementable in any language)."""
+
+    WIRE = {"f32": 0, "i16": 1, "ulaw": 2, "alaw": 3}
+
+    def __init__(self, host: str, port: int, timeout: float = 30.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    def feed(self, pcm, wire: Optional[str] = None) -> None:
+        import numpy as np
+
+        if isinstance(pcm, (bytes, bytearray)):
+            raw = bytes(pcm)
+            if wire not in ("ulaw", "alaw"):
+                raise ValueError("raw bytes need wire='ulaw'/'alaw'")
+        else:
+            pcm = np.asarray(pcm)
+            if wire is None:
+                if pcm.dtype == np.uint8:
+                    raise ValueError(
+                        "uint8 samples are ambiguous: pass wire='ulaw'/'alaw'"
+                    )
+                wire = "i16" if pcm.dtype == np.int16 else "f32"
+            if wire == "i16":
+                raw = pcm.astype("<i2").tobytes()
+            elif wire == "f32":
+                raw = pcm.astype("<f4").tobytes()
+            else:
+                raw = pcm.astype(np.uint8).tobytes()
+        send_frame(self.sock, OP_FEED, bytes([self.WIRE[wire]]) + raw)
+
+    def _verdict(self, opcode):
+        send_frame(self.sock, opcode)
+        frame = recv_frame(self.sock)
+        if frame is None:
+            raise ConnectionError("server closed the connection")
+        op, payload = frame
+        if op == OP_ERROR:
+            raise RuntimeError(payload.decode())
+        if op != OP_VERDICT:
+            raise ValueError(f"unexpected reply opcode 0x{op:02x}")
+        speaker, conf, final = _VERDICT.unpack(payload)
+        res = None if speaker < 0 else (speaker, conf)
+        return res, bool(final)
+
+    def current(self):
+        return self._verdict(OP_CURRENT)[0]
+
+    def finalize(self):
+        return self._verdict(OP_FINALIZE)[0]
+
+    def stats(self) -> Dict[str, object]:
+        send_frame(self.sock, OP_STATS)
+        frame = recv_frame(self.sock)
+        if frame is None:
+            raise ConnectionError("server closed the connection")
+        op, payload = frame
+        if op == OP_ERROR:
+            raise RuntimeError(payload.decode())
+        return json.loads(payload.decode())
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

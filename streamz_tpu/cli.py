@@ -9,7 +9,7 @@ in its README but dead in its code (``--force``/``--retrain``/``--eval-split``/
           [--no-cache-wav] [--eval] [--eval-split <frac>] [--check-embeddings]
           [--cluster-embeddings <k>] [--force] [--retrain] [--no-autotune]
           [--encode <file>] [--decode <out>] [--checksum <hex>]
-          [--identify <file>...]
+          [--identify <file>...] [--serve [port]] [--serve-streams <n>]
 
 Parsing is intentionally lenient like the reference's hand-rolled scanner
 (``src/main.rs:343-448``): unknown flags are ignored, malformed values fall
@@ -234,6 +234,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             identify_paths, extractor, conf_threshold, mesh, timer
         )
 
+    if "--serve" in args:
+        return _serve_mode(args, conf_threshold, mesh)
+
     train_files = fl.load_train_files(config.TRAIN_FILE_LIST)
     if not train_files:
         print(f"{config.TRAIN_FILE_LIST} is empty", file=sys.stderr)
@@ -401,6 +404,50 @@ def main(argv: Optional[List[str]] = None) -> int:
     for i in range(net.output_size()):
         n = len(result.speaker_features.get(i, []))
         print(f"Speaker {i}: {n} samples")
+    return 0
+
+
+def _serve_mode(args: List[str], threshold: float, mesh) -> int:
+    """``--serve [port]``: run the TCP live-identification daemon.
+
+    Loads ``model.npz`` (required, like ``--eval``), serves
+    ``--serve-streams`` concurrent streams batched into shared device
+    dispatches (:mod:`streamz_tpu.app.server`), and hot-swaps the model
+    whenever the checkpoint file changes — so a training run writing
+    ``model.npz`` next door continuously upgrades the live fleet.
+    """
+    from streamz_tpu.app.server import SpeakerServer
+
+    port = 7071
+    maybe = _flag_value(args, "--serve", warn=False)
+    if maybe and not maybe.startswith("--"):
+        try:
+            port = int(maybe)
+        except ValueError:
+            print(
+                f"Invalid value for --serve '{maybe}', using default {port}",
+                file=sys.stderr,
+            )
+    n_streams = _parse_int(args, "--serve-streams") or 64
+    try:
+        net = checkpoint.load(config.MODEL_PATH)
+    except Exception as e:
+        print(f"Failed to load model: {e}", file=sys.stderr)
+        return 1
+    srv = SpeakerServer(
+        net,
+        port=port,
+        n_streams=n_streams,
+        threshold=threshold,
+        mesh=mesh,
+        watch_model=config.MODEL_PATH,
+    )
+    srv.start()
+    print(
+        f"Serving {n_streams} stream slots on 127.0.0.1:{srv.port} "
+        f"({net.output_size()} speakers; watching {config.MODEL_PATH})"
+    )
+    srv.serve_forever()
     return 0
 
 

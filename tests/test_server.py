@@ -1,0 +1,270 @@
+"""TCP serving daemon (app/server.py).
+
+The network layer must be a transparent transport over
+:class:`MultiStreamIdentifier`: every verdict delivered over a socket must
+equal the in-process streaming result on the same PCM, slots must recycle
+on disconnect, at-capacity connects must be rejected with an ERROR frame,
+and the model hot-reload watcher must swap checkpoints without dropping a
+connection.
+"""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from streamz_tpu.app.server import (
+    OP_ERROR,
+    SpeakerServer,
+    StreamClient,
+    recv_frame,
+)
+from streamz_tpu.app.stream import StreamingIdentifier
+from streamz_tpu.nn import checkpoint
+from streamz_tpu.nn.model import SpeakerNet
+
+
+@pytest.fixture(scope="module")
+def net():
+    return SpeakerNet.new(output=5, seed=0)
+
+
+@pytest.fixture()
+def server(net):
+    srv = SpeakerServer(
+        net, port=0, n_streams=4, threshold=0.0, tick_interval=0.005
+    )
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _clip(seed=0, seconds=1.0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(0, 3000, size=int(44100 * seconds)).astype(np.int16)
+
+
+def _offline(net, clip, **kw):
+    ref = StreamingIdentifier(net, threshold=0.0)
+    ref.feed(clip, **kw)
+    return ref.finalize()
+
+
+def _assert_verdict_close(got, ref):
+    if ref is None:
+        assert got is None
+        return
+    assert got is not None and got[0] == ref[0]
+    np.testing.assert_allclose(got[1], ref[1], rtol=1e-5)
+
+
+def test_round_trip_matches_offline(net, server):
+    clip = _clip(seed=1)
+    with StreamClient("127.0.0.1", server.port) as c:
+        for i in range(0, len(clip), 4096):
+            c.feed(clip[i : i + 4096])
+        _assert_verdict_close(c.finalize(), _offline(net, clip))
+
+
+def test_concurrent_clients_are_independent(net, server):
+    clips = [_clip(seed=s) for s in range(3)]
+    results = {}
+
+    def run(idx):
+        with StreamClient("127.0.0.1", server.port) as c:
+            clip = clips[idx]
+            for i in range(0, len(clip), 2048):
+                c.feed(clip[i : i + 2048])
+            results[idx] = c.finalize()
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    for i, clip in enumerate(clips):
+        _assert_verdict_close(results[i], _offline(net, clip))
+
+
+def test_rolling_current_and_wire_tags(net, server):
+    from streamz_tpu.io import g711
+
+    clip = _clip(seed=7)
+    with StreamClient("127.0.0.1", server.port) as c:
+        c.feed(clip[:8192])
+        deadline = time.monotonic() + 10
+        while c.current() is None and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert c.current() is not None  # rolling verdict before finalize
+        c.feed(clip[8192:])
+        got = c.finalize()
+    # G.711 wire: companded bytes over the socket == host-decoded i16.
+    codes = g711.ulaw_encode(clip)
+    with StreamClient("127.0.0.1", server.port) as c:
+        c.feed(codes.tobytes(), wire="ulaw")
+        got_u8 = c.finalize()
+    ref = _offline(net, g711.decode(codes, "ulaw"))
+    _assert_verdict_close(got_u8, ref)
+    _assert_verdict_close(got, _offline(net, clip))
+
+
+def test_slot_recycled_after_disconnect(net):
+    srv = SpeakerServer(net, port=0, n_streams=1, tick_interval=0.005)
+    srv.start()
+    try:
+        with StreamClient("127.0.0.1", srv.port) as c:
+            c.feed(_clip(seed=2)[:4096])
+            c.finalize()
+        # The slot frees on disconnect; poll until the server notices.
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            try:
+                with StreamClient("127.0.0.1", srv.port) as c:
+                    if c.current() is None:  # fresh slot: no votes
+                        return
+            except RuntimeError:
+                time.sleep(0.02)  # still at capacity: retry
+        pytest.fail("slot was not recycled after disconnect")
+    finally:
+        srv.stop()
+
+
+def test_at_capacity_connect_rejected(net):
+    srv = SpeakerServer(net, port=0, n_streams=1, tick_interval=0.005)
+    srv.start()
+    try:
+        c1 = StreamClient("127.0.0.1", srv.port)
+        c1.feed(_clip(seed=3)[:2048])
+        c2 = StreamClient("127.0.0.1", srv.port)
+        frame = recv_frame(c2.sock)  # server sends ERROR then closes
+        assert frame is not None and frame[0] == OP_ERROR
+        assert b"slots in use" in frame[1]
+        c2.close()
+        c1.close()
+    finally:
+        srv.stop()
+
+
+def test_stats_frame(net, server):
+    with StreamClient("127.0.0.1", server.port) as c:
+        c.feed(_clip(seed=4)[:4096])
+        c.finalize()
+        s = c.stats()
+    assert s["connections"] >= 1
+    assert s["accepted"] >= 1
+    assert s["n_slots"] == 4
+    assert s["dispatches"] >= 1
+    assert set(s["wire_dispatches"]) == {"u8", "i16", "f32"}
+
+
+def test_bad_feed_keeps_connection(net, server):
+    clip = _clip(seed=5)
+    with StreamClient("127.0.0.1", server.port) as c:
+        c.feed(clip[:4096])
+        assert c.finalize() is not None
+        # Feeding a finalized stream is a per-message error: the server
+        # reports it and the connection survives.
+        c.feed(clip[:400])
+        with pytest.raises(RuntimeError, match="finalized"):
+            c.current()
+        # The socket is still usable for stats.
+        assert c.stats()["accepted"] >= 1
+
+
+def test_cli_serve_mode(net, tmp_path):
+    """``--serve`` end-to-end: the CLI loads model.npz, prints the bound
+    port, and serves the same verdicts as in-process streaming."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checkpoint.save(net, str(tmp_path / "model.npz"))
+    runner = (
+        "import os, sys\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from streamz_tpu.cli import main\n"
+        "sys.exit(main(['--serve', '0', '--serve-streams', '4',"
+        " '--threshold', '0']))\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [_sys.executable, "-u", "-c", runner],
+        cwd=str(tmp_path),
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        port = None
+        deadline = time.monotonic() + 180
+        lines = []
+        while time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            lines.append(line)
+            if line.startswith("Serving"):
+                port = int(line.split("127.0.0.1:")[1].split()[0])
+                break
+        assert port is not None, "".join(lines)[-3000:]
+        clip = _clip(seed=9)
+        with StreamClient("127.0.0.1", port, timeout=120.0) as c:
+            for i in range(0, len(clip), 8192):
+                c.feed(clip[i : i + 8192])
+            got = c.finalize()
+        _assert_verdict_close(got, _offline(net, clip))
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+
+def test_model_hot_reload(net, tmp_path):
+    path = str(tmp_path / "model.npz")
+    checkpoint.save(net, path)
+    srv = SpeakerServer(
+        net,
+        port=0,
+        n_streams=2,
+        threshold=0.0,
+        tick_interval=0.005,
+        watch_model=path,
+        watch_interval=0.02,
+    )
+    srv.start()
+    try:
+        with StreamClient("127.0.0.1", srv.port) as c:
+            clip = _clip(seed=6)
+            c.feed(clip[: len(clip) // 2])
+            # Grow the model and save; the watcher should hot-swap without
+            # dropping the live connection.
+            grown = SpeakerNet.new(output=5, seed=0)
+            for _ in range(4):
+                grown.add_output_class()
+            time.sleep(0.05)  # ensure a strictly newer mtime
+            checkpoint.save(grown, path)
+            os.utime(path)
+            deadline = time.monotonic() + 30
+            while time.monotonic() < deadline:
+                if c.stats().get("model_reloads", 0) >= 1:
+                    break
+                time.sleep(0.02)
+            assert c.stats()["model_reloads"] >= 1
+            assert srv.ident.net.num_speakers == grown.num_speakers
+            # The live stream keeps working across the swap and its verdict
+            # matches offline streaming with the same mid-stream swap.
+            c.feed(clip[len(clip) // 2 :])
+            got = c.finalize()
+        ref = StreamingIdentifier(net, threshold=0.0)
+        ref.feed(clip[: len(clip) // 2])
+        ref.update_model(srv.ident.net)
+        ref.feed(clip[len(clip) // 2 :])
+        _assert_verdict_close(got, ref.finalize())
+    finally:
+        srv.stop()
