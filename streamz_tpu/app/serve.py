@@ -296,6 +296,12 @@ class MultiStreamIdentifier:
             (len(r) // config.HOP_SIZE for r in self._rem), default=0
         )
 
+    def buffered_samples(self, sid: int) -> int:
+        """Host-buffered samples waiting on one slot (transport-level
+        backpressure accounting — see :mod:`streamz_tpu.app.server`)."""
+        self._check(sid)
+        return len(self._rem[sid])
+
     def stats(self) -> Dict[str, object]:
         """Serving counters for production observability: dispatch count,
         bytes shipped to the device, per-wire dispatch histogram, slot

@@ -135,6 +135,7 @@ class SpeakerServer:
         tick_interval: float = 0.02,
         watch_model: Optional[str] = None,
         watch_interval: float = 1.0,
+        max_buffered_samples: int = 30 * config.DEFAULT_SAMPLE_RATE,
     ):
         self.ident = MultiStreamIdentifier(
             net,
@@ -144,17 +145,20 @@ class SpeakerServer:
             mesh=mesh,
         )
         self._host, self._requested_port = host, int(port)
+        self.max_buffered_samples = int(max_buffered_samples)
         self.tick_interval = float(tick_interval)
         self.watch_model = watch_model
         self.watch_interval = float(watch_interval)
         self._lock = threading.Lock()  # serializes ALL identifier calls
         self._listener: Optional[socket.socket] = None
-        self._threads: list = []
+        self._threads: list = []  # accept + ticker only
+        self._client_threads: set = set()  # self-pruning on disconnect
         self._conns: Dict[int, socket.socket] = {}  # sid -> socket
         self._conns_lock = threading.Lock()
         self._stop = threading.Event()
         self._n_accepted = 0
         self._n_rejected = 0
+        self._n_overflows = 0
         self._sticky_errors: Dict[int, str] = {}  # sid -> failed-FEED message
         self._model_mtime: Optional[float] = None
         self._pending_mtime: Optional[float] = None
@@ -202,9 +206,10 @@ class SpeakerServer:
                 s.close()
             except OSError:
                 pass
-        for t in self._threads:
+        for t in list(self._client_threads) + self._threads:
             t.join(timeout=5.0)
         self._threads = []
+        self._client_threads.clear()
 
     def serve_forever(self) -> None:
         """Block until interrupted (the CLI ``--serve`` entry)."""
@@ -223,6 +228,7 @@ class SpeakerServer:
             s["connections"] = len(self._conns)
         s["accepted"] = self._n_accepted
         s["rejected"] = self._n_rejected
+        s["overflows"] = self._n_overflows
         s["model_reloads"] = self._n_reloads
         return s
 
@@ -252,8 +258,8 @@ class SpeakerServer:
             t = threading.Thread(
                 target=self._client_loop, args=(conn, sid), daemon=True
             )
+            self._client_threads.add(t)
             t.start()
-            self._threads.append(t)
 
     def _client_loop(self, conn: socket.socket, sid: int) -> None:
         try:
@@ -284,6 +290,7 @@ class SpeakerServer:
                     self.ident.close(sid)
                 except KeyError:
                     pass
+            self._client_threads.discard(threading.current_thread())
 
     def _handle(
         self, conn: socket.socket, sid: int, opcode: int, payload: bytes
@@ -306,6 +313,19 @@ class SpeakerServer:
                 else:
                     pcm = np.frombuffer(raw, np.uint8)
                 with self._lock:
+                    # Transport-level backpressure: a client flooding PCM
+                    # faster than ticks drain must not grow host memory
+                    # unboundedly.  Finalized/errored streams drain to 0
+                    # buffered, so the bound is per-slot and self-healing.
+                    buffered = self.ident.buffered_samples(sid)
+                    if buffered + pcm.size > self.max_buffered_samples:
+                        self._n_overflows += 1
+                        raise ValueError(
+                            f"stream {sid} backlog {buffered + pcm.size} "
+                            f"samples exceeds max_buffered_samples="
+                            f"{self.max_buffered_samples}; feed slower or "
+                            "raise the limit"
+                        )
                     self.ident.feed(sid, pcm, encoding=encoding)
             except Exception as e:
                 # FEED has no reply frame; surface the failure as the ERROR

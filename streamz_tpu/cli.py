@@ -10,6 +10,7 @@ in its README but dead in its code (``--force``/``--retrain``/``--eval-split``/
           [--cluster-embeddings <k>] [--force] [--retrain] [--no-autotune]
           [--encode <file>] [--decode <out>] [--checksum <hex>]
           [--identify <file>...] [--serve [port]] [--serve-streams <n>]
+          [--serve-max-buffer <seconds>]
 
 Parsing is intentionally lenient like the reference's hand-rolled scanner
 (``src/main.rs:343-448``): unknown flags are ignored, malformed values fall
@@ -429,6 +430,10 @@ def _serve_mode(args: List[str], threshold: float, mesh) -> int:
                 file=sys.stderr,
             )
     n_streams = _parse_int(args, "--serve-streams") or 64
+    # Per-slot host-buffer cap (transport backpressure): seconds of 44.1 kHz
+    # audio a client may have queued ahead of the ticker before FEEDs are
+    # rejected.  Default 30 s matches SpeakerServer's constructor default.
+    max_buffer_s = _parse_float(args, "--serve-max-buffer", 30.0)
     try:
         net = checkpoint.load(config.MODEL_PATH)
     except Exception as e:
@@ -441,6 +446,7 @@ def _serve_mode(args: List[str], threshold: float, mesh) -> int:
         threshold=threshold,
         mesh=mesh,
         watch_model=config.MODEL_PATH,
+        max_buffered_samples=int(max_buffer_s * config.DEFAULT_SAMPLE_RATE),
     )
     srv.start()
     print(

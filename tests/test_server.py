@@ -173,6 +173,32 @@ def test_bad_feed_keeps_connection(net, server):
         assert c.stats()["accepted"] >= 1
 
 
+def test_backpressure_cap(net):
+    """A client flooding PCM past ``max_buffered_samples`` gets the
+    overflow reported (sticky ERROR on the next verdict request), the
+    chunk is dropped, and the stream keeps serving afterwards."""
+    srv = SpeakerServer(
+        net,
+        port=0,
+        n_streams=2,
+        threshold=0.0,
+        tick_interval=10.0,  # ticker effectively idle: backlog builds
+        max_buffered_samples=10_000,
+    )
+    srv.start()
+    try:
+        with StreamClient("127.0.0.1", srv.port) as c:
+            c.feed(_clip(seed=8)[:8000])
+            c.feed(_clip(seed=8)[:8000])  # 16000 > cap: dropped
+            with pytest.raises(RuntimeError, match="max_buffered_samples"):
+                c.current()
+            assert c.stats()["overflows"] == 1
+            # The stream survives: the within-cap audio still finalizes.
+            assert c.finalize() is not None
+    finally:
+        srv.stop()
+
+
 def test_cli_serve_mode(net, tmp_path):
     """``--serve`` end-to-end: the CLI loads model.npz, prints the bound
     port, and serves the same verdicts as in-process streaming."""
