@@ -10,6 +10,7 @@
 //
 // Exposed as a small C ABI consumed via ctypes (streamz_tpu/io/native.py).
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -184,7 +185,21 @@ int sz_read_wav(const char *path, int16_t **out, int64_t *out_len,
       memcpy(&bits, fmt.data() + 14, 2);
       have_fmt = true;
     } else if (memcmp(chdr, "data", 4) == 0) {
-      if (size == 0) break;
+      if (size == 0) {
+        // A zero-length data chunk is a valid (empty) clip: the Python
+        // reader (io/wav.py) returns 0 samples and downstream skips the
+        // file as too short — the native path must not diverge by
+        // rejecting the same input.  Allocate a 1-sample buffer so *out
+        // is non-null/freeable; *out_len stays 0.
+        data = static_cast<int16_t *>(malloc(sizeof(int16_t)));
+        if (!data) {
+          fclose(f);
+          return -3;
+        }
+        nsamples = 0;
+        have_data = true;
+        continue;
+      }
       nsamples = size / 2;
       data = static_cast<int16_t *>(malloc(size));
       if (!data || fread(data, 1, size, f) != size) {
@@ -365,8 +380,10 @@ int sz_batch_ingest(const char **paths, int32_t n, int32_t threads,
         std::vector<int16_t> res =
             szr::resample_i16(samples.data(), samples.size(), clip->rate,
                               target_rate);
-        auto *mem =
-            static_cast<int16_t *>(malloc(res.size() * sizeof(int16_t)));
+        // max(size,1): malloc(0) may return null, which would misreport an
+        // empty (valid) clip as an allocation failure.
+        auto *mem = static_cast<int16_t *>(
+            malloc(std::max(res.size(), size_t(1)) * sizeof(int16_t)));
         if (!mem) {
           clip->status = -7;
           clip->len = 0;

@@ -87,12 +87,22 @@ def run_incremental(
     bucket-spread cap keeps a long clip from inflating its neighbors'
     padding, and its padded windows are at most 2x the clip itself.
     """
+    import os
+
     from streamz_tpu.app.device_loop import run_incremental_device
     from streamz_tpu.nn.train import autotune_file_train
 
     # Pick the per-file train kernel by measurement before tracing the
-    # fused loop (a no-op off-TPU and on multi-host — autotune.py).
-    autotune_file_train()
+    # fused loop (a no-op off-TPU and on multi-host — autotune.py).  The
+    # SPMD scan (>1-device mesh) always trains via the sharded XLA body and
+    # never consults this choice, so don't pay the cold-cache probe there.
+    sharded = (
+        mesh is not None
+        and mesh.devices.size > 1
+        and os.environ.get("STREAMZ_SHARD_DISCOVERY", "1") != "0"
+    )
+    if not sharded:
+        autotune_file_train()
 
     total_loss, processed, sf, se = run_incremental_device(
         net,

@@ -36,7 +36,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from streamz_tpu import config
-from streamz_tpu.app.stream import _make_stream_step
+from streamz_tpu.app.stream import (
+    _make_stream_step,
+    check_capacity_growth,
+    grow_vote_carry,
+    vote_verdict,
+)
+from streamz_tpu.dsp.mfcc import _to_f32
+from streamz_tpu.io import g711
 
 
 @lru_cache(maxsize=16)
@@ -163,8 +170,6 @@ class MultiStreamIdentifier:
         """Device-resident (replicated under a mesh) G.711 decode table."""
         tab = self._tables.get(enc)
         if tab is None:
-            from streamz_tpu.io import g711
-
             tab = jnp.asarray(g711.TABLES[enc][0])
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
@@ -218,23 +223,13 @@ class MultiStreamIdentifier:
         slot's vote carry to the new width (on device, preserving the slot
         sharding) and re-resolves the jitted programs.  Already-finalized
         slots keep their verdicts."""
-        old_cap, new_cap = self.net.capacity, net.capacity
-        if new_cap < old_cap:
-            raise ValueError(
-                f"model capacity shrank ({old_cap} -> {new_cap}); votes "
-                "for existing speakers would be dropped"
+        pad = check_capacity_growth(self.net.capacity, net.capacity)
+        if pad:
+            self._carry = self._place(
+                grow_vote_carry(self._carry, pad, batched=True)
             )
-        if new_cap != old_cap:
-            pad = new_cap - old_cap
-            c = self._carry
-            grown = c[:4] + (
-                jnp.pad(c[4], ((0, 0), (0, pad))),
-                jnp.pad(c[5], ((0, 0), (0, pad))),
-                c[6],
-            )
-            self._carry = self._place(grown)
             self._step, self._step_i16, self._step_u8 = _batched_step(
-                new_cap, self.k
+                net.capacity, self.k
             )
             # _zero_slot retraces on the new carry shapes automatically.
         self.net = net
@@ -254,9 +249,6 @@ class MultiStreamIdentifier:
         self._check(sid)
         if sid in self._final:
             raise RuntimeError(f"stream {sid} already finalized")
-        from streamz_tpu.dsp.mfcc import _to_f32
-        from streamz_tpu.io import g711
-
         if isinstance(pcm, (bytes, bytearray)):
             pcm = np.frombuffer(pcm, np.uint8)
         pcm = np.asarray(pcm)
@@ -348,9 +340,6 @@ class MultiStreamIdentifier:
             #   f32 — anything else.
             # Downgrades are transient: feed() returns a slot to its
             # narrow wire whenever its remainder empties, close() resets.
-            from streamz_tpu.dsp.mfcc import _to_f32
-            from streamz_tpu.io import g711
-
             live = [sid for sid in range(S) if counts[sid]]
             tags = {self._renc[sid] for sid in live}
             wire_u8 = (
@@ -415,8 +404,6 @@ class MultiStreamIdentifier:
     # -- results -------------------------------------------------------------
 
     def _verdict(self, votes, count) -> Optional[Tuple[int, float]]:
-        from streamz_tpu.app.stream import vote_verdict
-
         return vote_verdict(
             votes, count, self.net.output_size(), self.threshold
         )

@@ -248,6 +248,12 @@ class SpeakerServer:
                 self._n_rejected += 1
                 try:
                     send_frame(conn, OP_ERROR, str(e).encode())
+                except OSError:
+                    pass
+                # Close unconditionally: a failed ERROR send (client already
+                # gone) must not leak the fd — a connect-flood against a
+                # full server would otherwise exhaust the fd limit.
+                try:
                     conn.close()
                 except OSError:
                     pass
@@ -366,17 +372,28 @@ class SpeakerServer:
         import time
 
         while not self._stop.is_set():
-            with self._lock:
-                pending = self.ident.pending_blocks()
-                if pending:
-                    self.ident.tick()
+            # The ticker is the single thread driving ALL device work; an
+            # exception escaping it would silently halt every stream while
+            # the server keeps accepting connections.  Transient device
+            # errors (tunnel hiccup, OOM on a full fleet) must not kill it:
+            # log and keep ticking — the next tick retries the same drain.
+            try:
+                with self._lock:
+                    pending = self.ident.pending_blocks()
+                    if pending:
+                        self.ident.tick()
+            except Exception as e:
+                print(f"[serve] tick failed, retrying next tick: {e}")
             now = time.monotonic()
             if (
                 self.watch_model
                 and now - last_watch >= self.watch_interval
             ):
                 last_watch = now
-                self._maybe_reload()
+                try:
+                    self._maybe_reload()
+                except Exception as e:
+                    print(f"[serve] model watch failed, will retry: {e}")
             self._stop.wait(self.tick_interval)
 
     def _maybe_reload(self) -> None:

@@ -176,6 +176,33 @@ def _programs(capacity: int, k: int):
     return _make_stream_step(capacity, k), _make_finalize_step(capacity)
 
 
+def check_capacity_growth(old_cap: int, new_cap: int) -> int:
+    """Validate a hot-swap capacity change; returns the pad width (>= 0).
+
+    Shared swap rule for the single-stream and fleet identifiers: growth
+    only appends output columns (src/lib.rs:797-821), so speaker ids stay
+    stable; a shrink would drop accumulated votes and is refused.
+    """
+    if new_cap < old_cap:
+        raise ValueError(
+            f"model capacity shrank ({old_cap} -> {new_cap}); votes "
+            "for existing speakers would be dropped"
+        )
+    return new_cap - old_cap
+
+
+def grow_vote_carry(carry, pad: int, batched: bool = False):
+    """Zero-pad the capacity-wide carry slots (4 = vote sums, 5 = their
+    Kahan compensation) to a grown capacity; all other slots pass through.
+    ``batched`` pads the trailing axis of fleet-shaped ``[S, cap]`` slots."""
+    widths = ((0, 0), (0, pad)) if batched else (0, pad)
+    return carry[:4] + (
+        jnp.pad(carry[4], widths),
+        jnp.pad(carry[5], widths),
+        carry[6],
+    )
+
+
 def vote_verdict(
     votes: np.ndarray, count: float, output_size: int, threshold: float
 ) -> Optional[Tuple[int, float]]:
@@ -240,21 +267,10 @@ class StreamingIdentifier:
         """
         if self._finalized:
             raise RuntimeError("stream already finalized")
-        old_cap, new_cap = self.net.capacity, net.capacity
-        if new_cap < old_cap:
-            raise ValueError(
-                f"model capacity shrank ({old_cap} -> {new_cap}); votes "
-                "for existing speakers would be dropped"
-            )
-        if new_cap != old_cap:
-            pad = new_cap - old_cap
-            c = self._carry
-            self._carry = c[:4] + (
-                jnp.pad(c[4], (0, pad)),
-                jnp.pad(c[5], (0, pad)),
-                c[6],
-            )
-            self._step, self._fin = _programs(new_cap, self.k)
+        pad = check_capacity_growth(self.net.capacity, net.capacity)
+        if pad:
+            self._carry = grow_vote_carry(self._carry, pad)
+            self._step, self._fin = _programs(net.capacity, self.k)
         self.net = net
 
     # -- feeding -------------------------------------------------------------

@@ -429,11 +429,31 @@ def _serve_mode(args: List[str], threshold: float, mesh) -> int:
                 f"Invalid value for --serve '{maybe}', using default {port}",
                 file=sys.stderr,
             )
-    n_streams = _parse_int(args, "--serve-streams") or 64
+    n_streams = _parse_int(args, "--serve-streams")
+    if n_streams is None:
+        n_streams = 64
+    elif n_streams < 1:
+        # `or 64` would silently turn an explicit 0 into 64 and a negative
+        # count into a raw constructor traceback; warn + default instead,
+        # matching _parse_int's handling of unparseable values.
+        print(
+            f"Invalid value for --serve-streams '{n_streams}', using "
+            "default 64",
+            file=sys.stderr,
+        )
+        n_streams = 64
     # Per-slot host-buffer cap (transport backpressure): seconds of 44.1 kHz
     # audio a client may have queued ahead of the ticker before FEEDs are
     # rejected.  Default 30 s matches SpeakerServer's constructor default.
     max_buffer_s = _parse_float(args, "--serve-max-buffer", 30.0)
+    if max_buffer_s <= 0:
+        # A non-positive cap would reject every FEED with a backlog error.
+        print(
+            f"Invalid value for --serve-max-buffer '{max_buffer_s}', using "
+            "default 30.0",
+            file=sys.stderr,
+        )
+        max_buffer_s = 30.0
     try:
         net = checkpoint.load(config.MODEL_PATH)
     except Exception as e:

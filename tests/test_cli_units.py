@@ -76,3 +76,22 @@ def test_flag_parsing_lenient(capsys):
     assert cli._parse_int(["--burn-in-limit"], "--burn-in-limit") is None
     assert cli._flag_value(["--encode", "f.bin"], "--encode") == "f.bin"
     assert cli._flag_value([], "--encode") is None
+
+
+def test_serve_flag_validation(tmp_path, monkeypatch, capsys):
+    """--serve-streams 0/negative and --serve-max-buffer <= 0 fall back to
+    their defaults with a warning instead of silently coercing (0 -> 64 via
+    `or`) or crashing in the server constructor."""
+    from streamz_tpu import cli
+
+    monkeypatch.chdir(tmp_path)  # no model.npz: _serve_mode exits after parse
+    rc = cli._serve_mode(
+        ["--serve", "--serve-streams", "0", "--serve-max-buffer", "-1"],
+        0.5,
+        None,
+    )
+    assert rc == 1  # missing model, AFTER flag validation ran
+    err = capsys.readouterr().err
+    assert "--serve-streams" in err
+    assert "--serve-max-buffer" in err
+    assert "Failed to load model" in err

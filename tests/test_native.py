@@ -85,3 +85,36 @@ def test_native_batch_ingest_matches_python_pipeline():
     assert rate == 44100 and ch == 1
     _, want = load_and_resample_file(p)
     np.testing.assert_array_equal(samples, want)
+
+
+def _zero_data_wav(path, rate=44100):
+    import struct
+
+    hdr = b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, rate, rate * 2, 2, 16
+    )
+    with open(path, "wb") as f:
+        f.write(hdr + fmt + b"data" + struct.pack("<I", 0))
+
+
+def test_native_zero_data_chunk_matches_python(tmp_path):
+    """A WAV with a zero-length data chunk is a valid EMPTY clip on both
+    ingest paths (the pure-Python reader accepts it; the native path must
+    not diverge by rejecting the same file — downstream skips it as too
+    short either way)."""
+    p = str(tmp_path / "zero.wav")
+    _zero_data_wav(p)
+    samples, rate, ch = wavio.read_wav(p)
+    assert samples.shape == (0,) and rate == 44100 and ch == 1
+    got = native.decode_file(p)
+    assert got is not None
+    n_samples, n_rate, n_ch = got
+    assert n_samples.shape == (0,) and n_rate == 44100 and n_ch == 1
+    # The full threaded ingest (decode → downmix → resample) also yields
+    # an empty clip, including through the resampler plan (32 kHz input).
+    p32 = str(tmp_path / "zero32.wav")
+    _zero_data_wav(p32, rate=32000)
+    for res in native.batch_ingest([p, p32]):
+        assert res is not None
+        assert res[0].shape == (0,) and res[1] == 44100

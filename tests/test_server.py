@@ -294,3 +294,66 @@ def test_model_hot_reload(net, tmp_path):
         _assert_verdict_close(got, ref.finalize())
     finally:
         srv.stop()
+
+
+def test_ticker_survives_device_errors(net, monkeypatch):
+    """An exception escaping a batched tick (tunnel hiccup, OOM) must not
+    kill the ticker thread — the daemon would otherwise look alive while
+    serving nothing.  The failed tick retries and the stream completes."""
+    srv = SpeakerServer(net, port=0, n_streams=2, threshold=0.0,
+                        tick_interval=0.005)
+    fails = {"n": 2}
+    real_tick = srv.ident.tick
+
+    def flaky_tick(*a, **kw):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise RuntimeError("injected device failure")
+        return real_tick(*a, **kw)
+
+    monkeypatch.setattr(srv.ident, "tick", flaky_tick)
+    srv.start()
+    try:
+        clip = _clip(seed=11)
+        with StreamClient("127.0.0.1", srv.port) as c:
+            c.feed(clip)
+            deadline = time.time() + 30
+            while fails["n"] > 0 and time.time() < deadline:
+                time.sleep(0.01)
+            assert fails["n"] == 0, "ticker died before retrying"
+            _assert_verdict_close(c.finalize(), _offline(net, clip))
+    finally:
+        srv.stop()
+
+
+def test_at_capacity_reject_always_closes(net, monkeypatch):
+    """A failed ERROR send to an at-capacity client must still close the
+    accepted socket (fd-leak guard)."""
+    import streamz_tpu.app.server as server_mod
+
+    srv = SpeakerServer(net, port=0, n_streams=1, threshold=0.0,
+                        tick_interval=0.05)
+    real_send = server_mod.send_frame
+
+    def failing_send(sock, opcode, payload=b""):
+        if opcode == OP_ERROR:
+            raise BrokenPipeError("client already gone")
+        return real_send(sock, opcode, payload)
+
+    monkeypatch.setattr(server_mod, "send_frame", failing_send)
+    srv.start()
+    try:
+        c1 = StreamClient("127.0.0.1", srv.port)  # claims the only slot
+        time.sleep(0.05)
+        c2 = StreamClient("127.0.0.1", srv.port)  # rejected; send fails
+        deadline = time.time() + 10
+        while srv.stats()["rejected"] < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        assert srv.stats()["rejected"] == 1
+        # The reject socket was closed server-side despite the send error.
+        c2.sock.settimeout(5.0)
+        assert c2.sock.recv(1) == b""  # EOF, not a hang
+        c2.close()
+        c1.close()
+    finally:
+        srv.stop()
