@@ -212,13 +212,36 @@ class SpeakerServer:
         self._client_threads.clear()
 
     def serve_forever(self) -> None:
-        """Block until interrupted (the CLI ``--serve`` entry)."""
+        """Block until interrupted (the CLI ``--serve`` entry).
+
+        Handles both ^C and SIGTERM (what container orchestrators send on
+        shutdown) with the same graceful stop: close the listener and
+        every connection, join the threads.  The previous SIGTERM handler
+        is restored on exit, and handler installation is skipped off the
+        main thread (signal.signal raises there — e.g. a server driven
+        from a test harness thread).
+        """
+        import signal
+        import threading as _threading
+
+        prev = None
+        installed = False
+        if _threading.current_thread() is _threading.main_thread():
+            try:
+                prev = signal.signal(
+                    signal.SIGTERM, lambda *_: self._stop.set()
+                )
+                installed = True
+            except (ValueError, OSError):
+                pass
         try:
             while not self._stop.is_set():
                 self._stop.wait(0.5)
         except KeyboardInterrupt:
             pass
         finally:
+            if installed:
+                signal.signal(signal.SIGTERM, prev)
             self.stop()
 
     def stats(self) -> Dict[str, object]:

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import hashlib
 import io
+import os
+import tempfile
 import zipfile
 from typing import Dict, List, Tuple
 
@@ -75,9 +77,28 @@ def save(net: SpeakerNet, path: str) -> None:
         arrays["speaker_std_sims"] = std_sims
     # Write through a file handle: np.savez(path_str) silently appends
     # '.npz' when the suffix is missing, making save/load disagree about
-    # the file name for custom model paths.
-    with open(path, "wb") as f:
-        np.savez(f, **arrays)
+    # the file name for custom model paths.  The write is ATOMIC
+    # (temp file + fsync + rename in the target directory): a crash
+    # mid-save never corrupts the previous checkpoint, and a concurrent
+    # reader — e.g. the serving daemon's hot-reload watcher
+    # (app/server.py) or another process resuming — can never observe a
+    # partially-written npz.  The reference writes in place
+    # (src/lib.rs:1081-1130) and can corrupt model.npz on crash; this is
+    # a deliberate robustness upgrade with identical on-disk content.
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(prefix=".model-", suffix=".npz.tmp", dir=d)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def _read_npz_raw(path: str) -> Dict[str, np.ndarray]:

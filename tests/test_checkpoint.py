@@ -228,3 +228,35 @@ def test_save_respects_custom_suffix(tmp_path):
     checkpoint.save(net, p)
     assert os.path.exists(p) and not os.path.exists(p + ".npz")
     assert checkpoint.load(p).num_speakers == 2
+
+
+def test_save_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-save must not corrupt the previous checkpoint, and no
+    temp litter may remain — concurrent readers (the serving daemon's
+    hot-reload watcher) can never observe a partial npz."""
+    net3 = _small_net(3)
+    p = str(tmp_path / "model.npz")
+    checkpoint.save(net3, p)
+    before = open(p, "rb").read()
+
+    real_savez = np.savez
+
+    def crashing_savez(f, **arrays):
+        f.write(b"partial garbage")  # bytes hit the TEMP file, then crash
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(np, "savez", crashing_savez)
+    try:
+        checkpoint.save(_small_net(4), p)
+    except RuntimeError:
+        pass
+    else:
+        raise AssertionError("crashing save did not raise")
+    finally:
+        monkeypatch.setattr(np, "savez", real_savez)
+
+    # Previous checkpoint intact, still loadable, no temp files left.
+    assert open(p, "rb").read() == before
+    assert checkpoint.load(p).num_speakers == 3
+    leftovers = [f for f in os.listdir(tmp_path) if f != "model.npz"]
+    assert leftovers == []

@@ -246,9 +246,18 @@ def test_cli_serve_mode(net, tmp_path):
                 c.feed(clip[i : i + 8192])
             got = c.finalize()
         _assert_verdict_close(got, _offline(net, clip))
-    finally:
+        # SIGTERM (what orchestrators send) triggers a graceful stop:
+        # the daemon exits 0, not killed-by-signal.
         proc.terminate()
-        proc.wait(timeout=10)
+        assert proc.wait(timeout=30) == 0
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait(timeout=10)
 
 
 def test_model_hot_reload(net, tmp_path):
@@ -355,5 +364,45 @@ def test_at_capacity_reject_always_closes(net, monkeypatch):
         assert c2.sock.recv(1) == b""  # EOF, not a hang
         c2.close()
         c1.close()
+    finally:
+        srv.stop()
+
+
+def test_c_client_end_to_end(net, tmp_path):
+    """The bundled C client (examples/client.c) — no Python on the client
+    side — feeds i16 PCM over the wire and reads back the same verdict as
+    in-process streaming, substantiating the any-language protocol claim."""
+    import shutil
+    import subprocess
+
+    cc = shutil.which("cc") or shutil.which("gcc") or shutil.which("g++")
+    if cc is None:
+        pytest.skip("no C compiler")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(repo, "examples", "client.c")
+    exe = str(tmp_path / "client")
+    subprocess.run([cc, "-O2", "-o", exe, src], check=True)
+
+    srv = SpeakerServer(net, port=0, n_streams=2, threshold=0.0,
+                        tick_interval=0.005)
+    srv.start()
+    try:
+        clip = _clip(seed=13)
+        out = subprocess.run(
+            [exe, "127.0.0.1", str(srv.port)],
+            input=clip.astype("<i2").tobytes(),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            timeout=120,
+        )
+        assert out.returncode == 0, out.stderr.decode()
+        text = out.stdout.decode().strip()
+        ref = _offline(net, clip)
+        if ref is None:
+            assert text == "none"
+        else:
+            parts = text.split()
+            assert parts[0] == "speaker" and int(parts[1]) == ref[0]
+            np.testing.assert_allclose(float(parts[3]), ref[1], rtol=1e-4)
     finally:
         srv.stop()
