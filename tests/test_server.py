@@ -406,3 +406,48 @@ def test_c_client_end_to_end(net, tmp_path):
             np.testing.assert_allclose(float(parts[3]), ref[1], rtol=1e-4)
     finally:
         srv.stop()
+
+
+def test_protocol_fuzz_server_stays_healthy(net):
+    """Garbage frames (random opcodes, oversized lengths, truncated
+    headers, raw junk bytes) must only ever cost the offending connection
+    — the listener, the ticker, and well-behaved clients keep working."""
+    import socket as _socket
+    import struct as _struct
+
+    srv = SpeakerServer(net, port=0, n_streams=4, threshold=0.0,
+                        tick_interval=0.005)
+    srv.start()
+    try:
+        rng = np.random.default_rng(99)
+        for trial in range(20):
+            s = _socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+            try:
+                kind = trial % 4
+                if kind == 0:  # random opcode + small random payload
+                    op = int(rng.integers(0x05, 0x7F))
+                    payload = rng.bytes(int(rng.integers(0, 64)))
+                    s.sendall(_struct.pack("<BI", op, len(payload)) + payload)
+                elif kind == 1:  # oversized declared length
+                    s.sendall(_struct.pack("<BI", 0x01, (1 << 24) + 1))
+                elif kind == 2:  # truncated header
+                    s.sendall(b"\x01\x02")
+                    s.shutdown(_socket.SHUT_WR)
+                else:  # pure junk
+                    s.sendall(rng.bytes(int(rng.integers(1, 256))))
+                s.settimeout(5)
+                try:
+                    while s.recv(4096):
+                        pass  # drain until server closes (or timeout)
+                except OSError:
+                    pass
+            finally:
+                s.close()
+        # Server is still fully functional for a legitimate client.
+        clip = _clip(seed=21)
+        with StreamClient("127.0.0.1", srv.port) as c:
+            for i in range(0, len(clip), 8192):
+                c.feed(clip[i : i + 8192])
+            _assert_verdict_close(c.finalize(), _offline(net, clip))
+    finally:
+        srv.stop()
