@@ -10,11 +10,14 @@ in its README but dead in its code (``--force``/``--retrain``/``--eval-split``/
           [--cluster-embeddings <k>] [--force] [--retrain] [--no-autotune]
           [--encode <file>] [--decode <out>] [--checksum <hex>]
           [--identify <file>...] [--serve [port]] [--serve-streams <n>]
-          [--serve-max-buffer <seconds>]
+          [--serve-max-buffer <seconds>] [--profile [dir]]
+          [--coordinator <host:port>] [--num-processes <n>] [--process-id <i>]
 
 Parsing is intentionally lenient like the reference's hand-rolled scanner
 (``src/main.rs:343-448``): unknown flags are ignored, malformed values fall
-back to defaults with a warning.
+back to defaults with a warning.  One deliberate exception: ``--help``/``-h``
+prints this usage and exits instead of being ignored — the reference would
+silently start a training run on it, a footgun worth fixing.
 """
 
 from __future__ import annotations
@@ -112,6 +115,19 @@ def _enable_compile_cache() -> None:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
+    if "--help" in args or "-h" in args:
+        # Print usage and exit BEFORE any device/bootstrap work.  The
+        # reference's lenient scanner would ignore the flag and start a
+        # training run — the one place leniency is a footgun.
+        try:
+            print(__doc__.strip())
+            sys.stdout.flush()
+        except BrokenPipeError:  # `streamz --help | head` closed the pipe
+            try:
+                sys.stdout.close()
+            except BrokenPipeError:
+                pass
+        return 0
     _enable_compile_cache()
 
     # Multi-host bootstrap (must precede any device access): each process of

@@ -95,3 +95,16 @@ def test_serve_flag_validation(tmp_path, monkeypatch, capsys):
     assert "--serve-streams" in err
     assert "--serve-max-buffer" in err
     assert "Failed to load model" in err
+
+
+def test_help_prints_usage_and_exits(capsys):
+    """--help/-h print usage and exit 0 BEFORE touching devices or files —
+    the reference's lenient scanner would ignore the flag and start a
+    training run."""
+    from streamz_tpu import cli
+
+    for flag in ("--help", "-h"):
+        assert cli.main([flag]) == 0
+        out = capsys.readouterr().out
+        assert "streamz [--threshold" in out
+        assert "--serve" in out
