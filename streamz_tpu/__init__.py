@@ -74,6 +74,7 @@ from streamz_tpu.io.g711 import (
     ulaw_encode,
 )
 from streamz_tpu.app.serve import MultiStreamIdentifier
+from streamz_tpu.app.server import SpeakerServer, StreamClient
 from streamz_tpu.app.stream import StreamingIdentifier
 from streamz_tpu.nn.drivers import (
     pretrain_from_features,
@@ -106,6 +107,8 @@ __all__ = [
     "SimpleNeuralNet",
     "SpeakerNet",
     "MultiStreamIdentifier",
+    "SpeakerServer",
+    "StreamClient",
     "StreamingIdentifier",
     "alaw_decode",
     "alaw_encode",
