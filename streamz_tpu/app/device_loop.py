@@ -65,9 +65,28 @@ MAX_SCAN_FILES = 64
 MAX_BUCKET_SPREAD = 4
 
 
+def _prng_pad_invariant() -> bool:
+    """Whether ``uniform(key, (n,))[i]`` is independent of ``n``.
+
+    The pad-invariance claim above holds for the DEFAULT partitionable
+    threefry PRNG only.  Under ``jax_threefry_partitionable=False`` (legacy
+    threefry pairs counter ``i`` with ``i + n/2``) or a non-threefry default
+    impl (``rbg``), draws depend on the padded length — so chunk-max padding
+    and the sharded path's mesh-multiple padding would silently train
+    differently from the per-file host oracle.  Callers fall back to
+    exact-bucket grouping / the single-device scan in those configs.
+    """
+    try:
+        if str(jax.config.jax_default_prng_impl) != "threefry2x32":
+            return False
+        return bool(jax.config.jax_threefry_partitionable)
+    except AttributeError:
+        return False  # unknown jax version: take the conservative path
+
+
 def _file_body(
     carry, x, seed_cent, seed_mask, max_speakers, dropout, *, epochs,
-    batch_size, axis=None, n_dev=1,
+    batch_size, backend="auto", axis=None, n_dev=1,
 ):
     """One file of the incremental loop; shapes are per-bucket static.
 
@@ -151,7 +170,7 @@ def _file_body(
     if axis is None:
         params, loss = train_on_windows_impl(
             params, windows, n_valid, tvec, ns_new, key, lr, dropout,
-            epochs=epochs, batch_size=batch_size,
+            epochs=epochs, batch_size=batch_size, backend=backend,
         )
     else:
         from streamz_tpu.nn.train import train_on_windows_sharded_impl
@@ -171,7 +190,7 @@ def _file_body(
 
 @partial(
     jax.jit,
-    static_argnames=("epochs", "batch_size"),
+    static_argnames=("epochs", "batch_size", "backend"),
     donate_argnums=(0, 1, 2, 3),
 )
 def incremental_scan(
@@ -194,8 +213,17 @@ def incremental_scan(
     *,
     epochs: int,
     batch_size: int,
+    backend: str = "auto",
 ):
-    """Fused scan over up to MAX_SCAN_FILES files — one dispatch."""
+    """Fused scan over up to MAX_SCAN_FILES files — one dispatch.
+
+    ``backend`` is the CONCRETE file-train kernel choice ('xla'/'pallas'),
+    resolved by the caller at call time: it is part of the jit cache key,
+    so an autotune decision landing after the first trace reaches
+    already-warm shapes instead of a stale trace-time resolution pinning
+    the losing kernel for the process lifetime (same pattern as
+    ``nn.train.train_on_windows``).
+    """
     body = partial(
         _file_body,
         seed_cent=seed_cent,
@@ -204,6 +232,7 @@ def incremental_scan(
         dropout=dropout,
         epochs=epochs,
         batch_size=batch_size,
+        backend=backend,
     )
     carry = (params, num_speakers, run_sum, run_cnt)
     xs = (windows, n_valids, labels, burns, thresholds, lrs, keys, actives)
@@ -318,7 +347,18 @@ def run_incremental_device(
     import os
 
     n_dev = 0 if mesh is None else mesh.devices.size
-    sharded = n_dev > 1 and os.environ.get("STREAMZ_SHARD_DISCOVERY", "1") != "0"
+    sharded = (
+        n_dev > 1
+        and os.environ.get("STREAMZ_SHARD_DISCOVERY", "1") != "0"
+        # The sharded scan pads the window axis to a mesh multiple, which
+        # is only oracle-identical under a pad-invariant PRNG.
+        and _prng_pad_invariant()
+    )
+    # Resolve the file-train kernel OUTSIDE the traces below so the jit
+    # cache keys on the concrete choice (see incremental_scan's docstring).
+    from streamz_tpu.nn.train import _resolve_backend
+
+    file_train_backend = _resolve_backend("file_train", "auto")
     jobs = []  # (orig_index, path, label, windows, n_valid, bucket)
     for i, (path, label) in enumerate(train_files):
         windows = feature_map.get(path)
@@ -382,6 +422,9 @@ def run_incremental_device(
     # cap or when the bucket spread would exceed MAX_BUCKET_SPREAD (bounding
     # the padding FLOPs short files pay next to long ones).
     runs: List[List[int]] = []  # lists of job indices
+    # spread 1 = only equal buckets share a chunk: required when the PRNG
+    # makes draws depend on the padded length (see _prng_pad_invariant).
+    spread = MAX_BUCKET_SPREAD if _prng_pad_invariant() else 1
     for k in range(N):
         b = jobs[k][5]
         if runs:
@@ -389,7 +432,7 @@ def run_incremental_device(
             bmax = max(jobs[j][5] for j in runs[-1])
             if (
                 len(runs[-1]) < MAX_SCAN_FILES
-                and max(bmax, b) <= MAX_BUCKET_SPREAD * min(bmin, b)
+                and max(bmax, b) <= spread * min(bmin, b)
             ):
                 runs[-1].append(k)
                 continue
@@ -456,6 +499,7 @@ def run_incremental_device(
                 jnp.asarray(burns), jnp.asarray(thrs), jnp.asarray(lrs),
                 keys, jnp.asarray(actives),
                 epochs=int(epochs), batch_size=int(batch_size),
+                backend=file_train_backend,
             )
         out_parts.append((job_ks, sids, losses, embs, n_real))
 

@@ -16,6 +16,7 @@ only run there in interpret mode, which is for testing, not speed.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, List, Sequence, TypeVar
 
 import numpy as np
@@ -181,9 +182,32 @@ def load_cached_features(
     extractor = extractor or _GLOBAL_EXTRACTOR
     cache = audio.feature_cache_path(path)
     if cache.exists():
-        return np.load(cache).astype(np.float32)
+        try:
+            return np.load(cache).astype(np.float32)
+        except Exception:
+            # Torn cache file (writer interrupted mid-save, or two
+            # processes raced before writes were atomic): recompute and
+            # overwrite instead of aborting every future run.
+            pass
     samples = audio.load_audio_samples(path)
     feats = extractor.extract(samples)
     if len(feats):
-        np.save(cache, feats)
+        # Atomic publish (temp + rename in the cache dir): a concurrent
+        # reader — another process training/evaluating the same corpus —
+        # must never observe a partially-written .npy.
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(
+            prefix=cache.name + ".", suffix=".tmp", dir=str(cache.parent)
+        )
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.save(f, feats)
+            os.replace(tmp, cache)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
     return feats

@@ -77,17 +77,26 @@ def initialize_distributed(
     single host); multi-host launchers pass coordinator/process info or rely
     on the cluster environment's auto-detection.
     """
-    if num_processes is None and coordinator_address is None:
-        if process_id is not None:
-            # A bare process_id is a misconfigured launcher, not a
-            # single-process job: silently skipping would leave every host
-            # running its own psum over local devices only.
-            raise ValueError(
-                "process_id given without --coordinator/--num-processes; "
-                "pass all three (or none, for cluster auto-detection via "
-                "jax.distributed.initialize() with no args)"
-            )
-        return
+    given = {
+        "--coordinator": coordinator_address,
+        "--num-processes": num_processes,
+        "--process-id": process_id,
+    }
+    missing = [k for k, v in given.items() if v is None]
+    if len(missing) == 3:
+        return  # single-process job: the common case
+    if missing:
+        # ANY partial config is a misconfigured launcher, not a
+        # single-process job: silently skipping (or handing jax a
+        # half-specified config) would leave every host running its own
+        # psum over local devices only, or die in an obscure jax-internal
+        # error instead of this contract's message.
+        present = [k for k, v in given.items() if v is not None]
+        raise ValueError(
+            f"{'/'.join(present)} given without {'/'.join(missing)}; "
+            "pass all three (or none, for cluster auto-detection via "
+            "jax.distributed.initialize() with no args)"
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

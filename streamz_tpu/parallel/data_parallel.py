@@ -22,6 +22,25 @@ from streamz_tpu.nn import train
 from streamz_tpu.parallel import comm
 
 
+def _dp_local_step(params, batch, labels, weights, num_speakers, lr, backend):
+    """One data-parallel SGD step on this device's shard (runs INSIDE
+    shard_map): local grads -> psum allreduce over ICI (the SPMD
+    replacement for the reference's write-lock serialization) -> global
+    mean-gradient update.  Shared by the single-step and scanned-epoch
+    trainers so the two can never silently disagree on the update rule."""
+    grads_local, loss_local, count_local = train.corpus_grads(
+        params, batch, labels, weights, num_speakers, backend=backend
+    )
+    grads = jax.tree_util.tree_map(
+        lambda g: comm.psum(g, comm.DATA_AXIS), grads_local
+    )
+    loss = comm.psum(loss_local, comm.DATA_AXIS)
+    count = comm.psum(count_local, comm.DATA_AXIS)
+    scale = jnp.where(count > 0, lr / jnp.maximum(count, 1.0), 0.0)
+    new_params = jax.tree_util.tree_map(lambda p, g: p - scale * g, params, grads)
+    return new_params, loss / jnp.maximum(count, 1.0)
+
+
 def make_dp_train_step(mesh: Mesh, backend: str = "auto"):
     """Build a jitted data-parallel SGD step.
 
@@ -39,19 +58,9 @@ def make_dp_train_step(mesh: Mesh, backend: str = "auto"):
     backend = train.resolve_train_backend(backend)
 
     def _local_step(params, batch, labels, weights, num_speakers, lr):
-        grads_local, loss_local, count_local = train.corpus_grads(
-            params, batch, labels, weights, num_speakers, backend=backend
+        return _dp_local_step(
+            params, batch, labels, weights, num_speakers, lr, backend
         )
-        # ICI allreduce: the SPMD replacement for the write-lock serialization.
-        grads = jax.tree_util.tree_map(
-            lambda g: comm.psum(g, comm.DATA_AXIS), grads_local
-        )
-        loss = comm.psum(loss_local, comm.DATA_AXIS)
-        count = comm.psum(count_local, comm.DATA_AXIS)
-        scale = jnp.where(count > 0, lr / jnp.maximum(count, 1.0), 0.0)
-        new_params = jax.tree_util.tree_map(lambda p, g: p - scale * g, params, grads)
-        mean_loss = loss / jnp.maximum(count, 1.0)
-        return new_params, mean_loss
 
     shard = partial(
         jax.shard_map,
@@ -73,19 +82,9 @@ def make_dp_train_epoch(mesh: Mesh, *, steps: int, backend: str = "auto"):
     def _local_epoch(params, batches, labels, weights, num_speakers, lr):
         def body(params, inp):
             b, l, w = inp
-            grads_local, loss_local, count_local = train.corpus_grads(
-                params, b, l, w, num_speakers, backend=backend
+            return _dp_local_step(
+                params, b, l, w, num_speakers, lr, backend
             )
-            grads = jax.tree_util.tree_map(
-                lambda g: comm.psum(g, comm.DATA_AXIS), grads_local
-            )
-            loss = comm.psum(loss_local, comm.DATA_AXIS)
-            count = comm.psum(count_local, comm.DATA_AXIS)
-            scale = jnp.where(count > 0, lr / jnp.maximum(count, 1.0), 0.0)
-            params = jax.tree_util.tree_map(
-                lambda p, g: p - scale * g, params, grads
-            )
-            return params, loss / jnp.maximum(count, 1.0)
 
         params, losses = jax.lax.scan(body, params, (batches, labels, weights))
         return params, losses

@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from streamz_tpu import config
 from streamz_tpu.nn.model import forward, forward_embedding
 from streamz_tpu.parallel import comm
+from streamz_tpu.parallel.mesh import pad_rows_to_mesh
 
 
 @lru_cache(maxsize=8)
@@ -108,16 +109,19 @@ LONG_CLIP_WINDOW_THRESHOLD = 16384
 
 
 def _pad_to_mesh(windows, mesh: Mesh):
-    import numpy as np
+    """Ceil-to-mesh leading-axis padding + a valid-row mask.
 
-    n_dev = mesh.devices.size
+    The padding itself is :func:`streamz_tpu.parallel.mesh.pad_rows_to_mesh`
+    (one policy for the vote/embedding shards and the batch-sharded ingest);
+    this wrapper only adds the float mask the masked reductions consume.
+    An empty input keeps its feature width (so the forward GEMM shapes stay
+    model-consistent) and yields an all-zero mask.
+    """
     windows = np.asarray(windows, np.float32)
-    n = len(windows)
-    n_pad = -(-max(n, 1) // n_dev) * n_dev
-    padded = np.zeros((n_pad, windows.shape[1] if n else 1), np.float32)
-    if n:
-        padded[:n] = windows
-    valid = (np.arange(n_pad) < n).astype(np.float32)
+    if windows.ndim < 2:
+        windows = windows.reshape(len(windows), -1 if len(windows) else 1)
+    n, (padded,) = pad_rows_to_mesh(mesh, windows)
+    valid = (np.arange(len(padded)) < n).astype(np.float32)
     return padded, valid
 
 

@@ -16,9 +16,25 @@ import os
 import time
 from typing import Callable, Dict, Optional
 
-_CACHE_PATH = os.environ.get(
-    "STREAMZ_AUTOTUNE_CACHE", "/tmp/streamz_autotune.json"
-)
+def _default_cache_path() -> str:
+    """Per-user cache location.
+
+    A fixed world-shared ``/tmp/streamz_autotune.json`` breaks on
+    multi-user machines: the second user's lockfile/cache writes fail with
+    ``PermissionError`` (silently swallowed in ``_disk_put``, so their
+    multi-minute probe results never persist) while reads trust another
+    user's file.  Suffix the path with the uid; ``STREAMZ_AUTOTUNE_CACHE``
+    still overrides for teams that deliberately share one."""
+    try:
+        uid = f"-{os.getuid()}"
+    except AttributeError:  # non-POSIX
+        uid = ""
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), f"streamz_autotune{uid}.json")
+
+
+_CACHE_PATH = os.environ.get("STREAMZ_AUTOTUNE_CACHE", _default_cache_path())
 _memory: Dict[str, str] = {}
 
 
@@ -173,8 +189,11 @@ def measured_choice(
             best_name, best_t = name, t
     if measured == 0:
         # Every probe failed (e.g. a wedged tunnel): fall back to the
-        # default for THIS call but do not pin a failure-derived decision —
-        # the next process re-probes.
+        # default, memoized IN-PROCESS so per-call sites (e.g. the
+        # FeatureExtractor resolving per extract()) don't re-run the whole
+        # multi-second probe suite for every file — but never persisted,
+        # so the next process re-probes.
+        _memory[key] = default
         return default
     _memory[key] = best_name
     _disk_put(key, {"choice": best_name, "candidates": sorted(candidates)})

@@ -341,3 +341,48 @@ def test_out_of_range_label_then_match_follows_reference():
     assert fh[2][1] == net_h.output_size() - 1 != 0
     assert net_d.output_size() == net_h.output_size()
     assert set(rd.speaker_embeddings) == set(rh.speaker_embeddings)
+
+
+def test_legacy_prng_falls_back_to_exact_buckets():
+    """Under jax_threefry_partitionable=False (or a non-threefry PRNG),
+    uniform(key, (n,))[i] DEPENDS on n, so chunk-max padding would train
+    differently from the per-file host oracle.  The loop must detect the
+    config, group only equal buckets, and still match the oracle exactly.
+    (With dropout>0 so the divergence would actually bite via the masks.)"""
+    import jax
+
+    from streamz_tpu.app import device_loop as dl
+
+    assert dl._prng_pad_invariant()  # default config
+    jax.config.update("jax_threefry_partitionable", False)
+    try:
+        assert not dl._prng_pad_invariant()
+        rng = np.random.default_rng(17)
+        centers = rng.normal(size=(2, 60)).astype(np.float32) * 3.0
+        files, fm = [], {}
+        for i in range(16):
+            n_win = 8 if i % 2 == 0 else 30  # buckets 8 and 32
+            path = f"legacy_{i}.wav"
+            fm[path] = (
+                centers[i % 2] + rng.normal(0, 0.1, size=(n_win, 60))
+            ).astype(np.float32)
+            files.append((path, None))
+        files[0] = (files[0][0], 0)
+        fd = [tuple(f) for f in files]
+        fh = [tuple(f) for f in files]
+        net_d = SpeakerNet.new(output=1, seed=0)
+        net_h = SpeakerNet.new(output=1, seed=0)
+        dl.run_incremental_device(
+            net_d, fd, dict(fm), burn_in_limit=4, conf_threshold=0.8,
+            dropout=0.2, batch_size=8, epochs=2, max_speakers=None,
+            show_progress=False,
+        )
+        run_incremental_host(
+            net_h, fh, dict(fm), burn_in_limit=4, conf_threshold=0.8,
+            dropout=0.2, batch_size=8, epochs=2, max_speakers=None,
+            show_progress=False,
+        )
+        assert [c for _, c in fd] == [c for _, c in fh]
+        assert net_d.output_size() == net_h.output_size()
+    finally:
+        jax.config.update("jax_threefry_partitionable", True)

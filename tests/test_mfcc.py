@@ -148,3 +148,28 @@ def test_feature_cache_roundtrip(tmp_path, monkeypatch):
     # Cache is authoritative: loading uses the stored array.
     np.save(cache_file, np.zeros((2, 60), np.float32))
     assert load_cached_features(p, ex).shape == (2, 60)
+
+
+def test_feature_cache_torn_file_recovers(tmp_path, monkeypatch):
+    """A truncated/corrupt cache .npy (writer killed mid-save before writes
+    were atomic, or a concurrent-writer race) must be recomputed and
+    overwritten, not crash every later run; writes publish atomically with
+    no temp litter."""
+    monkeypatch.chdir(tmp_path)
+    from streamz_tpu.io import wav as wavio
+
+    p = str(tmp_path / "clip.wav")
+    wavio.write_wav(p, _tone(4000))
+    ex = FeatureExtractor()
+    feats = load_cached_features(p, ex)
+    cache_file = tmp_path / "feature_cache" / f"{str(p).replace('/', '_')}.npy"
+    cache_file.write_bytes(b"\x93NUMPY truncated garbage")
+    again = load_cached_features(p, ex)
+    np.testing.assert_allclose(again, feats, atol=1e-6)
+    # The torn file was replaced by a loadable one, atomically (no litter).
+    np.testing.assert_allclose(np.load(cache_file), feats, atol=1e-6)
+    leftovers = [
+        f for f in (tmp_path / "feature_cache").iterdir()
+        if f.suffix == ".tmp"
+    ]
+    assert leftovers == []

@@ -216,4 +216,11 @@ def test_partial_distributed_args_rejected():
 
     with pytest.raises(ValueError):
         comm.initialize_distributed(process_id=1)
+    # ANY partial combination is rejected with the contract's message, not
+    # handed to jax half-specified (e.g. --num-processes without
+    # --coordinator would otherwise fail with an obscure internal error).
+    with pytest.raises(ValueError, match="pass all three"):
+        comm.initialize_distributed(num_processes=4)
+    with pytest.raises(ValueError, match="pass all three"):
+        comm.initialize_distributed(coordinator_address="h:1", process_id=0)
     comm.initialize_distributed()  # all-None: the single-process no-op

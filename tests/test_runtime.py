@@ -1,5 +1,6 @@
 """Runtime utilities: phase timer, trace no-op, watchdog."""
 
+import os
 import time
 
 from streamz_tpu.runtime.profiler import PhaseTimer, trace
@@ -207,3 +208,56 @@ def test_autotune_disk_put_concurrent_writers(monkeypatch, tmp_path):
     data = json.loads(cache.read_text())
     assert sorted(data) == [f"stage{i}:kind" for i in range(8)]
     assert not list(tmp_path.glob("*.tmp.*"))  # no leftover temp files
+
+
+def test_autotune_cache_path_is_per_user(monkeypatch):
+    """The default disk-cache path embeds the uid: a fixed world-shared
+    /tmp path breaks the second user on a shared machine (their lockfile
+    writes fail silently; they read another user's decisions)."""
+    import importlib
+
+    import streamz_tpu.runtime.autotune as at
+
+    monkeypatch.delenv("STREAMZ_AUTOTUNE_CACHE", raising=False)
+    assert f"-{os.getuid()}" in at._default_cache_path()
+    # The env override stays authoritative.
+    monkeypatch.setenv("STREAMZ_AUTOTUNE_CACHE", "/tmp/shared_team.json")
+    at2 = importlib.reload(at)
+    try:
+        assert at2._CACHE_PATH == "/tmp/shared_team.json"
+    finally:
+        monkeypatch.delenv("STREAMZ_AUTOTUNE_CACHE")
+        importlib.reload(at)
+
+
+def test_measured_choice_memoizes_all_probe_failure(monkeypatch, tmp_path):
+    """When every probe raises (wedged device), the default is memoized
+    IN-PROCESS — per-call sites (FeatureExtractor resolving per extract)
+    must not re-run the multi-second probe suite for every file — but
+    never persisted, so the next process re-probes."""
+    from streamz_tpu.runtime import autotune
+
+    monkeypatch.setattr(autotune, "_CACHE_PATH", str(tmp_path / "c.json"))
+    monkeypatch.setattr(autotune, "on_tpu", lambda: True)
+    monkeypatch.setattr(autotune, "probing_disabled", lambda: False)
+    autotune._memory.clear()
+    calls = {"n": 0}
+
+    def failing_probe():
+        calls["n"] += 1
+        raise RuntimeError("wedged")
+
+    for _ in range(3):
+        got = autotune.measured_choice(
+            "probefail", {"a": failing_probe, "b": failing_probe}, "a"
+        )
+        assert got == "a"
+    assert calls["n"] == 2  # both candidates probed ONCE, then memoized
+    assert autotune._disk_get("probefail:" + _device_kind()) is None
+    autotune._memory.clear()
+
+
+def _device_kind():
+    import jax
+
+    return jax.devices()[0].device_kind
