@@ -94,7 +94,10 @@ def _file_body(
     forward and of every per-chunk training gradient is computed by this
     device's slice and psum-merged — the mesh path of the discovery loop.
     All decision state stays replicated, so every device takes the same
-    branch and labels match the single-device scan.
+    branch and labels match the single-device scan up to floating-point
+    near-ties (the psum's reduction order differs from the single-device
+    sum, so two centroids within ~1e-3 cosine of each other can argmax
+    either way — the reference's rayon loop is nondeterministic there too).
     """
     params, num_speakers, run_sum, run_cnt = carry
     windows, n_valid, label, burn_phase, threshold, lr, key, active = x

@@ -77,7 +77,16 @@ def test_long_clip_stays_on_device_loop_with_mesh(monkeypatch):
     from streamz_tpu.parallel import comm
 
     rng = np.random.default_rng(3)
-    files, fm = _synthetic_corpus(8, 2, rng)
+    # 3 clusters with burn_in_limit=3 gives every burn-in class a DISTINCT
+    # cluster, so later matches have wide margins.  With 2 clusters, classes
+    # 0 and 2 both hold cluster-A centroids ~7e-4 apart in cosine — a
+    # near-tie that the sharded scan's different psum reduction order (and
+    # its sharded training gradients compounding over the preceding files)
+    # legitimately flips.  Label parity between the sharded and
+    # single-device loops holds up to such floating-point near-ties, not
+    # bit-exactly (the reference's own labels are nondeterministic under
+    # rayon interleaving, src/main.rs:750).
+    files, fm = _synthetic_corpus(8, 3, rng)
     # Make one clip "long" relative to a lowered threshold so the test stays
     # light; the routing must ignore it either way.
     long_path = files[3][0]
