@@ -306,9 +306,36 @@ def _bench_fused_loop(n_files=64, n_windows=448, epochs=5, batch=8):
             show_progress=False,
         )
         best = min(best, time.perf_counter() - start)
+
+    # Device-resident handoff (what the CLI actually runs: the ingest
+    # stage's DeviceFeatureStore feeds the loop, so the per-chunk feature
+    # re-upload — the dominant transfer — disappears).
+    import jax.numpy as jnp
+
+    from streamz_tpu.dsp.mfcc import DeviceFeatureStore
+
+    best_dev = np.inf
+    for r in range(3):
+        files, fm = corpus(n_files)
+        paths = [p for p, _ in files]
+        store = DeviceFeatureStore()
+        arr = jnp.asarray(np.stack([fm[p] for p in paths]))
+        arr.block_until_ready()
+        store.add_bucket(arr, list(range(len(paths))), [n_windows] * len(paths))
+        store.rekey({i: p for i, p in enumerate(paths)})
+        net = SpeakerNet.new(output=1, seed=0)
+        start = time.perf_counter()
+        run_incremental_device(
+            net, files, fm, burn_in_limit=8, conf_threshold=0.8, dropout=0.2,
+            batch_size=batch, epochs=epochs, max_speakers=None,
+            show_progress=False, device_store=store,
+        )
+        best_dev = min(best_dev, time.perf_counter() - start)
     return {
         "incremental_train_file_step_ms": best / n_files * 1e3,
         "incremental_loop_files_per_sec": n_files / best,
+        "incremental_train_file_step_ms_device_resident": best_dev / n_files * 1e3,
+        "incremental_loop_files_per_sec_device_resident": n_files / best_dev,
     }
 
 

@@ -305,6 +305,75 @@ def make_incremental_scan_sharded(mesh, epochs: int, batch_size: int):
     )
 
 
+@lru_cache(maxsize=64)
+def _chunk_gather_prog(bucket_w: int, w_pad: int, feat: int, m_pad: int, mesh):
+    """One ingest bucket's contribution to a chunk's window tensor.
+
+    ``wins`` is [L+1, w_pad, feat] (row L is a write-off for index padding);
+    ``bucket`` is the frontend's device output [B, bucket_w, feat] whose
+    frames beyond each clip's window count are exact zeros
+    (:func:`streamz_tpu.dsp.mfcc.deltas_and_norm`), so the gathered rows are
+    bit-identical to host zero-padded packing.  With ``mesh`` the output is
+    replicated (the SPMD scan's in_spec), whatever the bucket's sharding.
+    """
+
+    def g(wins, bucket, src, dst):
+        rows = bucket[src]  # [m_pad, bucket_w, feat]
+        w = min(bucket_w, w_pad)
+        rows = rows[:, :w]
+        if w < w_pad:
+            rows = jnp.pad(rows, ((0, 0), (0, w_pad - w), (0, 0)))
+        return wins.at[dst].set(rows)
+
+    if mesh is None:
+        return jax.jit(g)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.jit(g, out_shardings=NamedSharding(mesh, P()))
+
+
+def _assemble_chunk_device(
+    job_ks, jobs, L: int, w_pad: int, feat: int, store, mesh
+):
+    """Build a chunk's [L, w_pad, feat] window tensor by device-side gather
+    from the ingest store — no host→device feature re-upload (measured ~43%
+    of a 64-file fused-loop dispatch through a remote TPU).  Returns None
+    when any file is missing from the store (e.g. it took the PCM-sharded
+    long-clip route): the caller host-packs that chunk instead."""
+    hits = []
+    for row, k in enumerate(job_ks):
+        hit = store.lookup(jobs[k][1])
+        if hit is None:
+            return None
+        hits.append((row, hit))
+
+    wins = jnp.zeros((L + 1, w_pad, feat), jnp.float32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        wins = jax.device_put(wins, NamedSharding(mesh, P()))
+    groups: Dict[int, Tuple[List[int], List[int]]] = {}
+    for row, (bid, srow, _) in hits:
+        groups.setdefault(bid, ([], []))
+        groups[bid][0].append(row)
+        groups[bid][1].append(srow)
+    for bid, (dsts, srcs) in groups.items():
+        bucket = store.bucket(bid)
+        m = len(dsts)
+        m_pad = 1
+        while m_pad < m:
+            m_pad *= 2
+        dst = np.full((m_pad,), L, np.int32)  # padding writes row L
+        dst[:m] = dsts
+        src = np.zeros((m_pad,), np.int32)
+        src[:m] = srcs
+        prog = _chunk_gather_prog(
+            int(bucket.shape[1]), w_pad, feat, m_pad, mesh
+        )
+        wins = prog(wins, bucket, jnp.asarray(src), jnp.asarray(dst))
+    return wins[:L]
+
+
 def _pow2_chunks(n: int) -> List[int]:
     """Split n into chunk lengths: MAX_SCAN_FILES-sized chunks plus one
     power-of-two remainder (bounds compiled variants to log2 sizes)."""
@@ -333,9 +402,19 @@ def run_incremental_device(
     max_speakers: Optional[int],
     show_progress: bool = True,
     mesh=None,
+    device_store=None,
 ):
     """Chunk the file sequence, enqueue one fused scan per chunk, fetch all
     results once at the end.
+
+    With ``device_store`` (the ingest stage's
+    :class:`~streamz_tpu.dsp.mfcc.DeviceFeatureStore`) each chunk's window
+    tensor is assembled ON the device from the frontend's outputs instead of
+    re-uploading the host ``feature_map`` copies — bit-identical inputs
+    (the store's padding frames are exact zeros), minus the dominant
+    host→device transfer of every loop dispatch.  The store must have been
+    built under this call's effective sharding (same mesh when the SPMD
+    scan runs, no mesh otherwise) or it is ignored.
 
     With ``mesh`` (>1 device) the scan runs SPMD: each device computes its
     window-axis slice of the embed forward and of every training chunk's
@@ -453,6 +532,17 @@ def run_incremental_device(
         if sharded
         else None
     )
+    # The ingest store is usable only when it was built under the same
+    # sharding this loop will trace with: a mesh-sharded bucket fed to the
+    # single-device scan (or vice versa) would mix committed device sets.
+    store = device_store
+    if store is not None:
+        store_ok = (
+            (sharded and store.mesh is mesh)
+            or (not sharded and store.mesh is None)
+        )
+        if not store_ok:
+            store = None
     out_parts = []  # (job_ks, sids_dev, losses_dev, embs_dev, n_real)
     for job_ks, L in progress(chunks, desc="incremental", enabled=show_progress):
         w_pad = max(jobs[k][5] for k in job_ks)
@@ -463,7 +553,14 @@ def run_incremental_device(
                 w_pad += batch_size
         feat = jobs[job_ks[0]][3].shape[1]
         n_real = len(job_ks)
-        wins = np.zeros((L, w_pad, feat), np.float32)
+        wins_dev = (
+            _assemble_chunk_device(
+                job_ks, jobs, L, w_pad, feat, store, mesh if sharded else None
+            )
+            if store is not None
+            else None
+        )
+        wins = np.zeros((L, w_pad, feat), np.float32) if wins_dev is None else None
         n_valids = np.zeros((L,), np.int32)
         labels_a = np.full((L,), -1, np.int32)
         burns = np.zeros((L,), bool)
@@ -473,7 +570,8 @@ def run_incremental_device(
         key_rows = np.zeros((L,), np.int32)
         for row, k in enumerate(job_ks):
             _, _, label, windows, n_valid, _ = jobs[k]
-            wins[row, :n_valid] = windows
+            if wins is not None:
+                wins[row, :n_valid] = windows
             n_valids[row] = n_valid
             labels_a[row] = -1 if label is None else int(label)
             burn = k < burn_in_limit
@@ -486,11 +584,12 @@ def run_incremental_device(
             key_rows[row] = k
         keys = all_keys[jnp.asarray(key_rows)]
 
+        wins_in = wins_dev if wins_dev is not None else jnp.asarray(wins)
         if sharded:
             (params, ns, run_sum, run_cnt, sids, losses, embs) = scan_sharded(
                 params, ns, run_sum, run_cnt, seed_cent, seed_mask,
                 jnp.int32(max_sp), jnp.float32(dropout),
-                jnp.asarray(wins), jnp.asarray(n_valids),
+                wins_in, jnp.asarray(n_valids),
                 jnp.asarray(labels_a), jnp.asarray(burns), jnp.asarray(thrs),
                 jnp.asarray(lrs), keys, jnp.asarray(actives),
             )
@@ -498,7 +597,7 @@ def run_incremental_device(
             (params, ns, run_sum, run_cnt, sids, losses, embs) = incremental_scan(
                 params, ns, run_sum, run_cnt, seed_cent, seed_mask,
                 jnp.int32(max_sp), jnp.float32(dropout),
-                jnp.asarray(wins), jnp.asarray(n_valids), jnp.asarray(labels_a),
+                wins_in, jnp.asarray(n_valids), jnp.asarray(labels_a),
                 jnp.asarray(burns), jnp.asarray(thrs), jnp.asarray(lrs),
                 keys, jnp.asarray(actives),
                 epochs=int(epochs), batch_size=int(batch_size),

@@ -73,6 +73,7 @@ def run_incremental(
     max_speakers: Optional[int] = None,
     show_progress: bool = True,
     mesh=None,
+    device_store=None,
 ) -> IncrementalResult:
     """Mutates ``net`` and the labels inside ``train_files``; returns stats.
 
@@ -116,6 +117,7 @@ def run_incremental(
         max_speakers=max_speakers,
         show_progress=show_progress,
         mesh=mesh,
+        device_store=device_store,
     )
     return IncrementalResult(
         total_loss=total_loss,

@@ -146,13 +146,15 @@ class FeatureExtractor:
         return mfcc.extract_features(samples, core=self._core())
 
     def extract_batch(
-        self, clips: Sequence[np.ndarray], mesh=None
+        self, clips: Sequence[np.ndarray], mesh=None, store=None
     ) -> List[np.ndarray]:
         """Batched extraction; with ``mesh`` the clip axis is sharded across
         the data mesh for every device backend — the fused Pallas kernels
         run per shard under ``shard_map``, so the ingest stage stays sharded
         regardless of the autotune winner (only the numpy golden spec is
-        host-only)."""
+        host-only).  With ``store`` (a :class:`~streamz_tpu.dsp.mfcc.
+        DeviceFeatureStore`) the device outputs are additionally kept
+        device-resident for downstream device consumers."""
         if self.backend == "numpy":
             return [mfcc_ref.extract_features_np(c) for c in clips]
         resolved = self._resolved()
@@ -163,6 +165,7 @@ class FeatureExtractor:
         return mfcc.extract_features_batch(
             clips, core=_core_for(resolved), mesh=mesh,
             allow_pcm_sharded=(self.backend == "auto" or resolved == "jax"),
+            store=store,
         )
 
 
