@@ -339,6 +339,45 @@ def _bench_fused_loop(n_files=64, n_windows=448, epochs=5, batch=8):
     }
 
 
+def bench_eval_embeddings(n_files=256, n_windows=448, classes=64):
+    """Eval-stage clip-embedding batches (``--eval``'s device work,
+    src/main.rs:573-611): host-packed upload vs device-resident store
+    gather — the eval analogue of the discovery loop's feature handoff."""
+    import jax.numpy as jnp
+
+    from streamz_tpu.dsp.mfcc import DeviceFeatureStore
+    from streamz_tpu.infer.embed import batch_clip_embeddings
+    from streamz_tpu.nn.model import SpeakerNet
+
+    rng = np.random.default_rng(0)
+    net = SpeakerNet.new(output=classes, seed=0)
+    wins = rng.normal(0, 1, size=(n_files, n_windows, 60)).astype(np.float32)
+    clips = [wins[i] for i in range(n_files)]
+    keys = [f"e{i}.wav" for i in range(n_files)]
+
+    batch_clip_embeddings(net, clips[:4])  # warm the compile cache
+    best = np.inf
+    for _ in range(3):
+        start = time.perf_counter()
+        batch_clip_embeddings(net, clips)
+        best = min(best, time.perf_counter() - start)
+
+    store = DeviceFeatureStore()
+    arr = jnp.asarray(wins)
+    arr.block_until_ready()
+    store.add_bucket(arr, keys, [n_windows] * n_files)
+    batch_clip_embeddings(net, clips[:4], store=store, keys=keys[:4])
+    best_dev = np.inf
+    for _ in range(3):
+        start = time.perf_counter()
+        batch_clip_embeddings(net, clips, store=store, keys=keys)
+        best_dev = min(best_dev, time.perf_counter() - start)
+    return {
+        "eval_embed_files_per_sec": n_files / best,
+        "eval_embed_files_per_sec_device_resident": n_files / best_dev,
+    }
+
+
 def bench_stego(payload_bytes=64):
     """Steganography encode: the on-device while_loop trainer (HOT LOOP D,
     src/lib.rs:1753-1764). Reports wall time and steps to bit-exact
@@ -363,6 +402,7 @@ SECTIONS = {
     "identify": bench_identify,
     "corpus": bench_corpus_train,
     "incremental": bench_incremental_train,
+    "eval": bench_eval_embeddings,
     "stego": bench_stego,
     "streaming": bench_streaming,
 }

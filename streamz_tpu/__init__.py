@@ -29,8 +29,10 @@ from streamz_tpu.config import (
 from streamz_tpu.dsp.features import (
     FeatureExtractor,
     load_cached_features,
+    save_cached_features,
     with_thread_extractor,
 )
+from streamz_tpu.dsp.mfcc import DeviceFeatureStore
 from streamz_tpu.dsp.resample import resample_to_44100
 from streamz_tpu.infer.cluster import cluster_embeddings
 from streamz_tpu.infer.cosine import (
@@ -103,6 +105,7 @@ __all__ = [
     "MFCC_SIZE",
     "WINDOW_SIZE",
     "WITH_DELTAS",
+    "DeviceFeatureStore",
     "FeatureExtractor",
     "SimpleNeuralNet",
     "SpeakerNet",
@@ -146,6 +149,7 @@ __all__ = [
     "load_mp3_samples",
     "load_wav_samples",
     "median_embedding_from_features",
+    "save_cached_features",
     "normalize",
     "pretrain_from_features",
     "pretrain_network",

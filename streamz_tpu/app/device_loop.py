@@ -305,33 +305,6 @@ def make_incremental_scan_sharded(mesh, epochs: int, batch_size: int):
     )
 
 
-@lru_cache(maxsize=64)
-def _chunk_gather_prog(bucket_w: int, w_pad: int, feat: int, m_pad: int, mesh):
-    """One ingest bucket's contribution to a chunk's window tensor.
-
-    ``wins`` is [L+1, w_pad, feat] (row L is a write-off for index padding);
-    ``bucket`` is the frontend's device output [B, bucket_w, feat] whose
-    frames beyond each clip's window count are exact zeros
-    (:func:`streamz_tpu.dsp.mfcc.deltas_and_norm`), so the gathered rows are
-    bit-identical to host zero-padded packing.  With ``mesh`` the output is
-    replicated (the SPMD scan's in_spec), whatever the bucket's sharding.
-    """
-
-    def g(wins, bucket, src, dst):
-        rows = bucket[src]  # [m_pad, bucket_w, feat]
-        w = min(bucket_w, w_pad)
-        rows = rows[:, :w]
-        if w < w_pad:
-            rows = jnp.pad(rows, ((0, 0), (0, w_pad - w), (0, 0)))
-        return wins.at[dst].set(rows)
-
-    if mesh is None:
-        return jax.jit(g)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    return jax.jit(g, out_shardings=NamedSharding(mesh, P()))
-
-
 def _assemble_chunk_device(
     job_ks, jobs, L: int, w_pad: int, feat: int, store, mesh
 ):
@@ -339,39 +312,12 @@ def _assemble_chunk_device(
     from the ingest store — no host→device feature re-upload (measured ~43%
     of a 64-file fused-loop dispatch through a remote TPU).  Returns None
     when any file is missing from the store (e.g. it took the PCM-sharded
-    long-clip route): the caller host-packs that chunk instead."""
-    hits = []
-    for row, k in enumerate(job_ks):
-        hit = store.lookup(jobs[k][1])
-        if hit is None:
-            return None
-        hits.append((row, hit))
-
-    wins = jnp.zeros((L + 1, w_pad, feat), jnp.float32)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        wins = jax.device_put(wins, NamedSharding(mesh, P()))
-    groups: Dict[int, Tuple[List[int], List[int]]] = {}
-    for row, (bid, srow, _) in hits:
-        groups.setdefault(bid, ([], []))
-        groups[bid][0].append(row)
-        groups[bid][1].append(srow)
-    for bid, (dsts, srcs) in groups.items():
-        bucket = store.bucket(bid)
-        m = len(dsts)
-        m_pad = 1
-        while m_pad < m:
-            m_pad *= 2
-        dst = np.full((m_pad,), L, np.int32)  # padding writes row L
-        dst[:m] = dsts
-        src = np.zeros((m_pad,), np.int32)
-        src[:m] = srcs
-        prog = _chunk_gather_prog(
-            int(bucket.shape[1]), w_pad, feat, m_pad, mesh
-        )
-        wins = prog(wins, bucket, jnp.asarray(src), jnp.asarray(dst))
-    return wins[:L]
+    long-clip route): the caller host-packs that chunk instead.  With
+    ``mesh`` the result is replicated (the SPMD scan's in_spec), whatever
+    the buckets' sharding."""
+    return store.gather(
+        [jobs[k][1] for k in job_ks], w_pad, mesh=mesh, n_rows=L
+    )
 
 
 def _pow2_chunks(n: int) -> List[int]:

@@ -35,6 +35,7 @@ def evaluate(
     *,
     verbose: bool = True,
     mesh=None,
+    store=None,
 ) -> Dict[str, float]:
     """Run the evaluation loop; returns the metrics dict.
 
@@ -42,6 +43,12 @@ def evaluate(
     mesh.  The file-vs-centroid similarities are one
     [n_files x n_speakers] GEMM (``cosine_matrix_many``), not a per-centroid
     Python loop — the O(S) work per file is only the verbose logging.
+
+    With ``store`` (the ingest stage's
+    :class:`~streamz_tpu.dsp.mfcc.DeviceFeatureStore`, path-keyed, built
+    from the SAME ``feature_map`` this call reads) the embedding batches
+    gather the device-resident features instead of re-uploading them —
+    bit-identical embeddings, minus the dominant host→device transfer.
     """
 
     def log(msg: str) -> None:
@@ -61,7 +68,8 @@ def evaluate(
 
     present = [(p, c) for p, c in target_files if feature_map.get(p) is not None]
     embeddings = batch_clip_embeddings(
-        net, [feature_map[p] for p, _ in present], mesh=mesh
+        net, [feature_map[p] for p, _ in present], mesh=mesh,
+        store=store, keys=[p for p, _ in present],
     )
     emb_by_path = {p: e for (p, _), e in zip(present, embeddings)}
     if centroid_list and present:

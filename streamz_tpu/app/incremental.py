@@ -245,12 +245,29 @@ def finalize_and_save(
     net: SpeakerNet,
     result: IncrementalResult,
     model_path: str = config.MODEL_PATH,
+    feature_map=None,
+    store=None,
+    mesh=None,
 ) -> None:
     """Recompute stored embeddings from the feature cache, save the model,
-    print the summary (src/main.rs:840-868)."""
+    print the summary (src/main.rs:840-868).
+
+    ``feature_map``/``store``/``mesh`` forward to
+    :func:`~streamz_tpu.infer.cosine.compute_speaker_embeddings`: files the
+    run just ingested reuse the in-memory (or device-resident) windows
+    instead of being decoded+extracted AGAIN one at a time — on a fresh
+    corpus the reference re-runs its whole per-file pipeline here
+    (``src/lib.rs:1569``), which on a TPU would mean one host round trip
+    per file; existing cache files still take precedence bit-for-bit.
+    """
     from streamz_tpu.nn import checkpoint
 
-    new_embeddings = compute_speaker_embeddings(net) or []
+    new_embeddings = (
+        compute_speaker_embeddings(
+            net, mesh=mesh, feature_map=feature_map, store=store
+        )
+        or []
+    )
     for i, (embed_v, mean, std) in enumerate(new_embeddings):
         norm = float(np.linalg.norm(embed_v))
         print(

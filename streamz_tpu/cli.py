@@ -296,17 +296,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     path_list = [p for p, _ in train_files]
     if eval_mode:
         path_list.extend(p for p, _ in target_files)
-    # keep_device: the discovery loop (training mode) reuses the frontend's
-    # device outputs directly; eval never runs the loop, so don't pin HBM.
-    device_store = None
-    if eval_mode:
-        feature_map = build_feature_map(
-            path_list, extractor, timer=timer, mesh=mesh
-        )
-    else:
-        feature_map, device_store = build_feature_map(
-            path_list, extractor, timer=timer, mesh=mesh, keep_device=True
-        )
+    # keep_device: the downstream device consumer — the discovery loop
+    # (training mode) or the eval embedding batches — reuses the frontend's
+    # device outputs directly instead of re-uploading them.
+    feature_map, device_store = build_feature_map(
+        path_list, extractor, timer=timer, mesh=mesh, keep_device=True
+    )
 
     for p, _ in train_files:
         if p not in feature_map:
@@ -353,7 +348,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 1
         print(f"Model contains {len(net.embeddings)} saved embeddings")
         with timer.phase("eval"):
-            evaluate(net, feature_map, norm_targets, conf_threshold, mesh=mesh)
+            evaluate(
+                net, feature_map, norm_targets, conf_threshold, mesh=mesh,
+                store=device_store,
+            )
+        if device_store is not None:
+            device_store.release()
         _trace_stack.close()
         if profile:
             print(timer.report())
@@ -369,7 +369,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             net = checkpoint.load(config.MODEL_PATH)
             print(f"Loaded saved model from {config.MODEL_PATH}")
             net.set_embeddings(
-                compute_speaker_embeddings(net, extractor, mesh=mesh) or []
+                compute_speaker_embeddings(
+                    net, extractor, mesh=mesh,
+                    feature_map=feature_map, store=device_store,
+                )
+                or []
             )
         except Exception as e:
             print(f"Failed to load model: {e}", file=sys.stderr)
@@ -434,11 +438,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             mesh=mesh,
             device_store=device_store,
         )
+    with timer.phase("finalize"):
+        finalize_and_save(
+            net, result, feature_map=feature_map, store=device_store,
+            mesh=mesh,
+        )
     if device_store is not None:
         device_store.release()  # free the HBM feature copies
-
-    with timer.phase("finalize"):
-        finalize_and_save(net, result)
     _trace_stack.close()
     if profile:
         print(timer.report())
@@ -560,11 +566,16 @@ def _identify_mode(
         f"({net.output_size()} speakers, {len(net.embeddings)} embeddings)"
     )
 
-    feature_map = build_feature_map(paths, extractor, timer=timer, mesh=mesh)
+    feature_map, store = build_feature_map(
+        paths, extractor, timer=timer, mesh=mesh, keep_device=True
+    )
     present = [p for p in paths if feature_map.get(p) is not None]
     embeddings = batch_clip_embeddings(
-        net, [feature_map[p] for p in present], mesh=mesh
+        net, [feature_map[p] for p in present], mesh=mesh,
+        store=store, keys=present,
     )
+    if store is not None:
+        store.release()
     centroids = np.stack(
         [np.asarray(m, np.float32) for m, _, _ in net.embeddings]
     )

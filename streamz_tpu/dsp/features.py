@@ -177,6 +177,31 @@ def with_thread_extractor(f: Callable[[FeatureExtractor], R]) -> R:
     return f(_GLOBAL_EXTRACTOR)
 
 
+def save_cached_features(path: str, feats: np.ndarray) -> None:
+    """Publish ``feature_cache/<sanitized>.npy`` atomically (temp + rename
+    in the cache dir): a concurrent reader — another process
+    training/evaluating the same corpus — must never observe a
+    partially-written .npy."""
+    if not len(feats):
+        return
+    import tempfile
+
+    cache = audio.feature_cache_path(path)
+    fd, tmp = tempfile.mkstemp(
+        prefix=cache.name + ".", suffix=".tmp", dir=str(cache.parent)
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.save(f, feats)
+        os.replace(tmp, cache)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def load_cached_features(
     path: str, extractor: FeatureExtractor | None = None
 ) -> np.ndarray:
@@ -194,23 +219,5 @@ def load_cached_features(
             pass
     samples = audio.load_audio_samples(path)
     feats = extractor.extract(samples)
-    if len(feats):
-        # Atomic publish (temp + rename in the cache dir): a concurrent
-        # reader — another process training/evaluating the same corpus —
-        # must never observe a partially-written .npy.
-        import tempfile
-
-        fd, tmp = tempfile.mkstemp(
-            prefix=cache.name + ".", suffix=".tmp", dir=str(cache.parent)
-        )
-        try:
-            with os.fdopen(fd, "wb") as f:
-                np.save(f, feats)
-            os.replace(tmp, cache)
-        except BaseException:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-            raise
+    save_cached_features(path, feats)
     return feats

@@ -221,6 +221,94 @@ class DeviceFeatureStore:
         self._buckets = []
         self._index = {}
 
+    def gather(
+        self, keys, w_pad: int, *, mesh=None, rows_sharded: bool = False,
+        n_rows: int | None = None,
+    ):
+        """Assemble an ``[n_rows, w_pad, feat]`` window tensor ON the device
+        from the stored frontend outputs, row ``r`` holding ``keys[r]``'s
+        windows — the device-side replacement for host zero-pack + upload.
+
+        Returns None when any key misses (the caller host-packs instead).
+        Rows are bit-identical to host zero-padded packing: valid frames are
+        the frontend's own outputs, frames beyond each clip's window count
+        are exact zeros (:func:`deltas_and_norm`), and rows beyond
+        ``len(keys)`` stay all-zero.  With ``mesh`` the result is replicated
+        (``rows_sharded=False`` — e.g. the fused discovery scan's in_spec)
+        or sharded over the mesh axis on the row dim (``rows_sharded=True``
+        — e.g. the bucketed embedding kernels, whose host path shards the
+        clip axis); ``n_rows`` must then be a mesh multiple, exactly as
+        :func:`streamz_tpu.parallel.mesh.pad_rows_to_mesh` would pad it.
+        """
+        hits = []
+        for key in keys:
+            h = self._index.get(key)
+            if h is None:
+                return None
+            hits.append(h)
+        R = len(keys) if n_rows is None else int(n_rows)
+        if not hits:
+            return None
+        feat = int(self._buckets[hits[0][0]].shape[2])
+        wins = jnp.zeros((R, w_pad, feat), jnp.float32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = (
+                P(mesh.axis_names[0], None, None) if rows_sharded else P()
+            )
+            wins = jax.device_put(wins, NamedSharding(mesh, spec))
+        groups: dict = {}
+        for row, (bid, srow, _) in enumerate(hits):
+            groups.setdefault(bid, ([], []))
+            groups[bid][0].append(row)
+            groups[bid][1].append(srow)
+        for bid, (dsts, srcs) in groups.items():
+            bucket = self._buckets[bid]
+            m = len(dsts)
+            m_pad = 1
+            while m_pad < m:
+                m_pad *= 2
+            # Pad the index arrays by REPEATING entry 0: the duplicate
+            # scatter rewrites the same row with the same value, so the
+            # result is order-independent and no write-off row is needed.
+            dst = np.full((m_pad,), dsts[0], np.int32)
+            dst[:m] = dsts
+            src = np.full((m_pad,), srcs[0], np.int32)
+            src[:m] = srcs
+            prog = _gather_prog(
+                int(bucket.shape[1]), w_pad, feat, m_pad, mesh, rows_sharded
+            )
+            wins = prog(wins, bucket, jnp.asarray(src), jnp.asarray(dst))
+        return wins
+
+
+@lru_cache(maxsize=128)
+def _gather_prog(
+    bucket_w: int, w_pad: int, feat: int, m_pad: int, mesh, rows_sharded: bool
+):
+    """One store bucket's contribution to a gathered window tensor
+    (:meth:`DeviceFeatureStore.gather`).  ``wins`` is [R, w_pad, feat];
+    ``bucket`` is a frontend output [B, bucket_w, feat] whose frames beyond
+    each clip's window count are exact zeros, so slicing/padding the window
+    axis to ``w_pad`` (callers guarantee w_pad >= every gathered clip's
+    window count) reproduces host zero-packing bit-for-bit."""
+
+    def g(wins, bucket, src, dst):
+        rows = bucket[src]  # [m_pad, bucket_w, feat]
+        w = min(bucket_w, w_pad)
+        rows = rows[:, :w]
+        if w < w_pad:
+            rows = jnp.pad(rows, ((0, 0), (0, w_pad - w), (0, 0)))
+        return wins.at[dst].set(rows)
+
+    if mesh is None:
+        return jax.jit(g)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(mesh.axis_names[0], None, None) if rows_sharded else P()
+    return jax.jit(g, out_shardings=NamedSharding(mesh, spec))
+
 
 def extract_features_batch(
     clips: Sequence[np.ndarray], core=None, mesh=None,

@@ -184,18 +184,36 @@ def identify_speaker_cosine_feats(
 
 
 def compute_speaker_embeddings(
-    net: SpeakerNet, extractor=None, mesh=None
+    net: SpeakerNet, extractor=None, mesh=None, feature_map=None, store=None
 ) -> Optional[List[SpeakerStats]]:
     """Per-speaker (mean, mean_sim, std_sim) from the feature cache
     (src/lib.rs:1555-1599).  With ``mesh`` the pooled embedding batches are
-    sharded across the data mesh."""
-    from streamz_tpu.dsp.features import load_cached_features
+    sharded across the data mesh.
+
+    ``feature_map`` (this run's in-memory path→windows map) short-circuits
+    the compute-on-cache-miss path: an EXISTING cache file still wins (the
+    reference's load-or-compute contract — on-disk content is
+    authoritative), but a missing one takes the map's windows and publishes
+    them to the cache instead of re-ingesting the file one clip at a time —
+    on a fresh corpus the reference pays its whole L0+L1 pipeline per file
+    again here (``src/lib.rs:1569`` → ``:558-579``), and a TPU pays a
+    per-file device dispatch.  ``store`` (the ingest stage's
+    :class:`~streamz_tpu.dsp.mfcc.DeviceFeatureStore`) additionally lets
+    those map-sourced batches gather device-resident rows, skipping the
+    host→device re-upload; cache-sourced files host-pack as before.
+    """
+    from streamz_tpu.dsp.features import (
+        load_cached_features,
+        save_cached_features,
+    )
     from streamz_tpu.infer.embed import batch_median_embeddings
+    from streamz_tpu.io import audio
 
     # Gather every file's cached windows first, then pool all embeddings in
     # bucketed batched device calls (one dispatch per bucket, not per file).
     per_speaker_wins: List[List[np.ndarray]] = []
     flat_wins: List[np.ndarray] = []
+    flat_keys: List[object] = []  # store keys; cache-sourced rows must miss
     # One stats entry per LIVE class, always: a net whose file_lists lags
     # num_speakers (grown without recorded files) gets zero-centroid stats
     # for the tail instead of silently dropping those speakers from the
@@ -205,15 +223,30 @@ def compute_speaker_embeddings(
     for files in file_lists:
         wins_list: List[np.ndarray] = []
         for path in files:
-            try:
-                wins = load_cached_features(path, extractor)
-            except Exception:
-                continue
+            from_map = (
+                feature_map is not None
+                and feature_map.get(path) is not None
+                and not audio.feature_cache_path(path).exists()
+            )
+            if from_map:
+                wins = feature_map[path]
+                try:
+                    save_cached_features(path, wins)
+                except Exception:
+                    pass  # cache publish is best-effort; windows are in hand
+            else:
+                try:
+                    wins = load_cached_features(path, extractor)
+                except Exception:
+                    continue
             wins_list.append(wins)
+            flat_keys.append(path if from_map else object())
         per_speaker_wins.append(wins_list)
         flat_wins.extend(wins_list)
 
-    flat_embeds = batch_median_embeddings(net, flat_wins, mesh=mesh)
+    flat_embeds = batch_median_embeddings(
+        net, flat_wins, mesh=mesh, store=store, keys=flat_keys
+    )
     it = iter(flat_embeds)
 
     out: List[SpeakerStats] = []

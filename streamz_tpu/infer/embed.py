@@ -78,16 +78,29 @@ def _put_bucket(batch, lens, mesh):
     return jnp.asarray(batch), jnp.asarray(lens)
 
 
-def _batch_pooled(net: SpeakerNet, clips, mesh, kernel) -> list:
+def _batch_pooled(net: SpeakerNet, clips, mesh, kernel, store=None, keys=None) -> list:
     """Shared scaffold of the batched pooled-embedding paths.
 
     Buckets clips by power-of-two window count, pads each bucket, runs the
     jitted masked pooling ``kernel`` (mean or exact-median) once per bucket
     (clip axis sharded when ``mesh`` is given), and L2-normalizes — one
     device dispatch per bucket instead of per clip.
+
+    With ``store``/``keys`` (the ingest stage's
+    :class:`~streamz_tpu.dsp.mfcc.DeviceFeatureStore`; ``keys[i]`` is clip
+    ``i``'s store key) each bucket whose clips all hit the store is
+    assembled by device-side gather — no host→device feature re-upload.
+    The gathered rows are bit-identical to host zero-packing, so the
+    embeddings are unchanged.  A bucket with any miss host-packs as before.
+    The store must have been built under this call's sharding (same mesh
+    or both None) or it is ignored.
     """
     if not clips:
         return []
+    if store is not None and keys is not None:
+        store_ok = (mesh is None and store.mesh is None) or store.mesh is mesh
+        if not store_ok:
+            store = None
     arrs = [np.asarray(c, np.float32) for c in clips]
     out = [None] * len(arrs)
     buckets: dict = {}
@@ -100,30 +113,54 @@ def _batch_pooled(net: SpeakerNet, clips, mesh, kernel) -> list:
         while n_pad < len(a):
             n_pad *= 2
         buckets.setdefault(n_pad, []).append(i)
-    for n_pad, idxs in buckets.items():
-        batch = np.zeros((len(idxs), n_pad, feat), np.float32)
-        lens = np.zeros((len(idxs),), np.int32)
-        for row, i in enumerate(idxs):
-            batch[row, : len(arrs[i])] = arrs[i]
-            lens[row] = len(arrs[i])
-        batch_d, lens_d = _put_bucket(batch, lens, mesh)
-        from streamz_tpu.parallel.mesh import fetch
+    from streamz_tpu.parallel.mesh import (
+        fetch,
+        pad_rows_to_mesh,
+        put_batch_sharded,
+    )
 
+    for n_pad, idxs in buckets.items():
+        lens = np.asarray([len(arrs[i]) for i in idxs], np.int32)
+        batch_d = lens_d = None
+        if store is not None and keys is not None:
+            bucket_keys = [keys[i] for i in idxs]
+            if mesh is not None:
+                _, (lens_p,) = pad_rows_to_mesh(mesh, lens)
+                batch_d = store.gather(
+                    bucket_keys, n_pad, mesh=mesh, rows_sharded=True,
+                    n_rows=len(lens_p),
+                )
+                if batch_d is not None:
+                    (lens_d,) = put_batch_sharded(mesh, lens_p)
+            else:
+                batch_d = store.gather(bucket_keys, n_pad)
+                if batch_d is not None:
+                    lens_d = jnp.asarray(lens)
+        if batch_d is None:
+            batch = np.zeros((len(idxs), n_pad, feat), np.float32)
+            for row, i in enumerate(idxs):
+                batch[row, : len(arrs[i])] = arrs[i]
+            batch_d, lens_d = _put_bucket(batch, lens, mesh)
         embs = fetch(kernel(net.params, batch_d, lens_d))
         for row, i in enumerate(idxs):
             out[i] = normalize(embs[row])
     return out
 
 
-def batch_clip_embeddings(net: SpeakerNet, clips, mesh=None) -> list:
+def batch_clip_embeddings(net: SpeakerNet, clips, mesh=None, store=None, keys=None) -> list:
     """Mean-pooled ReLU-h2 embeddings for many clips in few device calls.
 
     Equivalent to calling :func:`extract_embedding_from_features` per clip
     (same normalization contract) but batched with window-count bucketing —
     one device dispatch per bucket instead of per clip.  With ``mesh`` the
-    clip axis is sharded across the data mesh (SPMD via pjit).
+    clip axis is sharded across the data mesh (SPMD via pjit).  With
+    ``store``/``keys`` the buckets gather device-resident ingest features
+    instead of re-uploading (see :func:`_batch_pooled`); only safe when
+    ``clips[i]`` IS the ingest output for ``keys[i]`` (e.g. the CLI's
+    ``feature_map`` in the same run) — the disk feature-cache contract may
+    legitimately differ, so cache-fed callers must not pass a store.
     """
-    return _batch_pooled(net, clips, mesh, _fembed_mean_batch)
+    return _batch_pooled(net, clips, mesh, _fembed_mean_batch, store, keys)
 
 
 @jax.jit
@@ -149,14 +186,17 @@ def _fembed_median_batch(params, windows, n_valid):
     return ((lo + hi) / 2.0)[:, 0, :]
 
 
-def batch_median_embeddings(net: SpeakerNet, clips, mesh=None) -> list:
+def batch_median_embeddings(net: SpeakerNet, clips, mesh=None, store=None, keys=None) -> list:
     """Median-pooled ReLU-h2 embeddings for many clips, bucketed+batched.
 
     Equivalent to :func:`median_embedding_from_features` per clip (including
     the even-count midpoint rule, src/lib.rs:1483-1492), L2-normalized.
-    With ``mesh`` the clip axis is sharded across the data mesh.
+    With ``mesh`` the clip axis is sharded across the data mesh.  For
+    ``store``/``keys`` see :func:`batch_clip_embeddings` — same contract
+    (and the same caveat: only keys whose clip IS the ingest output may be
+    store keys; cache-sourced clips must carry a missing key).
     """
-    return _batch_pooled(net, clips, mesh, _fembed_median_batch)
+    return _batch_pooled(net, clips, mesh, _fembed_median_batch, store, keys)
 
 
 def extract_embedding(net: SpeakerNet, sample, extractor=None) -> np.ndarray:

@@ -177,6 +177,136 @@ def test_loop_mesh_mismatched_store_is_ignored():
     assert labels_s == labels_h
 
 
+def _embed_all(net, fm, paths, mesh=None, store=None):
+    from streamz_tpu.infer.embed import batch_clip_embeddings
+
+    return batch_clip_embeddings(
+        net, [fm[p] for p in paths], mesh=mesh, store=store, keys=paths
+    )
+
+
+def test_batch_embeddings_store_bit_identical_single_device():
+    rng = np.random.default_rng(7)
+    files, fm = _feature_corpus(rng, 10, 3, windows_per_file=6)
+    # Mixed window counts across pooling buckets.
+    for i, (p, _) in enumerate(files[:4]):
+        fm[p] = fm[p][: 2 + i]
+    paths = [p for p, _ in files]
+    net = SpeakerNet.new(output=3, seed=1)
+    store = _synthetic_store(fm, paths)
+    ref = _embed_all(net, fm, paths)
+    got = _embed_all(net, fm, paths, store=store)
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, b)
+
+
+def test_batch_embeddings_store_bit_identical_sharded():
+    mesh = comm.make_mesh(8)
+    rng = np.random.default_rng(8)
+    files, fm = _feature_corpus(rng, 12, 3, windows_per_file=9)
+    paths = [p for p, _ in files]
+    net = SpeakerNet.new(output=3, seed=1)
+    store = _synthetic_store(fm, paths, mesh=mesh)
+    ref = _embed_all(net, fm, paths, mesh=mesh)
+    got = _embed_all(net, fm, paths, mesh=mesh, store=store)
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, b)
+
+
+def test_batch_embeddings_store_miss_and_mesh_mismatch():
+    mesh = comm.make_mesh(8)
+    rng = np.random.default_rng(9)
+    files, fm = _feature_corpus(rng, 6, 2, windows_per_file=5)
+    paths = [p for p, _ in files]
+    net = SpeakerNet.new(output=2, seed=2)
+    ref = _embed_all(net, fm, paths)
+    # One path missing -> its bucket host-packs; results identical.
+    store = _synthetic_store(fm, paths[:-1])
+    got = _embed_all(net, fm, paths, store=store)
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, b)
+    # Store built under a mesh fed to a no-mesh call -> ignored, identical.
+    store_m = _synthetic_store(fm, paths, mesh=mesh)
+    got2 = _embed_all(net, fm, paths, store=store_m)
+    for a, b in zip(ref, got2):
+        assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_evaluate_with_store_identical_metrics(use_mesh):
+    from streamz_tpu.app.evaluate import evaluate
+    from streamz_tpu.infer.embed import normalize
+
+    mesh = comm.make_mesh(8) if use_mesh else None
+    rng = np.random.default_rng(10)
+    files, fm = _feature_corpus(rng, 12, 3, windows_per_file=7)
+    paths = [p for p, _ in files]
+    net = SpeakerNet.new(output=3, seed=3)
+    # Centroids from the clips themselves so some eval rows match.
+    embs = _embed_all(net, fm, paths, mesh=mesh)
+    cents = [
+        (normalize(np.mean(embs[i::3], axis=0)), 0.9, 0.05) for i in range(3)
+    ]
+    net.set_embeddings(cents)
+    targets = [(p, i % 3) for i, p in enumerate(paths)]
+    ref = evaluate(net, fm, targets, 0.2, verbose=False, mesh=mesh)
+    store = _synthetic_store(fm, paths, mesh=mesh)
+    got = evaluate(
+        net, fm, targets, 0.2, verbose=False, mesh=mesh, store=store
+    )
+    assert got == ref
+    assert ref["correct"] > 0  # the comparison is non-vacuous
+
+
+def test_compute_speaker_embeddings_feature_map_and_store(tmp_path, monkeypatch):
+    """Finalize centroid recompute: the in-memory feature map replaces the
+    per-file re-ingest on cache miss (bit-identical to the cache path, and
+    it publishes the cache), an existing cache file still wins, and the
+    device store feeds the map-sourced batches."""
+    from streamz_tpu.dsp.features import save_cached_features
+    from streamz_tpu.infer.cosine import compute_speaker_embeddings
+    from streamz_tpu.io import audio as io_audio
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(11)
+    files, fm = _feature_corpus(rng, 9, 3, windows_per_file=6)
+    paths = [p for p, _ in files]
+    net = SpeakerNet.new(output=3, seed=4)
+    for i, p in enumerate(paths):
+        net.record_training_file(i % 3, p)
+
+    # Ground truth: the pure cache path.
+    for p in paths:
+        save_cached_features(p, fm[p])
+    ref = compute_speaker_embeddings(net)
+    import shutil
+
+    shutil.rmtree("feature_cache")
+
+    # Cache miss + feature_map: identical stats, cache published.
+    got = compute_speaker_embeddings(net, feature_map=fm)
+    for (m1, a1, s1), (m2, a2, s2) in zip(ref, got):
+        assert np.array_equal(m1, m2) and a1 == a2 and s1 == s2
+    for p in paths:
+        cache = io_audio.feature_cache_path(p)
+        assert cache.exists()
+        assert np.array_equal(np.load(cache), fm[p])
+    shutil.rmtree("feature_cache")
+
+    # Device store feeds the map-sourced batches: still identical.
+    store = _synthetic_store(fm, paths)
+    got_s = compute_speaker_embeddings(net, feature_map=fm, store=store)
+    for (m1, a1, s1), (m2, a2, s2) in zip(ref, got_s):
+        assert np.array_equal(m1, m2) and a1 == a2 and s1 == s2
+    shutil.rmtree("feature_cache")
+
+    # An existing cache file beats the map (on-disk is authoritative).
+    other = fm[paths[0]] + 1.0
+    save_cached_features(paths[0], other)
+    got_c = compute_speaker_embeddings(net, feature_map=fm)
+    assert not np.array_equal(got_c[0][0], ref[0][0])
+
+
 def test_cli_build_feature_map_returns_path_keyed_store(tmp_path):
     from streamz_tpu.cli import build_feature_map
     from streamz_tpu.dsp.features import FeatureExtractor
