@@ -111,8 +111,21 @@ def build_feature_map(
 
         from streamz_tpu.dsp.mfcc import DeviceFeatureStore
 
-        if extractor.backend != "numpy" and jax.process_count() == 1:
-            store = DeviceFeatureStore(mesh=mesh)
+        # STREAMZ_STORE_MAX_MB bounds the store's HBM residency (default
+        # 4096 MB ≈ 37k ten-second clips); <=0 disables the store entirely
+        # (every consumer host-packs, the round-2 behavior).
+        try:
+            cap_mb = float(os.environ.get("STREAMZ_STORE_MAX_MB", "4096"))
+        except ValueError:
+            cap_mb = 4096.0
+        if (
+            extractor.backend != "numpy"
+            and jax.process_count() == 1
+            and cap_mb > 0
+        ):
+            store = DeviceFeatureStore(
+                mesh=mesh, max_bytes=int(cap_mb * 1e6)
+            )
     with timer.phase("features"):
         clips = [s for _, s in resampled]
         feats = extractor.extract_batch(clips, mesh=mesh, store=store)

@@ -185,17 +185,29 @@ class DeviceFeatureStore:
 
     Holding the store keeps every bucket's [B, W, 60] f32 features in HBM
     (~110 KB per 10 s clip); call :meth:`release` when the consumer is done.
+    ``max_bytes`` bounds that residency: a bucket that would push the total
+    over the cap is simply not registered — its clips miss and every
+    consumer falls back to host packing for them, so a corpus too big for
+    HBM degrades to round-2 behavior instead of OOMing.  (On a sharded
+    store the count is global bytes; per-device residency is 1/n_dev.)
     """
 
-    def __init__(self, mesh=None):
+    def __init__(self, mesh=None, max_bytes: int | None = None):
         self.mesh = mesh
+        self.max_bytes = max_bytes
+        self._bytes = 0
         self._buckets: List[jax.Array] = []
         self._index = {}  # key -> (bucket_id, row, n_win)
 
     def add_bucket(self, feats_dev, keys, n_wins) -> None:
         """Register one bucket's device output.  ``keys[row]`` identifies
         the clip in row ``row``; rows beyond ``len(keys)`` (mesh padding)
-        carry no clip."""
+        carry no clip.  Over-budget buckets (``max_bytes``) are dropped:
+        their clips miss and consumers host-pack them."""
+        nb = int(getattr(feats_dev, "nbytes", 0) or 0)
+        if self.max_bytes is not None and self._bytes + nb > self.max_bytes:
+            return
+        self._bytes += nb
         bid = len(self._buckets)
         self._buckets.append(feats_dev)
         for row, key in enumerate(keys):
@@ -220,6 +232,7 @@ class DeviceFeatureStore:
         so consumers fall back to host-packed features)."""
         self._buckets = []
         self._index = {}
+        self._bytes = 0
 
     def gather(
         self, keys, w_pad: int, *, mesh=None, rows_sharded: bool = False,

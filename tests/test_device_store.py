@@ -307,6 +307,56 @@ def test_compute_speaker_embeddings_feature_map_and_store(tmp_path, monkeypatch)
     assert not np.array_equal(got_c[0][0], ref[0][0])
 
 
+def test_store_max_bytes_cap():
+    """Over-budget buckets are dropped (clips miss, consumers host-pack);
+    under-budget ones register normally."""
+    a = jnp.zeros((2, 4, 60), jnp.float32)
+    store = DeviceFeatureStore(max_bytes=int(a.nbytes))
+    store.add_bucket(a, [0, 1], [4, 4])
+    b = jnp.zeros((2, 4, 60), jnp.float32)
+    store.add_bucket(b, [2, 3], [4, 4])  # would exceed the cap -> dropped
+    assert store.lookup(0) is not None
+    assert store.lookup(2) is None
+    store.release()
+    assert store._bytes == 0
+
+    # An all-miss (capped-out) store leaves the loop bit-identical.
+    rng = np.random.default_rng(12)
+    files, fm = _feature_corpus(rng, 8, 2)
+    files[0] = (files[0][0], 0)
+    empty = DeviceFeatureStore(max_bytes=1)
+    kw = dict(burn_in_limit=2, conf_threshold=0.8, epochs=1)
+    net_h, labels_h = _run_loop(files, fm, **kw)
+    net_s, labels_s = _run_loop(files, fm, device_store=empty, **kw)
+    assert labels_s == labels_h
+    for k in net_h.params:
+        assert np.array_equal(
+            np.asarray(net_h.params[k]), np.asarray(net_s.params[k])
+        ), k
+
+
+def test_cli_store_env_knob(tmp_path, monkeypatch):
+    """STREAMZ_STORE_MAX_MB<=0 disables the store in build_feature_map."""
+    from streamz_tpu.cli import build_feature_map
+    from streamz_tpu.dsp.features import FeatureExtractor
+    from streamz_tpu.io import wav
+
+    rng = np.random.default_rng(13)
+    pcm = (rng.normal(0, 0.1, size=(4000,)) * 20000).astype(np.int16)
+    p = tmp_path / "c.wav"
+    wav.write_wav(str(p), pcm, config.DEFAULT_SAMPLE_RATE)
+    monkeypatch.setenv("STREAMZ_STORE_MAX_MB", "0")
+    fmap, store = build_feature_map(
+        [str(p)], FeatureExtractor("jax"), keep_device=True
+    )
+    assert store is None and str(p) in fmap
+    monkeypatch.setenv("STREAMZ_STORE_MAX_MB", "64")
+    fmap, store = build_feature_map(
+        [str(p)], FeatureExtractor("jax"), keep_device=True
+    )
+    assert store is not None and store.lookup(str(p)) is not None
+
+
 def test_cli_build_feature_map_returns_path_keyed_store(tmp_path):
     from streamz_tpu.cli import build_feature_map
     from streamz_tpu.dsp.features import FeatureExtractor
