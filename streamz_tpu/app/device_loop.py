@@ -305,21 +305,6 @@ def make_incremental_scan_sharded(mesh, epochs: int, batch_size: int):
     )
 
 
-def _assemble_chunk_device(
-    job_ks, jobs, L: int, w_pad: int, feat: int, store, mesh
-):
-    """Build a chunk's [L, w_pad, feat] window tensor by device-side gather
-    from the ingest store — no host→device feature re-upload (measured ~43%
-    of a 64-file fused-loop dispatch through a remote TPU).  Returns None
-    when any file is missing from the store (e.g. it took the PCM-sharded
-    long-clip route): the caller host-packs that chunk instead.  With
-    ``mesh`` the result is replicated (the SPMD scan's in_spec), whatever
-    the buckets' sharding."""
-    return store.gather(
-        [jobs[k][1] for k in job_ks], w_pad, mesh=mesh, n_rows=L
-    )
-
-
 def _pow2_chunks(n: int) -> List[int]:
     """Split n into chunk lengths: MAX_SCAN_FILES-sized chunks plus one
     power-of-two remainder (bounds compiled variants to log2 sizes)."""
@@ -328,10 +313,7 @@ def _pow2_chunks(n: int) -> List[int]:
         out.append(MAX_SCAN_FILES)
         n -= MAX_SCAN_FILES
     if n > 0:
-        p = 1
-        while p < n:
-            p *= 2
-        out.append(p)  # padded with inactive rows
+        out.append(config.next_pow2(n))  # padded with inactive rows
     return out
 
 
@@ -398,10 +380,10 @@ def run_incremental_device(
             continue
         windows = np.asarray(windows, np.float32)
         n_chunks = max(1, -(-len(windows) // batch_size))
-        p = 1
-        while p < n_chunks:
-            p *= 2
-        jobs.append((i, path, label, windows, len(windows), p * batch_size))
+        jobs.append((
+            i, path, label, windows, len(windows),
+            config.next_pow2(n_chunks) * batch_size,
+        ))
 
     h2 = net.embedding_size()
     seed_embeddings = {
@@ -488,6 +470,18 @@ def run_incremental_device(
             or (not sharded and store.mesh is None)
         )
         if not store_ok:
+            # Built under a different sharding than this loop traces with
+            # (e.g. a mesh-built store when STREAMZ_SHARD_DISCOVERY=0 keeps
+            # the loop single-device): dropping it is the only safe move,
+            # but say so — the user would otherwise see the documented
+            # device-resident speedup silently vanish.
+            import sys
+
+            print(
+                "discovery loop: ingest feature store built under a "
+                "different sharding; falling back to host-packed chunks",
+                file=sys.stderr,
+            )
             store = None
     out_parts = []  # (job_ks, sids_dev, losses_dev, embs_dev, n_real)
     for job_ks, L in progress(chunks, desc="incremental", enabled=show_progress):
@@ -499,9 +493,15 @@ def run_incremental_device(
                 w_pad += batch_size
         feat = jobs[job_ks[0]][3].shape[1]
         n_real = len(job_ks)
+        # Device-side gather from the ingest store — no host→device feature
+        # re-upload (measured ~43% of a 64-file fused-loop dispatch through
+        # a remote TPU).  None on any store miss (e.g. the PCM-sharded
+        # long-clip route): that chunk host-packs instead.  With a mesh the
+        # gather is replicated (the SPMD scan's in_spec).
         wins_dev = (
-            _assemble_chunk_device(
-                job_ks, jobs, L, w_pad, feat, store, mesh if sharded else None
+            store.gather(
+                [jobs[k][1] for k in job_ks], w_pad,
+                mesh=mesh if sharded else None, n_rows=L,
             )
             if store is not None
             else None

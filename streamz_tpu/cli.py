@@ -84,7 +84,7 @@ def _parse_int(args, flag) -> Optional[int]:
 
 def build_feature_map(
     paths: List[str], extractor: FeatureExtractor, show_progress: bool = True,
-    timer=None, mesh=None, keep_device: bool = False,
+    timer=None, mesh=None, keep_device: bool = False, store_paths=None,
 ):
     """batch_resample + batched device feature extraction
     (src/main.rs:486-509, rayon fan-outs #1/#2 → thread pool + one batched
@@ -99,6 +99,13 @@ def build_feature_map(
     through a remote TPU).  ``store`` is None when unavailable (numpy
     backend, multi-host run — host fetches there gather across processes,
     so per-process device rows don't cover every clip).
+
+    ``store_paths`` restricts which clips the store keeps device-resident
+    (e.g. eval mode pins only the eval targets — the training files'
+    features are never gathered there, so pinning them would spend the
+    HBM budget on rows nobody reads).  Clips outside the set extract in a
+    separate batched call so their buckets are never referenced by the
+    store.
     """
     from streamz_tpu.runtime.watchdog import watchdog
 
@@ -127,12 +134,42 @@ def build_feature_map(
                 mesh=mesh, max_bytes=int(cap_mb * 1e6)
             )
     with timer.phase("features"):
-        clips = [s for _, s in resampled]
-        feats = extractor.extract_batch(clips, mesh=mesh, store=store)
+        if store is not None and store_paths is not None:
+            kept = [
+                i for i, (p, _) in enumerate(resampled) if p in store_paths
+            ]
+            rest = [
+                i
+                for i, (p, _) in enumerate(resampled)
+                if p not in store_paths
+            ]
+            feats: List = [None] * len(resampled)
+            if rest:
+                for i, f in zip(
+                    rest,
+                    extractor.extract_batch(
+                        [resampled[i][1] for i in rest], mesh=mesh
+                    ),
+                ):
+                    feats[i] = f
+            if kept:
+                for i, f in zip(
+                    kept,
+                    extractor.extract_batch(
+                        [resampled[i][1] for i in kept], mesh=mesh,
+                        store=store,
+                    ),
+                ):
+                    feats[i] = f
+            rekey_map = {row: resampled[i][0] for row, i in enumerate(kept)}
+        else:
+            clips = [s for _, s in resampled]
+            feats = extractor.extract_batch(clips, mesh=mesh, store=store)
+            rekey_map = {i: p for i, (p, _) in enumerate(resampled)}
     fmap = {p: f for (p, _), f in zip(resampled, feats)}
     if keep_device:
         if store is not None:
-            store.rekey({i: p for i, (p, _) in enumerate(resampled)})
+            store.rekey(rekey_map)
         return fmap, store
     return fmap
 
@@ -311,9 +348,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         path_list.extend(p for p, _ in target_files)
     # keep_device: the downstream device consumer — the discovery loop
     # (training mode) or the eval embedding batches — reuses the frontend's
-    # device outputs directly instead of re-uploading them.
+    # device outputs directly instead of re-uploading them.  Eval gathers
+    # only the eval targets' rows, so pin only those.
+    store_paths = None
+    if eval_mode:
+        store_paths = {
+            p
+            for p, _ in resolve_eval_targets(
+                train_files, target_files, eval_split
+            )
+        }
     feature_map, device_store = build_feature_map(
-        path_list, extractor, timer=timer, mesh=mesh, keep_device=True
+        path_list, extractor, timer=timer, mesh=mesh, keep_device=True,
+        store_paths=store_paths,
     )
 
     for p, _ in train_files:

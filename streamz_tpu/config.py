@@ -109,3 +109,13 @@ def wav_cache_enabled() -> bool:
     """True when WAV caching is enabled (src/lib.rs:78-80)."""
     with _state_lock:
         return _wav_cache_enabled
+
+
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= max(n, 1) — the shared padding policy that
+    bounds compiled-shape variants to log2 sizes everywhere batches are
+    padded (window buckets, scan chunks, scatter index arrays)."""
+    p = 1
+    while p < n:
+        p *= 2
+    return p

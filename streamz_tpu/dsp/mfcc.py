@@ -146,11 +146,7 @@ def mfcc_features(pcm: jax.Array, n_samples: jax.Array) -> jax.Array:
 
 def _bucket_len(n: int) -> int:
     """Round a sample count up to a power-of-two number of 400-blocks."""
-    nb = max(4, -(-n // _BLOCK))
-    p = 1
-    while p < nb:
-        p *= 2
-    return p * _BLOCK
+    return config.next_pow2(max(4, -(-n // _BLOCK))) * _BLOCK
 
 
 def _to_f32(samples: np.ndarray) -> np.ndarray:
@@ -278,17 +274,14 @@ class DeviceFeatureStore:
             groups[bid][1].append(srow)
         for bid, (dsts, srcs) in groups.items():
             bucket = self._buckets[bid]
-            m = len(dsts)
-            m_pad = 1
-            while m_pad < m:
-                m_pad *= 2
+            m_pad = config.next_pow2(len(dsts))
             # Pad the index arrays by REPEATING entry 0: the duplicate
             # scatter rewrites the same row with the same value, so the
             # result is order-independent and no write-off row is needed.
             dst = np.full((m_pad,), dsts[0], np.int32)
-            dst[:m] = dsts
+            dst[: len(dsts)] = dsts
             src = np.full((m_pad,), srcs[0], np.int32)
-            src[:m] = srcs
+            src[: len(srcs)] = srcs
             prog = _gather_prog(
                 int(bucket.shape[1]), w_pad, feat, m_pad, mesh, rows_sharded
             )

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from streamz_tpu import config
 from streamz_tpu.nn.model import SpeakerNet, embed as embed_fn, forward_embedding
 
 
@@ -109,10 +110,7 @@ def _batch_pooled(net: SpeakerNet, clips, mesh, kernel, store=None, keys=None) -
         if len(a) == 0:
             out[i] = np.zeros((net.embedding_size(),), np.float32)
             continue
-        n_pad = 1
-        while n_pad < len(a):
-            n_pad *= 2
-        buckets.setdefault(n_pad, []).append(i)
+        buckets.setdefault(config.next_pow2(len(a)), []).append(i)
     from streamz_tpu.parallel.mesh import (
         fetch,
         pad_rows_to_mesh,

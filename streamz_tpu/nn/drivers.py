@@ -46,10 +46,7 @@ def _pad_windows(windows: np.ndarray, batch_size: int) -> Tuple[np.ndarray, int]
     batch_size = max(1, int(batch_size))
     n = len(windows)
     chunks = max(1, -(-n // batch_size))
-    p = 1
-    while p < chunks:
-        p *= 2
-    n_pad = p * batch_size
+    n_pad = config.next_pow2(chunks) * batch_size
     if n_pad == n:
         return np.asarray(windows, np.float32), n
     out = np.zeros((n_pad, windows.shape[1] if n else config.FEATURE_SIZE), np.float32)

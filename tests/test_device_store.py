@@ -357,6 +357,45 @@ def test_cli_store_env_knob(tmp_path, monkeypatch):
     assert store is not None and store.lookup(str(p)) is not None
 
 
+def test_cli_store_paths_filter(tmp_path):
+    """build_feature_map(store_paths=...) pins only the requested clips —
+    eval mode must not spend the HBM budget on training files whose rows
+    are never gathered."""
+    from streamz_tpu.cli import build_feature_map
+    from streamz_tpu.dsp.features import FeatureExtractor
+    from streamz_tpu.io import wav
+
+    rng = np.random.default_rng(14)
+    paths = []
+    for i in range(4):
+        pcm = (rng.normal(0, 0.1, size=(4000 + 1000 * i,)) * 20000).astype(
+            np.int16
+        )
+        p = tmp_path / f"f{i}.wav"
+        wav.write_wav(str(p), pcm, config.DEFAULT_SAMPLE_RATE)
+        paths.append(str(p))
+    keep = set(paths[2:])
+    fmap, store = build_feature_map(
+        paths, FeatureExtractor("jax"), keep_device=True, store_paths=keep
+    )
+    assert store is not None
+    for p in paths:
+        assert p in fmap
+        hit = store.lookup(p)
+        if p in keep:
+            assert hit is not None
+            bid, row, n_win = hit
+            assert np.array_equal(
+                np.asarray(store.bucket(bid)[row])[:n_win], fmap[p]
+            )
+        else:
+            assert hit is None
+    # Only the kept clips' buckets are resident.
+    total_rows = sum(int(b.shape[0]) for b in store._buckets)
+    assert total_rows <= len(keep) + 1  # +1 allows a mesh-padding row
+    store.release()
+
+
 def test_cli_build_feature_map_returns_path_keyed_store(tmp_path):
     from streamz_tpu.cli import build_feature_map
     from streamz_tpu.dsp.features import FeatureExtractor

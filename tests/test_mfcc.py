@@ -116,6 +116,22 @@ def test_jax_batch_ragged():
             np.testing.assert_allclose(g, want, atol=2e-3, rtol=1e-3)
 
 
+def test_batch_matches_single_extraction():
+    """Batched and single-clip extraction agree tightly: the feature cache
+    may now be published from batched ingest outputs
+    (compute_speaker_embeddings' feature_map path), so the two paths must
+    be interchangeable well inside the 1e-3 golden gate."""
+    rng = np.random.default_rng(1)
+    clips = [
+        (rng.normal(0, 3000, size=n)).astype(np.int16)
+        for n in (1700, 9000, 4410)
+    ]
+    batched = mfcc.extract_features_batch(clips)
+    for c, b in zip(clips, batched):
+        single = mfcc.extract_features(c)
+        np.testing.assert_allclose(b, single, atol=1e-5, rtol=1e-5)
+
+
 def test_short_clip_empty():
     assert mfcc.extract_features(np.zeros(100, np.int16)).shape == (0, 60)
 
