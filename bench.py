@@ -362,9 +362,15 @@ def _supervise() -> int:
             print(found)
             return 0
         last_err = err or out
+        # Per-attempt failure tail (VERDICT r3 #6): without it, a driver
+        # capture like "attempt 1 failed (rc=3)" is unattributable (wedged
+        # tunnel vs real regression).  ~10 lines of the child's stderr —
+        # or stdout when stderr is empty — travel with the rc.
+        tail = "\n".join((err or out).strip().splitlines()[-10:])
         print(
             f"bench attempt {attempt} failed (rc={rc}); "
-            f"{max(0.0, deadline - time.monotonic()):.0f}s of budget left",
+            f"{max(0.0, deadline - time.monotonic()):.0f}s of budget left"
+            + (f"; child tail:\n{tail}" if tail else ""),
             file=sys.stderr,
         )
         if time.monotonic() + sleep_s < deadline:

@@ -194,6 +194,10 @@ class DeviceFeatureStore:
         self._bytes = 0
         self._buckets: List[jax.Array] = []
         self._index = {}  # key -> (bucket_id, row, n_win)
+        # Host→device feature bytes consumers moved to repair store misses
+        # (scatter_rows); lets tests/probes assert partial gathers upload
+        # only the missing rows.
+        self.stats = {"host_pack_bytes": 0, "host_pack_rows": 0}
 
     def add_bucket(self, feats_dev, keys, n_wins) -> None:
         """Register one bucket's device output.  ``keys[row]`` identifies
@@ -234,14 +238,34 @@ class DeviceFeatureStore:
         self, keys, w_pad: int, *, mesh=None, rows_sharded: bool = False,
         n_rows: int | None = None,
     ):
+        """All-or-nothing gather: the assembled window tensor when every key
+        hits, else None (the caller host-packs the whole batch).  See
+        :meth:`gather_partial` for the contract; this wrapper exists for
+        callers without a per-row fallback path."""
+        wins, missing = self.gather_partial(
+            keys, w_pad, mesh=mesh, rows_sharded=rows_sharded, n_rows=n_rows
+        )
+        return None if missing else wins
+
+    def gather_partial(
+        self, keys, w_pad: int, *, mesh=None, rows_sharded: bool = False,
+        n_rows: int | None = None,
+    ):
         """Assemble an ``[n_rows, w_pad, feat]`` window tensor ON the device
         from the stored frontend outputs, row ``r`` holding ``keys[r]``'s
         windows — the device-side replacement for host zero-pack + upload.
 
-        Returns None when any key misses (the caller host-packs instead).
-        Rows are bit-identical to host zero-padded packing: valid frames are
-        the frontend's own outputs, frames beyond each clip's window count
-        are exact zeros (:func:`deltas_and_norm`), and rows beyond
+        Returns ``(wins, missing)`` where ``missing`` is the list of
+        ``(row, key)`` pairs not found in the store; their rows in ``wins``
+        are left all-zero for the caller to fill via :meth:`scatter_rows`
+        (host-packing ONLY the misses — one store-missed clip no longer
+        forfeits device residency for its whole chunk, VERDICT r3 #2).
+        ``wins`` is None when NO key hits (a full host pack is cheaper than
+        scattering everything) — ``missing`` then lists every row.
+
+        Hit rows are bit-identical to host zero-padded packing: valid frames
+        are the frontend's own outputs, frames beyond each clip's window
+        count are exact zeros (:func:`deltas_and_norm`), and rows beyond
         ``len(keys)`` stay all-zero.  With ``mesh`` the result is replicated
         (``rows_sharded=False`` — e.g. the fused discovery scan's in_spec)
         or sharded over the mesh axis on the row dim (``rows_sharded=True``
@@ -249,16 +273,18 @@ class DeviceFeatureStore:
         clip axis); ``n_rows`` must then be a mesh multiple, exactly as
         :func:`streamz_tpu.parallel.mesh.pad_rows_to_mesh` would pad it.
         """
-        hits = []
-        for key in keys:
+        hits = []     # (row, (bucket_id, src_row, n_win))
+        missing = []  # (row, key)
+        for row, key in enumerate(keys):
             h = self._index.get(key)
             if h is None:
-                return None
-            hits.append(h)
-        R = len(keys) if n_rows is None else int(n_rows)
+                missing.append((row, key))
+            else:
+                hits.append((row, h))
         if not hits:
-            return None
-        feat = int(self._buckets[hits[0][0]].shape[2])
+            return None, missing
+        R = len(keys) if n_rows is None else int(n_rows)
+        feat = int(self._buckets[hits[0][1][0]].shape[2])
         wins = jnp.zeros((R, w_pad, feat), jnp.float32)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -268,7 +294,7 @@ class DeviceFeatureStore:
             )
             wins = jax.device_put(wins, NamedSharding(mesh, spec))
         groups: dict = {}
-        for row, (bid, srow, _) in enumerate(hits):
+        for row, (bid, srow, _) in hits:
             groups.setdefault(bid, ([], []))
             groups[bid][0].append(row)
             groups[bid][1].append(srow)
@@ -286,7 +312,33 @@ class DeviceFeatureStore:
                 int(bucket.shape[1]), w_pad, feat, m_pad, mesh, rows_sharded
             )
             wins = prog(wins, bucket, jnp.asarray(src), jnp.asarray(dst))
-        return wins
+        return wins, missing
+
+    def scatter_rows(
+        self, wins, rows_host: np.ndarray, dst_rows, *, mesh=None,
+        rows_sharded: bool = False,
+    ):
+        """Fill ``wins[dst_rows[j]] = rows_host[j]`` on the device — the
+        miss-repair half of :meth:`gather_partial`.  ``rows_host`` is the
+        host-packed ``[n_miss, w_pad, feat]`` windows of the missing clips
+        only; every other row keeps its device-resident gathered content.
+        Sharding of ``wins`` is preserved (same spec rules as gather).
+        The upload this dispatch moves is ``rows_host.nbytes`` — misses
+        only — which callers may meter (see ``stats['host_pack_bytes']``)."""
+        n = len(dst_rows)
+        if n == 0:
+            return wins
+        m_pad = config.next_pow2(n)
+        dst = np.full((m_pad,), dst_rows[0], np.int32)
+        dst[:n] = dst_rows
+        if m_pad > n:  # repeat row 0: duplicate writes of identical values
+            rows_host = np.concatenate(
+                [rows_host, np.repeat(rows_host[:1], m_pad - n, axis=0)]
+            )
+        self.stats["host_pack_bytes"] += int(rows_host.nbytes)
+        self.stats["host_pack_rows"] += n
+        prog = _scatter_prog(mesh, rows_sharded)
+        return prog(wins, jnp.asarray(rows_host), jnp.asarray(dst))
 
 
 @lru_cache(maxsize=128)
@@ -314,6 +366,24 @@ def _gather_prog(
 
     spec = P(mesh.axis_names[0], None, None) if rows_sharded else P()
     return jax.jit(g, out_shardings=NamedSharding(mesh, spec))
+
+
+@lru_cache(maxsize=32)
+def _scatter_prog(mesh, rows_sharded: bool):
+    """Jitted miss-repair scatter for :meth:`DeviceFeatureStore.scatter_rows`
+    — shapes vary per call (jit retraces per shape), sharding is the cache
+    key.  Duplicate ``dst`` entries (index padding) write identical values,
+    so the scatter stays order-independent."""
+
+    def s(wins, rows_data, dst):
+        return wins.at[dst].set(rows_data)
+
+    if mesh is None:
+        return jax.jit(s)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(mesh.axis_names[0], None, None) if rows_sharded else P()
+    return jax.jit(s, out_shardings=NamedSharding(mesh, spec))
 
 
 def extract_features_batch(

@@ -124,16 +124,29 @@ def _batch_pooled(net: SpeakerNet, clips, mesh, kernel, store=None, keys=None) -
             bucket_keys = [keys[i] for i in idxs]
             if mesh is not None:
                 _, (lens_p,) = pad_rows_to_mesh(mesh, lens)
-                batch_d = store.gather(
+                batch_d, misses = store.gather_partial(
                     bucket_keys, n_pad, mesh=mesh, rows_sharded=True,
                     n_rows=len(lens_p),
                 )
                 if batch_d is not None:
                     (lens_d,) = put_batch_sharded(mesh, lens_p)
             else:
-                batch_d = store.gather(bucket_keys, n_pad)
+                batch_d, misses = store.gather_partial(bucket_keys, n_pad)
                 if batch_d is not None:
                     lens_d = jnp.asarray(lens)
+            if batch_d is not None and misses:
+                # Host-pack ONLY the missed clips and scatter them in —
+                # the rest of the bucket keeps device residency
+                # (VERDICT r3 #2; bit-identical to a full host pack).
+                miss_rows = [r for r, _ in misses]
+                pack = np.zeros((len(miss_rows), n_pad, feat), np.float32)
+                for j, r in enumerate(miss_rows):
+                    a = arrs[idxs[r]]
+                    pack[j, : len(a)] = a
+                batch_d = store.scatter_rows(
+                    batch_d, pack, miss_rows, mesh=mesh,
+                    rows_sharded=mesh is not None,
+                )
         if batch_d is None:
             batch = np.zeros((len(idxs), n_pad, feat), np.float32)
             for row, i in enumerate(idxs):

@@ -45,6 +45,11 @@ def test_supervisor_retries_and_exhausts_budget(tmp_path):
     assert proc.returncode == 1
     assert bench._extract_json_line(proc.stdout) is None
     assert "bench attempt 1 failed" in proc.stderr
+    # Per-attempt failure tails (VERDICT r3 #6): each failed attempt's
+    # message carries the child's last stderr lines, so driver-recorded
+    # artifacts are attributable without re-running.
+    assert "child tail:" in proc.stderr
+    assert "selftest: dying before any JSON" in proc.stderr
     assert "budget exhausted" in proc.stderr
 
 

@@ -161,6 +161,68 @@ def test_loop_store_miss_falls_back_per_chunk():
         ), k
 
 
+def test_loop_store_partial_gather_uploads_only_misses():
+    """One store-missed clip must NOT forfeit device residency for its
+    chunk (VERDICT r3 #2): results stay bit-identical AND the host→device
+    repair upload covers exactly the missing rows."""
+    rng = np.random.default_rng(40)
+    files, fm = _feature_corpus(rng, 12, 3)
+    files[0] = (files[0][0], 0)
+    paths = [p for p, _ in files]
+    store = _synthetic_store(fm, [p for p in paths if p != paths[5]])
+    kw = dict(burn_in_limit=3, conf_threshold=0.8, epochs=1)
+    net_h, labels_h = _run_loop(files, fm, **kw)
+    net_s, labels_s = _run_loop(files, fm, device_store=store, **kw)
+    assert labels_s == labels_h
+    for k in net_h.params:
+        assert np.array_equal(
+            np.asarray(net_h.params[k]), np.asarray(net_s.params[k])
+        ), k
+    # Host-bytes-moved assertion: exactly ONE row (the miss) was packed and
+    # uploaded — w_pad = next_pow2(ceil(8 windows / batch 8)) * 8 = 8.
+    assert store.stats["host_pack_rows"] == 1
+    assert store.stats["host_pack_bytes"] == 1 * 8 * 60 * 4
+
+
+def test_loop_store_partial_gather_sharded_miss():
+    """Same contract under the SPMD discovery scan: a missed clip is
+    repaired by a single-row scatter, labels/params bit-identical."""
+    mesh = comm.make_mesh(8)
+    rng = np.random.default_rng(41)
+    files, fm = _feature_corpus(rng, 16, 4)
+    files[0] = (files[0][0], 0)
+    paths = [p for p, _ in files]
+    store = _synthetic_store(
+        fm, [p for p in paths if p != paths[7]], mesh=mesh
+    )
+    kw = dict(burn_in_limit=4, conf_threshold=0.8, epochs=1)
+    net_h, labels_h = _run_loop(files, fm, mesh=mesh, **kw)
+    net_s, labels_s = _run_loop(
+        files, fm, mesh=mesh, device_store=store, **kw
+    )
+    assert labels_s == labels_h
+    for k in net_h.params:
+        assert np.array_equal(
+            np.asarray(net_h.params[k]), np.asarray(net_s.params[k])
+        ), k
+    assert store.stats["host_pack_rows"] == 1
+
+
+def test_batch_embeddings_partial_gather_uploads_only_misses():
+    """The pooled-embedding buckets repair store misses per row too."""
+    rng = np.random.default_rng(42)
+    files, fm = _feature_corpus(rng, 10, 3, windows_per_file=6)
+    paths = [p for p, _ in files]
+    net = SpeakerNet.new(output=3, seed=1)
+    store = _synthetic_store(fm, [p for p in paths if p not in paths[2:4]])
+    ref = _embed_all(net, fm, paths)
+    got = _embed_all(net, fm, paths, store=store)
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, b)
+    # Two misses in a 10-clip bucket: exactly two rows uploaded.
+    assert store.stats["host_pack_rows"] == 2
+
+
 def test_loop_mesh_mismatched_store_is_ignored():
     """A store built under a different sharding than the loop's effective
     one must be dropped, not fed to a scan traced for other devices."""
