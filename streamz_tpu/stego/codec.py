@@ -149,6 +149,17 @@ def encode_file(path: str, *, max_epochs: int = config.STEGO_MAX_EPOCHS) -> Spea
     """Encode a file's bits into a fresh network (src/lib.rs:1717-1772)."""
     with open(path, "rb") as f:
         data = f.read()
+    if len(data) > config.STEGO_MAX_PAYLOAD_BYTES:
+        cap_bits = round_capacity(8 * len(data))
+        raise ValueError(
+            f"stego payload {path!r} is {len(data)} bytes; the encoder "
+            f"trains a [256, {cap_bits}] f32 output layer (~8 KB of "
+            f"weights and ~24 KB of peak device memory per payload byte), "
+            f"so payloads are capped at "
+            f"{config.STEGO_MAX_PAYLOAD_BYTES} bytes.  Split the file or "
+            f"raise streamz_tpu.config.STEGO_MAX_PAYLOAD_BYTES if your "
+            f"device has the memory."
+        )
     print(f"Encoding file {path}...")
     target_bits = bytes_to_bits(data)
     input_bits = checksum_input_bits()

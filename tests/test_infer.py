@@ -226,3 +226,25 @@ def test_embedding_and_sims_gates_match_feats_gate(trained_net):
     # Empty stats: both gates answer None.
     assert cosine.identify_embedding_cosine(emb_a, [], 0.3) is None
     assert cosine.identify_sims_cosine(np.zeros((0,)), [], 0.3) is None
+
+
+def test_identify_speaker_list_batch_matches_per_clip():
+    """Bucketed multi-clip identify_speaker_list (VERDICT r3 #9): per-clip
+    results — including the descending-count/ascending-id tie order and the
+    too-short-clip [] — are identical to the host loop, with and without a
+    mesh."""
+    from streamz_tpu.parallel import comm
+
+    net = SpeakerNet.new(output=4, seed=11)
+    rng = np.random.default_rng(5)
+    clips = [
+        rng.normal(0, 3000, size=n).astype(np.int16)
+        for n in (6000, 14000, 700, 6000, 9000)
+    ]
+    want = [identify.identify_speaker_list(net, c, 0.3) for c in clips]
+    got = identify.identify_speaker_list_batch(net, clips, 0.3)
+    assert got == want
+    mesh = comm.make_mesh(8)
+    got_m = identify.identify_speaker_list_batch(net, clips, 0.3, mesh=mesh)
+    assert got_m == want
+    assert identify.identify_speaker_list_batch(net, [], 0.3) == []

@@ -268,3 +268,101 @@ def test_full_size_corpus_train_and_eval_1000_speakers(tmp_path):
 
     metrics = evaluate(net, fm, targets, 0.2, verbose=False, mesh=mesh)
     assert metrics["accuracy"] > 0.5  # way above the 1/1000 chance floor
+
+
+_SOAK_WORKER = r'''
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, %(repo)r)
+from streamz_tpu.cli import main
+sys.exit(main([]))
+'''
+
+
+@pytest.mark.slow
+def test_corpus_soak_2k_files_store_eviction_and_determinism(tmp_path):
+    """Corpus soak (VERDICT r3 #8): a ~2k-file synthetic corpus through the
+    full CLI on the 8-device mesh, with STREAMZ_STORE_MAX_MB sized so the
+    HBM cap EVICTS one ingest bucket (its clips miss and host-pack — the
+    partial-gather path at scale) while the other stays device-resident.
+    Pins: both runs complete, labels are identical across two fresh runs,
+    and peak child RSS stays bounded."""
+    import os
+    import resource
+    import subprocess
+    import sys as _sys
+
+    from streamz_tpu.io.wav import write_wav
+
+    n_files = int(os.environ.get("STREAMZ_SOAK_FILES", "2000"))
+    rng = np.random.default_rng(0)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def stage(root):
+        (root / "data").mkdir(parents=True)
+        names = []
+        for i in range(n_files):
+            # Two interleaved lengths -> two ingest buckets -> mixed
+            # hit/miss chunks once the cap evicts the larger bucket.
+            n = 3200 if i % 3 else 4800
+            pcm = rng.normal(0, 3000, size=n).astype(np.int16)
+            p = f"data/s_{i:05d}.wav"
+            write_wav(str(root / p), pcm, 44100)
+            names.append(p)
+        (root / "train_files.txt").write_text(
+            "".join(x + "\n" for x in names)
+        )
+
+    # Ingest pads each clip to its pow2 block bucket, so the stored feature
+    # tensors are [B, tlen/400 - 1, 60] f32.  Size both buckets exactly and
+    # set the cap between them: the LARGER is evicted, the smaller stays.
+    from streamz_tpu.dsp.mfcc import _bucket_len
+
+    def bucket_bytes(n_samples, count):
+        return count * (_bucket_len(n_samples) // 400 - 1) * 60 * 4
+
+    n_4800 = (n_files + 2) // 3  # i % 3 == 0 rows
+    b_3200 = bucket_bytes(3200, n_files - n_4800)
+    b_4800 = bucket_bytes(4800, n_4800)
+    cap_mb = (min(b_3200, b_4800) + abs(b_3200 - b_4800) / 2) / 1e6
+
+    # Eviction observability: same corpus shape through the ingest API with
+    # the same cap must record a dropped bucket AND still serve consumers.
+    from streamz_tpu.dsp.mfcc import DeviceFeatureStore, extract_features_batch
+
+    store = DeviceFeatureStore(max_bytes=int(cap_mb * 1e6))
+    sample = [
+        rng.normal(0, 0.2, size=(3200 if i % 3 else 4800,)).astype(np.float32)
+        for i in range(n_files)
+    ]
+    feats = extract_features_batch(sample, store=store)
+    assert store.stats["dropped_buckets"] >= 1
+    assert any(store.lookup(i) is not None for i in range(n_files))
+    assert all(f is not None for f in feats)
+    del store, sample, feats
+
+    before = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+
+    outs = []
+    for run in range(2):
+        root = tmp_path / f"run{run}"
+        stage(root)
+        env = dict(os.environ, STREAMZ_STORE_MAX_MB=repr(cap_mb))
+        env.pop("XLA_FLAGS", None)
+        proc = subprocess.run(
+            [_sys.executable, "-c", _SOAK_WORKER % {"repo": repo}],
+            cwd=str(root), env=env, capture_output=True, text=True,
+            timeout=1800,
+        )
+        assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
+        outs.append((root / "train_files.txt").read_text())
+
+    assert outs[0] == outs[1], "labels diverged between identical soak runs"
+    peak = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    # ru_maxrss is KiB on Linux; bound the soak's peak child RSS at 6 GB
+    # (graceful degradation must not balloon host memory).
+    assert peak < 6 * 1024 * 1024, f"peak child RSS {peak} KiB"
+    assert peak >= before  # the measurement actually covered the children

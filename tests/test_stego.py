@@ -38,6 +38,30 @@ def test_encode_decode_roundtrip(tmp_path):
     assert got[: len(payload)] == payload
 
 
+def test_encode_decode_4kb_payload(tmp_path):
+    """Scale: a 4 KiB payload (32768 bits -> a [256, 32768] output layer)
+    round-trips bit-exactly (VERDICT r3 #4 — only 64 B was exercised
+    before)."""
+    payload = np.random.default_rng(4096).bytes(4096)
+    src = tmp_path / "big.bin"
+    src.write_bytes(payload)
+    enc_net = codec.encode_file(str(src), max_epochs=500_000)
+    got = codec.extract_file_from_classifier(enc_net)
+    assert got[: len(payload)] == payload
+
+
+def test_encode_rejects_oversized_payload(tmp_path):
+    """Past STEGO_MAX_PAYLOAD_BYTES the encoder fails fast with the sizing
+    math instead of attempting a multi-GB device allocation."""
+    from streamz_tpu import config as cfg
+
+    src = tmp_path / "huge.bin"
+    with open(src, "wb") as f:
+        f.truncate(cfg.STEGO_MAX_PAYLOAD_BYTES + 1)
+    with pytest.raises(ValueError, match="capped at"):
+        codec.encode_file(str(src))
+
+
 def test_encode_attach_to_classifier_and_checkpoint(tmp_path):
     payload = b"hi!"
     src = tmp_path / "s.bin"
