@@ -409,6 +409,23 @@ def bench_stego(payload_sizes=(64, 4096, 65536)):
     return out
 
 
+def bench_serve(slot_counts=(64, 256), wires=("i16", "ulaw")):
+    """Multi-stream serving sweep into the mechanical ledger (VERDICT r3
+    weak #6: serve numbers lived only in ROOFLINE prose).  Same measurement
+    as benchmarks/serve_bench.py — the host loop and transfer are inside
+    the number on purpose."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from serve_bench import bench_slots
+
+    out = {}
+    for wire in wires:
+        for s in slot_counts:
+            r = bench_slots(int(s), ticks=20, wire=wire)
+            out[f"serve{s}_{wire}_aggregate_rtf"] = r["aggregate_rtf"]
+            out[f"serve{s}_{wire}_tick_ms"] = r["tick_ms"]
+    return out
+
+
 SECTIONS = {
     "cpu": bench_cpu_baselines,
     "frontends": bench_frontends,
@@ -418,6 +435,7 @@ SECTIONS = {
     "eval": bench_eval_embeddings,
     "stego": bench_stego,
     "streaming": bench_streaming,
+    "serve": bench_serve,
 }
 
 

@@ -95,14 +95,17 @@ def run_incremental(
 
     # Pick the per-file train kernel by measurement before tracing the
     # fused loop (a no-op off-TPU and on multi-host — autotune.py).  The
-    # SPMD scan (>1-device mesh) always trains via the sharded XLA body and
-    # never consults this choice, so don't pay the cold-cache probe there.
-    sharded = (
+    # SPMD scan always trains via the sharded XLA body and never consults
+    # this choice, so skip the cold-cache probe only when the env knob
+    # FORCES the sharded scan; with the knob unset the scan backend is
+    # itself a measured choice (device_loop._resolve_scan_backend) that
+    # may land on the single-device path, which needs this decision.
+    forced_sharded = (
         mesh is not None
         and mesh.devices.size > 1
-        and os.environ.get("STREAMZ_SHARD_DISCOVERY", "1") != "0"
+        and os.environ.get("STREAMZ_SHARD_DISCOVERY") == "1"
     )
-    if not sharded:
+    if not forced_sharded:
         autotune_file_train()
 
     total_loss, processed, sf, se = run_incremental_device(

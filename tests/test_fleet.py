@@ -1,0 +1,99 @@
+"""Multi-host serving harness (app/fleet.py).
+
+`MultiStreamIdentifier` is single-process by design; the multi-host story
+is one `SpeakerServer` per host behind round-robin placement.  These tests
+launch a REAL two-process fleet (each server its own Python/JAX process —
+the per-host layout) and pin the contract that makes horizontal serving
+sound: per-stream verdicts are identical to a single-host fleet because
+streams are independent of slot placement.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from streamz_tpu.app.fleet import FleetClient, LocalFleet
+from streamz_tpu.app.serve import MultiStreamIdentifier
+from streamz_tpu.nn import checkpoint
+from streamz_tpu.nn.model import SpeakerNet
+
+_CHILD_ENV = {
+    "JAX_PLATFORMS": "cpu",
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+    # The children import streamz_tpu from the repo, not an install.
+    "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    + os.pathsep + os.environ.get("PYTHONPATH", ""),
+}
+
+
+def _clip(seed, seconds=0.6):
+    rng = np.random.default_rng(seed)
+    return rng.normal(0, 3000, size=int(44100 * seconds)).astype(np.int16)
+
+
+@pytest.mark.slow
+def test_two_process_fleet_matches_single_host(tmp_path):
+    """4 streams round-robined over 2 server processes: every verdict equals
+    the single-host batched fleet on the same PCM, and placement actually
+    spread the streams across both servers."""
+    net = SpeakerNet.new(output=5, seed=0)
+    ckpt = str(tmp_path / "model.npz")
+    checkpoint.save(net, ckpt)
+
+    clips = [_clip(s) for s in range(4)]
+
+    # Single-host reference: one in-process fleet, same threshold.
+    ident = MultiStreamIdentifier(net, n_streams=4, threshold=0.0)
+    ref = []
+    for c in clips:
+        sid = ident.open()
+        ident.feed(sid, c)
+        ref.append(ident.finalize(sid))
+        ident.close(sid)
+
+    with LocalFleet(
+        ckpt, n_servers=2, n_streams=2, threshold=0.0,
+        tick_interval=0.005, env=_CHILD_ENV,
+    ) as fleet:
+        endpoints = fleet.start(timeout=300)
+        assert len(endpoints) == 2
+        # Generous socket timeout: each server child compiles its streaming
+        # programs on first use, and this box runs them all on one CPU.
+        with FleetClient(endpoints, timeout=600.0) as client:
+            fids = [client.open() for _ in clips]
+            # Round-robin: both servers got streams.
+            assert {client.home(f) for f in fids} == set(endpoints)
+            for fid, c in zip(fids, clips):
+                for i in range(0, len(c), 4096):
+                    client.feed(fid, c[i : i + 4096])
+            got = [client.finalize(f) for f in fids]
+            stats = client.stats()
+
+    assert len(stats) == 2
+    assert all(s["dispatches"] > 0 for s in stats)
+    for g, r in zip(got, ref):
+        if r is None:
+            assert g is None
+        else:
+            assert g is not None and g[0] == r[0]
+            np.testing.assert_allclose(g[1], r[1], rtol=1e-5)
+
+
+def test_fleet_client_round_robin_and_errors():
+    with pytest.raises(ValueError):
+        FleetClient([])
+    with pytest.raises(ValueError):
+        LocalFleet("x.npz", n_servers=0)
+
+
+@pytest.mark.slow
+def test_fleet_server_exits_cleanly_on_bad_checkpoint(tmp_path):
+    """A server child that cannot load its checkpoint dies before READY;
+    the launcher surfaces that instead of hanging."""
+    bad = str(tmp_path / "missing.npz")
+    fleet = LocalFleet(bad, n_servers=1, env=_CHILD_ENV)
+    with pytest.raises(RuntimeError, match="before READY"):
+        fleet.start(timeout=120)
+    fleet.stop()
