@@ -126,11 +126,31 @@ class LocalFleet:
 
     @staticmethod
     def _read_ready(p: subprocess.Popen, deadline: float) -> Tuple[str, int]:
+        import select
+
         lines: List[str] = []
         while time.monotonic() < deadline:
+            # select-gate the readline so a child that hangs silently
+            # (e.g. stuck claiming a device) cannot block start() past the
+            # deadline — a bare readline() has no timeout.
+            ready, _, _ = select.select(
+                [p.stdout], [], [], min(1.0, max(0.0, deadline - time.monotonic()))
+            )
+            if not ready:
+                if p.poll() is not None:
+                    raise RuntimeError(
+                        f"fleet server exited rc={p.returncode} before "
+                        "READY:\n" + "".join(lines[-20:])
+                    )
+                continue
             line = p.stdout.readline()
             if not line:
-                rc = p.poll()
+                # EOF can race the process teardown: reap briefly so the
+                # error carries a real exit code instead of rc=None.
+                try:
+                    rc = p.wait(timeout=5)
+                except subprocess.TimeoutExpired:
+                    rc = p.poll()
                 raise RuntimeError(
                     f"fleet server exited rc={rc} before READY:\n"
                     + "".join(lines[-20:])
