@@ -84,6 +84,28 @@ def _prng_pad_invariant() -> bool:
         return False  # unknown jax version: take the conservative path
 
 
+def scan_forced_sharded(mesh) -> bool:
+    """True iff ``STREAMZ_SHARD_DISCOVERY`` forces the SPMD discovery scan
+    for this mesh — env set to anything but ``"0"``, with the SAME
+    eligibility :func:`run_incremental_device` applies (>1 device and a
+    pad-invariant PRNG).  The single predicate both call sites share:
+    ``incremental.py`` uses it to decide whether the single-device scan
+    (and thus the file-train backend's autotune probe) can ever be
+    consulted, so any drift from the scan's own resolution would either
+    pay a useless multi-second probe or skip a needed one.
+    """
+    import os
+
+    env = os.environ.get("STREAMZ_SHARD_DISCOVERY")
+    return (
+        mesh is not None
+        and int(mesh.devices.size) > 1
+        and env is not None
+        and env != "0"
+        and _prng_pad_invariant()
+    )
+
+
 def _file_body(
     carry, x, seed_cent, seed_mask, max_speakers, dropout, *, epochs,
     batch_size, backend="auto", axis=None, n_dev=1,
@@ -349,6 +371,24 @@ def _resolve_scan_backend(
             )
             seed_cent = jnp.zeros((capacity, h2), jnp.float32)
             seed_mask = jnp.zeros((capacity,), bool)
+            # Commit the inputs to the candidate's placement OUTSIDE the
+            # timed region.  The real loop replicates params to the mesh
+            # once per run (donated outputs stay resident across chunks),
+            # so paying host→mesh replication on every timed rep would
+            # bias the cached choice toward 'single'; the per-rep
+            # jnp.copy of an already-committed tree below is device-local
+            # and placement-preserving for both candidates.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if sharded:
+                rep = NamedSharding(mesh, P())
+                src = jax.device_put((params, xs, seed_cent, seed_mask), rep)
+            else:
+                src = jax.device_put(
+                    (params, xs, seed_cent, seed_mask),
+                    list(mesh.devices.flat)[0],
+                )
+            params_c, xs, seed_cent, seed_mask = src
             fn = (
                 make_incremental_scan_sharded(
                     mesh, int(epochs), int(batch_size))
@@ -358,7 +398,7 @@ def _resolve_scan_backend(
             def run():
                 # Fresh state copies per call: the scans donate args 0-3.
                 state = (
-                    jax.tree.map(jnp.copy, params), jnp.int32(1),
+                    jax.tree.map(jnp.copy, params_c), jnp.int32(1),
                     jnp.zeros((capacity, h2), jnp.float32),
                     jnp.zeros((capacity,), jnp.float32),
                 )

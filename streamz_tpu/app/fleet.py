@@ -37,12 +37,61 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+import threading
 import time
+from collections import deque
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from streamz_tpu import config
 
 READY_TAG = "FLEET_READY"
+
+
+class _ChildDrain:
+    """Continuously drain one child's merged stdout on a daemon thread.
+
+    One thread owning ALL reads solves two launcher hazards at once:
+    (a) READY detection cannot be select()-gated on the raw fd — a
+    readline() may slurp READY into the TextIO buffer together with an
+    earlier log line (e.g. a JAX warning), leaving the fd silent while
+    the line sits in Python memory and the launcher times out on a
+    healthy server; (b) after READY the server keeps logging (tick
+    errors, hot-swap notices), and an undrained 64 KB pipe would
+    eventually block the server's print() — freezing its ticker thread
+    and every stream on it.  The thread parses READY, keeps a bounded
+    tail for error reports, and drains until EOF.
+    """
+
+    def __init__(self, p: subprocess.Popen):
+        self.proc = p
+        self.tail: deque = deque(maxlen=50)
+        self.ready = threading.Event()
+        self.endpoint: Optional[Tuple[str, int]] = None
+        self.error: Optional[str] = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self) -> None:
+        try:
+            for line in self.proc.stdout:
+                self.tail.append(line)
+                if not self.ready.is_set() and line.startswith(READY_TAG):
+                    kv = dict(
+                        tok.split("=", 1)
+                        for tok in line.split()[1:] if "=" in tok
+                    )
+                    try:
+                        self.endpoint = (kv["host"], int(kv["port"]))
+                    except (KeyError, ValueError) as e:
+                        self.error = f"malformed READY line {line!r} ({e})"
+                    self.ready.set()
+        except (OSError, ValueError):
+            pass  # pipe torn down during stop()
+        finally:
+            self.ready.set()  # EOF pre-READY: wake the waiter to report
+
+    def tail_text(self) -> str:
+        return "".join(list(self.tail)[-20:])
 
 
 # ---------------------------------------------------------------------------
@@ -88,6 +137,7 @@ class LocalFleet:
         self.env = dict(env) if env else None
         self.watch_model = bool(watch_model)
         self._procs: List[subprocess.Popen] = []
+        self._drains: List[_ChildDrain] = []
         self.endpoints: List[Tuple[str, int]] = []
 
     def start(self, timeout: float = 180.0) -> List[Tuple[str, int]]:
@@ -111,58 +161,46 @@ class LocalFleet:
             argv += ["--watch-model"]
         try:
             for _ in range(self.n_servers):
-                self._procs.append(subprocess.Popen(
+                p = subprocess.Popen(
                     argv, env=env, stdout=subprocess.PIPE,
                     stderr=subprocess.STDOUT, text=True,
-                ))
+                )
+                self._procs.append(p)
+                self._drains.append(_ChildDrain(p))
             deadline = time.monotonic() + timeout
-            for p in self._procs:
-                ep = self._read_ready(p, deadline)
-                self.endpoints.append(ep)
+            for p, d in zip(self._procs, self._drains):
+                self.endpoints.append(self._read_ready(p, d, deadline))
         except Exception:
             self.stop()
             raise
         return list(self.endpoints)
 
     @staticmethod
-    def _read_ready(p: subprocess.Popen, deadline: float) -> Tuple[str, int]:
-        import select
-
-        lines: List[str] = []
+    def _read_ready(
+        p: subprocess.Popen, drain: _ChildDrain, deadline: float
+    ) -> Tuple[str, int]:
         while time.monotonic() < deadline:
-            # select-gate the readline so a child that hangs silently
-            # (e.g. stuck claiming a device) cannot block start() past the
-            # deadline — a bare readline() has no timeout.
-            ready, _, _ = select.select(
-                [p.stdout], [], [], min(1.0, max(0.0, deadline - time.monotonic()))
-            )
-            if not ready:
-                if p.poll() is not None:
-                    raise RuntimeError(
-                        f"fleet server exited rc={p.returncode} before "
-                        "READY:\n" + "".join(lines[-20:])
-                    )
-                continue
-            line = p.stdout.readline()
-            if not line:
-                # EOF can race the process teardown: reap briefly so the
-                # error carries a real exit code instead of rc=None.
-                try:
-                    rc = p.wait(timeout=5)
-                except subprocess.TimeoutExpired:
-                    rc = p.poll()
+            wait = min(1.0, max(0.0, deadline - time.monotonic()))
+            if not drain.ready.wait(timeout=wait):
+                continue  # still silent; re-check the deadline
+            if drain.endpoint is not None:
+                return drain.endpoint
+            if drain.error is not None and p.poll() is None:
                 raise RuntimeError(
-                    f"fleet server exited rc={rc} before READY:\n"
-                    + "".join(lines[-20:])
+                    f"fleet server {drain.error}:\n" + drain.tail_text()
                 )
-            lines.append(line)
-            if line.startswith(READY_TAG):
-                kv = dict(
-                    tok.split("=", 1) for tok in line.split()[1:] if "=" in tok
-                )
-                return kv["host"], int(kv["port"])
+            # EOF before READY: the child is gone.  Reap briefly so the
+            # error carries a real exit code instead of rc=None.
+            try:
+                rc = p.wait(timeout=5)
+            except subprocess.TimeoutExpired:
+                rc = p.poll()
+            raise RuntimeError(
+                f"fleet server exited rc={rc} before READY:\n"
+                + drain.tail_text()
+            )
         raise TimeoutError(
-            "fleet server did not become ready:\n" + "".join(lines[-20:])
+            "fleet server did not become ready:\n" + drain.tail_text()
         )
 
     def stop(self) -> None:
@@ -177,6 +215,7 @@ class LocalFleet:
                 p.kill()
                 p.wait(timeout=10)
         self._procs = []
+        self._drains = []  # threads exit on their own at pipe EOF
         self.endpoints = []
 
     def __enter__(self) -> "LocalFleet":

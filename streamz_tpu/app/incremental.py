@@ -88,9 +88,9 @@ def run_incremental(
     bucket-spread cap keeps a long clip from inflating its neighbors'
     padding, and its padded windows are at most 2x the clip itself.
     """
-    import os
-
-    from streamz_tpu.app.device_loop import run_incremental_device
+    from streamz_tpu.app.device_loop import (
+        run_incremental_device, scan_forced_sharded,
+    )
     from streamz_tpu.nn.train import autotune_file_train
 
     # Pick the per-file train kernel by measurement before tracing the
@@ -100,12 +100,11 @@ def run_incremental(
     # FORCES the sharded scan; with the knob unset the scan backend is
     # itself a measured choice (device_loop._resolve_scan_backend) that
     # may land on the single-device path, which needs this decision.
-    forced_sharded = (
-        mesh is not None
-        and mesh.devices.size > 1
-        and os.environ.get("STREAMZ_SHARD_DISCOVERY") == "1"
-    )
-    if not forced_sharded:
+    # scan_forced_sharded is the SAME predicate the scan itself resolves
+    # (any non-"0" value, gated on pad-invariant PRNG eligibility) — a
+    # divergent copy here either pays this probe for nothing or skips it
+    # while the single-device scan still runs.
+    if not scan_forced_sharded(mesh):
         autotune_file_train()
 
     total_loss, processed, sf, se = run_incremental_device(

@@ -329,20 +329,25 @@ class DeviceFeatureStore:
         host-packed ``[n_miss, w_pad, feat]`` windows of the missing clips
         only; every other row keeps its device-resident gathered content.
         Sharding of ``wins`` is preserved (same spec rules as gather).
-        The upload this dispatch moves is ``rows_host.nbytes`` — misses
-        only — which callers may meter (see ``stats['host_pack_bytes']``)."""
+        ``stats['host_pack_bytes']`` meters the unpadded ``rows_host.nbytes``
+        — misses only; the dispatch itself may carry up to 2x that in
+        duplicate rows from the pow2 program-variant padding."""
         n = len(dst_rows)
         if n == 0:
             return wins
         m_pad = config.next_pow2(n)
         dst = np.full((m_pad,), dst_rows[0], np.int32)
         dst[:n] = dst_rows
+        # Meter BEFORE the pow2 padding below: the metric's contract is
+        # "misses only" (what host packing genuinely owes), while the wire
+        # payload of this one dispatch includes up to 2x duplicate rows
+        # from the power-of-two program-variant bound.
+        self.stats["host_pack_bytes"] += int(rows_host.nbytes)
+        self.stats["host_pack_rows"] += n
         if m_pad > n:  # repeat row 0: duplicate writes of identical values
             rows_host = np.concatenate(
                 [rows_host, np.repeat(rows_host[:1], m_pad - n, axis=0)]
             )
-        self.stats["host_pack_bytes"] += int(rows_host.nbytes)
-        self.stats["host_pack_rows"] += n
         prog = _scatter_prog(mesh, rows_sharded)
         return prog(wins, jnp.asarray(rows_host), jnp.asarray(dst))
 

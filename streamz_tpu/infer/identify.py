@@ -136,7 +136,16 @@ def _list_from_probs(probs: np.ndarray, num_speakers: int, threshold: float) -> 
     probs = probs[:, :num_speakers]
     best = probs.argmax(axis=1)
     best_val = probs.max(axis=1)
-    counts = np.bincount(best[best_val >= threshold], minlength=num_speakers)
+    # Gate in f32 EXPLICITLY: the reference compares f32 prob >= f32
+    # threshold (src/lib.rs:1383-1411), and the batched device path
+    # (_vote_counts_batch) compares in f32 on device.  NumPy 2's weak
+    # scalars already make `f32_array >= python_float` an f32 compare;
+    # the cast pins that parity on any NumPy version, so a threshold
+    # whose f32 rounding crosses a window's max probability gates the
+    # same way in all three formulations.
+    counts = np.bincount(
+        best[best_val >= np.float32(threshold)], minlength=num_speakers
+    )
     order = sorted(
         (i for i in range(num_speakers) if counts[i] > 0),
         key=lambda i: (-counts[i], i),

@@ -386,3 +386,34 @@ def test_legacy_prng_falls_back_to_exact_buckets():
         assert net_d.output_size() == net_h.output_size()
     finally:
         jax.config.update("jax_threefry_partitionable", True)
+
+
+def test_scan_backend_probe_executes_on_cpu_mesh(monkeypatch, tmp_path):
+    """Run the (normally TPU-only) scan-backend probes end-to-end by faking
+    on_tpu on the 8-device CPU mesh: state is pre-committed to each
+    candidate's placement OUTSIDE the timed region (so the cached choice
+    measures the scans, not per-rep host->mesh replication), both
+    candidates execute, and a winner lands in the autotune cache."""
+    from streamz_tpu.app import device_loop
+    from streamz_tpu.nn.train import _resolve_backend
+    from streamz_tpu.parallel import comm
+    from streamz_tpu.runtime import autotune
+
+    monkeypatch.setattr(autotune, "_CACHE_PATH", str(tmp_path / "t.json"))
+    autotune.reset()
+    monkeypatch.setattr(autotune, "on_tpu", lambda: True)
+    try:
+        mesh = comm.make_mesh(8)
+        net = SpeakerNet.new(output=1, seed=0)
+        choice = device_loop._resolve_scan_backend(
+            mesh, 1, 8, net.params, 60, 8,
+            _resolve_backend("file_train", "auto"),
+        )
+        assert choice in ("single", "sharded")
+        # and the decision is cached for this device kind
+        assert device_loop._resolve_scan_backend(
+            mesh, 1, 8, net.params, 60, 8,
+            _resolve_backend("file_train", "auto"),
+        ) == choice
+    finally:
+        autotune.reset()

@@ -484,3 +484,42 @@ def test_cli_build_feature_map_returns_path_keyed_store(tmp_path):
             np.asarray(store.bucket(bid)[row])[:n_win], fmap[p]
         )
     store.release()
+
+
+def test_partial_gather_non_pow2_miss_count_meters_misses_only():
+    """3 misses pad to a 4-row scatter dispatch, but host_pack_bytes must
+    meter the MISSES ONLY (the docstring contract) — not the pow2-padded
+    payload — and results stay bit-identical to the host-packed loop."""
+    rng = np.random.default_rng(41)
+    files, fm = _feature_corpus(rng, 12, 3)
+    files[0] = (files[0][0], 0)
+    paths = [p for p, _ in files]
+    missing = {paths[2], paths[5], paths[9]}
+    store = _synthetic_store(fm, [p for p in paths if p not in missing])
+    kw = dict(burn_in_limit=3, conf_threshold=0.8, epochs=1)
+    net_h, labels_h = _run_loop(files, fm, **kw)
+    net_s, labels_s = _run_loop(files, fm, device_store=store, **kw)
+    assert labels_s == labels_h
+    for k in net_h.params:
+        assert np.array_equal(
+            np.asarray(net_h.params[k]), np.asarray(net_s.params[k])
+        ), k
+    assert store.stats["host_pack_rows"] == 3
+    assert store.stats["host_pack_bytes"] == 3 * 8 * 60 * 4
+
+
+def test_gather_wrapper_all_or_nothing():
+    """The thin all-or-nothing `gather` facade over `gather_partial`:
+    full-hit key sets return the assembled tensor, any miss returns None."""
+    rng = np.random.default_rng(42)
+    clips = _clips(rng, n=3)
+    store = DeviceFeatureStore()
+    feats = extract_features_batch(clips, store=store)
+    w_pad = config.next_pow2(max(len(f) for f in feats))
+    wins = store.gather([0, 1, 2], w_pad)
+    assert wins is not None and wins.shape == (3, w_pad, 60)
+    for i, f in enumerate(feats):
+        got = np.asarray(wins[i])
+        assert np.array_equal(got[: len(f)], f)
+        assert not got[len(f):].any()
+    assert store.gather([0, 1, 99], w_pad) is None

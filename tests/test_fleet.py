@@ -97,3 +97,69 @@ def test_fleet_server_exits_cleanly_on_bad_checkpoint(tmp_path):
     with pytest.raises(RuntimeError, match="before READY"):
         fleet.start(timeout=120)
     fleet.stop()
+
+
+def test_ready_parsed_when_child_logs_before_and_after(monkeypatch):
+    """Launcher hazards the drain thread exists for: (a) a log line printed
+    immediately before READY must not strand READY in the TextIO buffer
+    (a select()-gated readline would time out on this healthy child);
+    (b) a child that keeps logging after READY must never block on a full
+    stdout pipe — the launcher keeps draining for the fleet's lifetime."""
+    import subprocess as sp
+    import sys as _sys
+    import time as _time
+
+    from streamz_tpu.app.fleet import LocalFleet, _ChildDrain
+
+    # One write() carrying noise + READY + ~200 KB of post-READY logging:
+    # the noise and READY land in the same OS read (the buffered-slurp
+    # case), and the tail overflows an undrained 64 KB pipe.
+    child = (
+        "import sys\n"
+        "sys.stdout.write('absl WARNING: noisy library\\n'\n"
+        "                 'FLEET_READY host=127.0.0.9 port=7777\\n')\n"
+        "sys.stdout.flush()\n"
+        "for i in range(4000):\n"
+        "    print('[serve] tick failed, retrying next tick: e%d' % i)\n"
+        "print('DRAINED_OK')\n"
+    )
+    p = sp.Popen([_sys.executable, "-c", child], stdout=sp.PIPE,
+                 stderr=sp.STDOUT, text=True)
+    try:
+        d = _ChildDrain(p)
+        ep = LocalFleet._read_ready(p, d, _time.monotonic() + 60)
+        assert ep == ("127.0.0.9", 7777)
+        # (b): the child can only finish its 4000 lines if someone drains.
+        assert p.wait(timeout=60) == 0
+        deadline = _time.monotonic() + 10
+        while _time.monotonic() < deadline:
+            if any("DRAINED_OK" in ln for ln in d.tail):
+                break
+            _time.sleep(0.05)
+        assert any("DRAINED_OK" in ln for ln in d.tail)
+    finally:
+        if p.poll() is None:
+            p.kill()
+        p.wait(timeout=10)
+
+
+def test_ready_timeout_on_silent_child():
+    """A child that hangs without printing anything trips the deadline
+    (bounded by the timeout= budget, not a blocked readline)."""
+    import subprocess as sp
+    import sys as _sys
+    import time as _time
+
+    from streamz_tpu.app.fleet import LocalFleet, _ChildDrain
+
+    p = sp.Popen([_sys.executable, "-c", "import time; time.sleep(600)"],
+                 stdout=sp.PIPE, stderr=sp.STDOUT, text=True)
+    try:
+        d = _ChildDrain(p)
+        t0 = _time.monotonic()
+        with pytest.raises(TimeoutError, match="did not become ready"):
+            LocalFleet._read_ready(p, d, _time.monotonic() + 3)
+        assert _time.monotonic() - t0 < 30
+    finally:
+        p.kill()
+        p.wait(timeout=10)

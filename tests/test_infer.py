@@ -248,3 +248,18 @@ def test_identify_speaker_list_batch_matches_per_clip():
     got_m = identify.identify_speaker_list_batch(net, clips, 0.3, mesh=mesh)
     assert got_m == want
     assert identify.identify_speaker_list_batch(net, [], 0.3) == []
+
+
+def test_list_vote_gate_is_f32_at_threshold_boundary():
+    """The vote gate compares in f32 — the reference's own precision
+    (src/lib.rs:1383-1411) and what the batched device path computes.  A
+    window whose max probability is exactly f32(0.7) must vote at
+    threshold=0.7 even though its f64 widening (0.69999998807...) sits
+    below the f64 threshold; gating in f64 would silently drop it."""
+    from streamz_tpu.infer.identify import _list_from_probs
+
+    p = float(np.float32(0.7))           # 0.6999999880790710...
+    assert p < 0.7                       # the f64 trap this test pins
+    probs = np.zeros((1, 3), np.float32)
+    probs[0, 1] = np.float32(0.7)
+    assert _list_from_probs(probs, 3, 0.7) == [1]
