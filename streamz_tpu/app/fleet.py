@@ -24,8 +24,10 @@ Three pieces:
   tests/single-machine scale-out) and collects their endpoints.
 - :class:`FleetClient` — round-robin stream placement over
   :class:`~streamz_tpu.app.server.StreamClient` connections: each
-  ``open()`` claims a slot on the next server, and the per-stream API
-  (``feed``/``current``/``finalize``/``close``) is unchanged.
+  ``open()`` claims a slot on the next healthy server (dead endpoints
+  are skipped), ``reopen()`` migrates a stream whose home died, and the
+  per-stream API (``feed``/``current``/``finalize``/``close``) is
+  unchanged.
 
 The reference's serving story is a stub (``streamz-rs/examples/
 live_stream.rs:1-9``); this completes the distribution story of the
@@ -203,6 +205,19 @@ class LocalFleet:
             "fleet server did not become ready:\n" + drain.tail_text()
         )
 
+    def stop_server(self, i: int) -> None:
+        """Terminate server ``i`` only (fault injection, rolling restart).
+        Its endpoint stays listed; :class:`FleetClient` skips it while
+        down and :meth:`FleetClient.reopen` migrates its streams."""
+        p = self._procs[i]
+        if p.poll() is None:
+            p.terminate()
+        try:
+            p.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait(timeout=10)
+
     def stop(self) -> None:
         """Terminate every server process (SIGTERM → graceful stop)."""
         for p in self._procs:
@@ -238,7 +253,9 @@ class FleetClient:
     round-robin order (a connection IS a slot claim, so balancing happens
     at stream granularity).  Per-stream results are independent of
     placement, so a fleet of N servers is verdict-identical to one big
-    server (``tests/test_fleet.py``).
+    server (``tests/test_fleet.py``) — which is also what makes failover
+    sound: ``open()`` skips dead endpoints, and ``reopen()`` + a client
+    re-feed reproduces a dead home's verdict anywhere else.
     """
 
     def __init__(self, endpoints: Sequence[Tuple[str, int]], timeout: float = 30.0):
@@ -251,20 +268,53 @@ class FleetClient:
         self._homes: Dict[int, Tuple[str, int]] = {}
         self._fid = 0
 
-    def open(self) -> int:
-        """Claim a stream on the next server (round-robin).  A full server
-        raises on first use; the caller may simply retry — the cursor has
-        already advanced to the next endpoint."""
+    def _claim(self) -> Tuple[object, Tuple[str, int]]:
+        """Connect to the next HEALTHY endpoint (round-robin): a dead
+        server (connection refused/reset at connect) is skipped and the
+        next one tried, up to one full cycle.  A FULL server still raises
+        on first use — capacity is a policy decision, not a failure."""
         from streamz_tpu.app.server import StreamClient
 
-        ep = self.endpoints[self._next % len(self.endpoints)]
-        self._next += 1
-        c = StreamClient(ep[0], ep[1], timeout=self.timeout)
+        last: Optional[BaseException] = None
+        for _ in range(len(self.endpoints)):
+            ep = self.endpoints[self._next % len(self.endpoints)]
+            self._next += 1
+            try:
+                return StreamClient(ep[0], ep[1], timeout=self.timeout), ep
+            except OSError as e:
+                last = e
+        raise ConnectionError(
+            f"no healthy endpoint among {len(self.endpoints)}: {last}"
+        )
+
+    def open(self) -> int:
+        """Claim a stream on the next healthy server (round-robin; dead
+        endpoints are skipped — see :meth:`_claim`)."""
+        c, ep = self._claim()
         fid = self._fid
         self._fid += 1
         self._streams[fid] = c
         self._homes[fid] = ep
         return fid
+
+    def reopen(self, fid: int) -> Tuple[str, int]:
+        """Migrate stream ``fid`` to the next healthy server after its
+        home died mid-stream; returns the new (host, port) home.  The
+        fleet-level handle survives, but the stream STATE does not — the
+        verdict accumulator lived on the dead host — so the caller
+        re-feeds the audio from its own buffer (feeds are per-tick
+        appends; replaying them reproduces the verdict, which is what
+        per-stream placement-independence guarantees)."""
+        if fid not in self._homes:
+            raise KeyError(f"stream {fid} is not open")
+        old = self._streams.pop(fid, None)
+        self._homes.pop(fid)
+        if old is not None:
+            old.close()
+        c, ep = self._claim()
+        self._streams[fid] = c
+        self._homes[fid] = ep
+        return ep
 
     def home(self, fid: int) -> Tuple[str, int]:
         """The (host, port) endpoint serving stream ``fid``."""

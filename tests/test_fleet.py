@@ -163,3 +163,57 @@ def test_ready_timeout_on_silent_child():
     finally:
         p.kill()
         p.wait(timeout=10)
+
+
+@pytest.mark.slow
+def test_fleet_failover_skips_dead_server_and_migrates(tmp_path):
+    """Kill one of two servers mid-session: open() skips the dead endpoint
+    (lands every new stream on the survivor), reopen() migrates a dead
+    stream's handle, and a client-side re-feed reproduces the verdict the
+    dead home would have returned (placement independence is exactly what
+    makes the failover sound)."""
+    net = SpeakerNet.new(output=5, seed=0)
+    ckpt = str(tmp_path / "model.npz")
+    checkpoint.save(net, ckpt)
+    clip = _clip(7)
+
+    with LocalFleet(
+        ckpt, n_servers=2, n_streams=4, threshold=0.0,
+        tick_interval=0.005, env=_CHILD_ENV,
+    ) as fleet:
+        endpoints = fleet.start(timeout=300)
+        with FleetClient(endpoints, timeout=600.0) as client:
+            # Stream 0 lands on server 0; get its reference verdict while
+            # both servers are healthy.
+            fid = client.open()
+            home0 = client.home(fid)
+            i0 = endpoints.index(home0)
+            client.feed(fid, clip)
+            ref = client.finalize(fid)
+            assert ref is not None
+
+            fleet.stop_server(i0)
+            healthy = endpoints[1 - i0]
+
+            # New streams skip the dead endpoint even when the round-robin
+            # cursor points at it.
+            f2 = client.open()
+            f3 = client.open()
+            assert client.home(f2) == client.home(f3) == healthy
+
+            # The dead stream's handle migrates; re-feeding the audio
+            # reproduces the reference verdict on the new home.
+            new_home = client.reopen(fid)
+            assert new_home == healthy
+            client.feed(fid, clip)
+            got = client.finalize(fid)
+            assert got is not None and got[0] == ref[0]
+            np.testing.assert_allclose(got[1], ref[1], rtol=1e-5)
+
+            client.close(f2)
+            client.close(f3)
+
+            # Every endpoint dead -> a clear ConnectionError from open().
+            fleet.stop_server(1 - i0)
+            with pytest.raises(ConnectionError, match="no healthy endpoint"):
+                client.open()
