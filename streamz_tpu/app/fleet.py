@@ -401,6 +401,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     default=config.DEFAULT_CONF_THRESHOLD)
     ap.add_argument("--tick-interval", type=float, default=0.02)
     ap.add_argument("--block-batch", type=int, default=16)
+    ap.add_argument("--idle-timeout", type=float, default=0.0,
+                    help="drop a connection (releasing its slot) after this "
+                         "many seconds without a frame; <=0 disables")
     ap.add_argument("--watch-model", action="store_true",
                     help="hot-reload the checkpoint on change")
     args = ap.parse_args(argv)
@@ -440,6 +443,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         block_batch=args.block_batch,
         tick_interval=args.tick_interval,
         watch_model=args.checkpoint if args.watch_model else None,
+        idle_timeout=args.idle_timeout if args.idle_timeout > 0 else None,
     )
     srv.start()
     print(f"{READY_TAG} host={args.host} port={srv.port} "

@@ -78,6 +78,25 @@ def _batched_step(capacity: int, k: int):
     return jax.jit(step), jax.jit(step_i16), jax.jit(step_u8)
 
 
+@jax.jit
+def _slot_votes_count(carry, sid):
+    """One slot's verdict inputs packed as ``[capacity + 1]`` f32 — ONE
+    device→host transfer per CURRENT poll instead of two (votes row, then
+    count), which through a remote tunnel doubles per-poll latency and
+    the server-lock hold time for every polling client."""
+    return jnp.concatenate(
+        [carry[4][sid], carry[6][sid].astype(jnp.float32)[None]]
+    )
+
+
+@jax.jit
+def _slot_state(carry, sid):
+    """Extract one slot's full carry ON DEVICE for finalize — the previous
+    host round trip pulled all 7 components to numpy and re-uploaded
+    them (14 tunnel transfers per finalize)."""
+    return tuple(c[sid] for c in carry)
+
+
 class MultiStreamIdentifier:
     """Serve ``n_streams`` concurrent live identification streams batched.
 
@@ -122,7 +141,12 @@ class MultiStreamIdentifier:
         self.threshold = float(threshold)
         self.k = int(block_batch)
         self.mesh = mesh
-        n = int(n_streams)
+        # n_streams is the ADMISSION bound (what the operator configured);
+        # n_slots pads it up to a mesh multiple for shape only — open()
+        # never hands out a padding slot, or a --serve-streams capacity
+        # plan would silently admit up to mesh_size-1 extra streams.
+        self.n_streams = int(n_streams)
+        n = self.n_streams
         if mesh is not None:
             nd = int(mesh.devices.size)
             n = -(-n // nd) * nd  # pad slots to fill every device shard
@@ -194,13 +218,14 @@ class MultiStreamIdentifier:
     # -- slot lifecycle ------------------------------------------------------
 
     def open(self) -> int:
-        """Claim a free slot and return its stream id."""
-        for sid in range(self.n_slots):
+        """Claim a free slot and return its stream id (only the configured
+        ``n_streams`` are admissible; mesh-padding slots exist for shape)."""
+        for sid in range(self.n_streams):
             if not self._open[sid]:
                 self._open[sid] = True
                 self._final.pop(sid, None)
                 return sid
-        raise RuntimeError(f"all {self.n_slots} stream slots in use")
+        raise RuntimeError(f"all {self.n_streams} stream slots in use")
 
     def close(self, sid: int) -> None:
         """Release a slot: its carry state is zeroed for the next stream."""
@@ -309,6 +334,7 @@ class MultiStreamIdentifier:
             "bytes_shipped": self._bytes_shipped,
             "wire_dispatches": dict(self._wire_counts),
             "open_slots": sum(self._open),
+            "n_streams": self.n_streams,
             "n_slots": self.n_slots,
             "pending_blocks": self.pending_blocks(),
             "buffered_samples": sum(len(r) for r in self._rem),
@@ -419,9 +445,8 @@ class MultiStreamIdentifier:
         self._check(sid)
         if sid in self._final:
             return self._final[sid]
-        votes = np.asarray(self._carry[4][sid])
-        count = float(self._carry[6][sid])
-        return self._verdict(votes, count)
+        vc = np.asarray(_slot_votes_count(self._carry, jnp.int32(sid)))
+        return self._verdict(vc[:-1], float(vc[-1]))
 
     def finalize(self, sid: int) -> Optional[Tuple[int, float]]:
         """Flush ``sid``'s lookahead frames; identical to the offline
@@ -435,7 +460,7 @@ class MultiStreamIdentifier:
         from streamz_tpu.app.stream import _programs
 
         fin = _programs(self.net.capacity, self.k)[1]
-        slot = tuple(jnp.asarray(np.asarray(c[sid])) for c in self._carry)
+        slot = _slot_state(self._carry, jnp.int32(sid))
         votes, count, _, _ = fin(
             self.net.params, slot, jnp.int32(self.net.num_speakers)
         )

@@ -24,10 +24,12 @@ Design:
   device-side table expansion (:mod:`streamz_tpu.io.g711`), so a telephony
   client ships exactly one byte per sample all the way to HBM.
 - **Model hot-reload.**  With ``watch_model`` the ticker polls the
-  checkpoint's mtime and swaps the fleet's model in place via
+  checkpoint's stat signature (mtime_ns, size, inode — so rollbacks that
+  *preserve* an older mtime, e.g. ``mv model.bak model.npz``, still
+  reload) and swaps the fleet's model in place via
   :meth:`MultiStreamIdentifier.update_model` — no stream is dropped, no
   socket is closed (capacity growth included; the write must be atomic-ish:
-  the file is only loaded once its mtime has been stable for one poll).
+  the file is only loaded once its signature has been stable for one poll).
 
 Wire protocol (all integers little-endian)::
 
@@ -136,6 +138,7 @@ class SpeakerServer:
         watch_model: Optional[str] = None,
         watch_interval: float = 1.0,
         max_buffered_samples: int = 30 * config.DEFAULT_SAMPLE_RATE,
+        idle_timeout: Optional[float] = None,
     ):
         self.ident = MultiStreamIdentifier(
             net,
@@ -149,8 +152,16 @@ class SpeakerServer:
         self.tick_interval = float(tick_interval)
         self.watch_model = watch_model
         self.watch_interval = float(watch_interval)
+        # Idle reaping: an idle client holds a stream slot, so without a
+        # bound one silent peer per slot parks the whole fleet at capacity
+        # forever.  With idle_timeout set, a connection that sends no frame
+        # for that many seconds is dropped and its slot released (None
+        # keeps slots for the life of the connection — e.g. a microphone
+        # stream that legitimately pauses).
+        self.idle_timeout = None if idle_timeout is None else float(idle_timeout)
         self._lock = threading.Lock()  # serializes ALL identifier calls
         self._listener: Optional[socket.socket] = None
+        self._accept_thread: Optional[threading.Thread] = None
         self._threads: list = []  # accept + ticker only
         self._client_threads: set = set()  # self-pruning on disconnect
         self._conns: Dict[int, socket.socket] = {}  # sid -> socket
@@ -159,9 +170,10 @@ class SpeakerServer:
         self._n_accepted = 0
         self._n_rejected = 0
         self._n_overflows = 0
+        self._n_idle_dropped = 0
         self._sticky_errors: Dict[int, str] = {}  # sid -> failed-FEED message
-        self._model_mtime: Optional[float] = None
-        self._pending_mtime: Optional[float] = None
+        self._model_sig: Optional[tuple] = None  # (mtime_ns, size, inode)
+        self._pending_sig: Optional[tuple] = None
         self._n_reloads = 0
 
     # -- lifecycle -----------------------------------------------------------
@@ -176,14 +188,17 @@ class SpeakerServer:
         if self._listener is not None:
             raise RuntimeError("server already started")
         if self.watch_model and os.path.exists(self.watch_model):
-            self._model_mtime = os.path.getmtime(self.watch_model)
+            self._model_sig = self._stat_sig()
         ls = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         ls.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         ls.bind((self._host, self._requested_port))
         ls.listen(128)
         self._listener = ls
-        for target in (self._accept_loop, self._tick_loop):
-            t = threading.Thread(target=target, daemon=True)
+        self._accept_thread = threading.Thread(
+            target=self._accept_loop, daemon=True
+        )
+        ticker = threading.Thread(target=self._tick_loop, daemon=True)
+        for t in (self._accept_thread, ticker):
             t.start()
             self._threads.append(t)
 
@@ -195,6 +210,13 @@ class SpeakerServer:
                 self._listener.close()
             except OSError:
                 pass
+        # Join the accept thread BEFORE snapshotting connections: a socket
+        # accepted concurrently with stop() is either closed by the loop's
+        # own stop check or fully registered by the time the join returns —
+        # snapshotting first would miss it and leave a zombie client thread
+        # blocked in recv with a leaked slot.
+        if self._accept_thread is not None:
+            self._accept_thread.join(timeout=5.0)
         with self._conns_lock:
             socks = list(self._conns.values())
         for s in socks:
@@ -209,6 +231,7 @@ class SpeakerServer:
         for t in list(self._client_threads) + self._threads:
             t.join(timeout=5.0)
         self._threads = []
+        self._accept_thread = None
         self._client_threads.clear()
 
     def serve_forever(self) -> None:
@@ -241,7 +264,13 @@ class SpeakerServer:
             pass
         finally:
             if installed:
-                signal.signal(signal.SIGTERM, prev)
+                # prev is None when the previous handler was installed by
+                # non-Python code; passing None back raises TypeError and
+                # would skip self.stop() below.
+                signal.signal(
+                    signal.SIGTERM,
+                    prev if prev is not None else signal.SIG_DFL,
+                )
             self.stop()
 
     def stats(self) -> Dict[str, object]:
@@ -252,6 +281,7 @@ class SpeakerServer:
         s["accepted"] = self._n_accepted
         s["rejected"] = self._n_rejected
         s["overflows"] = self._n_overflows
+        s["idle_dropped"] = self._n_idle_dropped
         s["model_reloads"] = self._n_reloads
         return s
 
@@ -263,38 +293,75 @@ class SpeakerServer:
                 conn, _addr = self._listener.accept()
             except OSError:
                 return  # listener closed
-            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            try:
-                with self._lock:
-                    sid = self.ident.open()
-            except RuntimeError as e:  # fleet at capacity
-                self._n_rejected += 1
-                try:
-                    send_frame(conn, OP_ERROR, str(e).encode())
-                except OSError:
-                    pass
-                # Close unconditionally: a failed ERROR send (client already
-                # gone) must not leak the fd — a connect-flood against a
-                # full server would otherwise exhaust the fd limit.
+            if self._stop.is_set():
+                # Raced stop(): it joins this thread before closing the
+                # registered connections, so a late accept must be closed
+                # HERE — registering it now would leak a slot and a thread.
                 try:
                     conn.close()
                 except OSError:
                     pass
-                continue
-            self._n_accepted += 1
-            with self._conns_lock:
-                self._conns[sid] = conn
-            t = threading.Thread(
-                target=self._client_loop, args=(conn, sid), daemon=True
-            )
-            self._client_threads.add(t)
-            t.start()
+                return
+            sid = None
+            try:
+                conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                if self.idle_timeout is not None:
+                    conn.settimeout(self.idle_timeout)
+                try:
+                    with self._lock:
+                        sid = self.ident.open()
+                except RuntimeError as e:  # fleet at capacity
+                    self._n_rejected += 1
+                    try:
+                        send_frame(conn, OP_ERROR, str(e).encode())
+                    except OSError:
+                        pass
+                    # Close unconditionally: a failed ERROR send (client
+                    # already gone) must not leak the fd — a connect-flood
+                    # against a full server would otherwise exhaust the fd
+                    # limit.
+                    try:
+                        conn.close()
+                    except OSError:
+                        pass
+                    continue
+                self._n_accepted += 1
+                with self._conns_lock:
+                    self._conns[sid] = conn
+                t = threading.Thread(
+                    target=self._client_loop, args=(conn, sid), daemon=True
+                )
+                self._client_threads.add(t)
+                t.start()
+            except Exception as e:
+                # Per-connection setup failure (setsockopt on a reset peer,
+                # Thread.start() under thread exhaustion): release whatever
+                # was claimed and KEEP accepting — an unguarded raise here
+                # would silently halt accepts while serve_forever runs on.
+                print(f"[serve] accept setup failed, dropping connection: {e}")
+                if sid is not None:
+                    with self._conns_lock:
+                        self._conns.pop(sid, None)
+                    with self._lock:
+                        try:
+                            self.ident.close(sid)
+                        except KeyError:
+                            pass
+                try:
+                    conn.close()
+                except OSError:
+                    pass
 
     def _client_loop(self, conn: socket.socket, sid: int) -> None:
         try:
             while not self._stop.is_set():
                 try:
                     frame = recv_frame(conn)
+                except socket.timeout:
+                    # idle_timeout elapsed with no frame: reap the slot so
+                    # a silent peer cannot park the fleet at capacity.
+                    self._n_idle_dropped += 1
+                    break
                 except (ValueError, OSError):
                     break  # protocol violation / socket error: drop
                 if frame is None:
@@ -402,9 +469,11 @@ class SpeakerServer:
             # log and keep ticking — the next tick retries the same drain.
             try:
                 with self._lock:
-                    pending = self.ident.pending_blocks()
-                    if pending:
-                        self.ident.tick()
+                    # tick() is its own no-op when nothing is buffered (its
+                    # first counts pass returns 0 dispatches), so no
+                    # pending_blocks() pre-check — that would scan every
+                    # slot's remainder twice per tick under the lock.
+                    self.ident.tick()
             except Exception as e:
                 print(f"[serve] tick failed, retrying next tick: {e}")
             now = time.monotonic()
@@ -419,23 +488,34 @@ class SpeakerServer:
                     print(f"[serve] model watch failed, will retry: {e}")
             self._stop.wait(self.tick_interval)
 
+    def _stat_sig(self) -> tuple:
+        """The watched checkpoint's change signature.  (mtime_ns, size,
+        inode) rather than a monotone mtime comparison: a rollback that
+        preserves an older mtime (``mv model.bak model.npz``, rsync -t,
+        tar) changes the inode, and a rewrite landing within one coarse
+        filesystem timestamp tick changes the size or inode — both must
+        reload, and a ``<=`` mtime gate would ignore them forever."""
+        st = os.stat(self.watch_model)
+        return (st.st_mtime_ns, st.st_size, st.st_ino)
+
     def _maybe_reload(self) -> None:
         """Hot-swap the model when the watched checkpoint changes.
 
-        Two-poll mtime stability gate: a newer mtime is remembered on the
-        first sighting and only loaded once a subsequent poll sees the SAME
-        value — so a checkpoint mid-write (mtime still advancing) is never
-        loaded.  Load failures (e.g. a non-atomic writer caught between
-        polls) are skipped and retried on the next change.
+        Two-poll stability gate on the stat signature: a changed signature
+        is remembered on the first sighting and only loaded once a
+        subsequent poll sees the SAME value — so a checkpoint mid-write
+        (signature still advancing) is never loaded.  Load failures (e.g.
+        a non-atomic writer caught between polls) are skipped and retried
+        on the next change.
         """
         try:
-            mtime = os.path.getmtime(self.watch_model)
+            sig = self._stat_sig()
         except OSError:
             return
-        if self._model_mtime is not None and mtime <= self._model_mtime:
+        if sig == self._model_sig:
             return
-        if self._pending_mtime != mtime:
-            self._pending_mtime = mtime  # first sighting: wait one poll
+        if self._pending_sig != sig:
+            self._pending_sig = sig  # first sighting: wait one poll
             return
         from streamz_tpu.nn import checkpoint
 
@@ -449,11 +529,11 @@ class SpeakerServer:
                 self.ident.update_model(net)
         except ValueError as e:  # capacity shrink: refuse, keep serving
             print(f"[serve] model reload rejected: {e}")
-            self._model_mtime = mtime  # don't retry this file version
-            self._pending_mtime = None
+            self._model_sig = sig  # don't retry this file version
+            self._pending_sig = None
             return
-        self._model_mtime = mtime
-        self._pending_mtime = None
+        self._model_sig = sig
+        self._pending_sig = None
         self._n_reloads += 1
         print(
             f"[serve] model hot-swapped ({net.num_speakers} speakers, "
@@ -471,7 +551,29 @@ class StreamClient:
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
 
+    @staticmethod
+    def _linear_i16(pcm):
+        """Full-scale linear i16 from i16/float/int samples.  Floats are
+        the server's f32 scale ([-1, 1], the inverse of its /32767 device
+        conversion): scale, round, clip — a bare astype() would truncate
+        [-1, 1] floats to near-silence and the stream would silently
+        identify on nothing.  Wider ints are clipped, never wrapped."""
+        import numpy as np
+
+        pcm = np.asarray(pcm)
+        if pcm.dtype == np.int16:
+            return pcm
+        if np.issubdtype(pcm.dtype, np.floating):
+            return np.clip(
+                np.round(pcm * 32767.0), -32768, 32767
+            ).astype(np.int16)
+        return np.clip(pcm, -32768, 32767).astype(np.int16)
+
     def feed(self, pcm, wire: Optional[str] = None) -> None:
+        """Send one PCM chunk.  ``wire`` picks the transport dtype; samples
+        are CONVERTED to it when they arrive in another representation
+        (floats scale to full-range i16, i16/floats G.711-compand for the
+        'ulaw'/'alaw' wires — already-companded bytes pass through raw)."""
         import numpy as np
 
         if isinstance(pcm, (bytes, bytearray)):
@@ -486,12 +588,34 @@ class StreamClient:
                         "uint8 samples are ambiguous: pass wire='ulaw'/'alaw'"
                     )
                 wire = "i16" if pcm.dtype == np.int16 else "f32"
-            if wire == "i16":
-                raw = pcm.astype("<i2").tobytes()
+            if pcm.dtype == np.uint8:
+                if wire in ("ulaw", "alaw"):
+                    raw = pcm.tobytes()  # already-companded G.711 bytes
+                else:
+                    raise ValueError(
+                        "uint8 samples are ambiguous: pass wire='ulaw'/"
+                        "'alaw' for G.711 bytes"
+                    )
             elif wire == "f32":
-                raw = pcm.astype("<f4").tobytes()
-            else:
-                raw = pcm.astype(np.uint8).tobytes()
+                if np.issubdtype(pcm.dtype, np.integer):
+                    # The f32 wire carries the app's [-1, 1] float scale
+                    # (dsp.mfcc._to_f32 passes floats through unscaled);
+                    # full-range ints convert with the SAME /32767 the
+                    # i16 wire applies on device.
+                    raw = (
+                        pcm.astype("<f4") / np.float32(32767.0)
+                    ).tobytes()
+                else:
+                    raw = pcm.astype("<f4").tobytes()
+            elif wire == "i16":
+                raw = self._linear_i16(pcm).astype("<i2").tobytes()
+            else:  # linear samples onto a G.711 wire: compand client-side
+                from streamz_tpu.io import g711
+
+                enc = (
+                    g711.ulaw_encode if wire == "ulaw" else g711.alaw_encode
+                )
+                raw = enc(self._linear_i16(pcm)).tobytes()
         send_frame(self.sock, OP_FEED, bytes([self.WIRE[wire]]) + raw)
 
     def _verdict(self, opcode):

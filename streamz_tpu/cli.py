@@ -10,7 +10,8 @@ in its README but dead in its code (``--force``/``--retrain``/``--eval-split``/
           [--cluster-embeddings <k>] [--force] [--retrain] [--no-autotune]
           [--encode <file>] [--decode <out>] [--checksum <hex>]
           [--identify <file>...] [--serve [port]] [--serve-streams <n>]
-          [--serve-max-buffer <seconds>] [--profile [dir]]
+          [--serve-max-buffer <seconds>] [--serve-idle-timeout <seconds>]
+          [--profile [dir]]
           [--coordinator <host:port>] [--num-processes <n>] [--process-id <i>]
 
 Parsing is intentionally lenient like the reference's hand-rolled scanner
@@ -572,6 +573,11 @@ def _serve_mode(args: List[str], threshold: float, mesh) -> int:
             file=sys.stderr,
         )
         max_buffer_s = 30.0
+    # Idle reaping: drop a connection (and release its slot) after this
+    # many seconds without a frame.  Unset/<=0 keeps slots for the life of
+    # the connection — an idle fleet cannot then be reclaimed from silent
+    # peers, so production deployments should set it.
+    idle_timeout = _parse_float(args, "--serve-idle-timeout", 0.0)
     try:
         net = checkpoint.load(config.MODEL_PATH)
     except Exception as e:
@@ -585,6 +591,7 @@ def _serve_mode(args: List[str], threshold: float, mesh) -> int:
         mesh=mesh,
         watch_model=config.MODEL_PATH,
         max_buffered_samples=int(max_buffer_s * config.DEFAULT_SAMPLE_RATE),
+        idle_timeout=idle_timeout if idle_timeout > 0 else None,
     )
     srv.start()
     print(

