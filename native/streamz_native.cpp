@@ -222,9 +222,11 @@ int sz_read_wav(const char *path, int16_t **out, int64_t *out_len,
     free(data);
     return -5;  // "Only 16-bit audio supported"
   }
-  if (sr == 0 || ch == 0) {
+  if (sr == 0 || sr > 0x7FFFFFFFu || ch == 0) {
     // rate 0 would divide by zero inside the resampler plan (SIGFPE kills
-    // the whole batch-ingest process); channels 0 breaks downmix.
+    // the whole batch-ingest process); a rate >= 2^31 would go NEGATIVE
+    // through the int32 cast below and drive a wrapped ~2^64-element
+    // allocation in the plan; channels 0 breaks downmix.
     free(data);
     return -6;
   }
@@ -237,6 +239,10 @@ int sz_read_wav(const char *path, int16_t **out, int64_t *out_len,
 
 int sz_write_wav(const char *path, const int16_t *data, int64_t len,
                  int32_t rate, int16_t channels) {
+  // The RIFF size fields are u32: a payload past that bound would wrap
+  // data_bytes and silently write a header that lies about the payload
+  // (the Python twin's struct.pack('<I') raises for the same input).
+  if (len < 0 || len > int64_t((0xFFFFFFFFu - 36u) / 2)) return -3;
   FILE *f = fopen(path, "wb");
   if (!f) return -1;
   uint32_t data_bytes = static_cast<uint32_t>(len * 2);
@@ -268,46 +274,51 @@ int sz_write_wav(const char *path, const int16_t *data, int64_t len,
 // FFT resampler exports (rubato-equivalent; see resample.h).
 // ---------------------------------------------------------------------------
 
-int sz_resample_f64(const double *x, int64_t n, int32_t fs_in, int32_t fs_out,
-                    double **out, int64_t *out_len) {
-  std::vector<double> xv(x, x + n);
-  std::vector<double> y = szr::resample(xv, fs_in, fs_out);
-  auto *mem = static_cast<double *>(malloc(y.size() * sizeof(double)));
-  if (!mem) return -1;
-  memcpy(mem, y.data(), y.size() * sizeof(double));
-  *out = mem;
-  *out_len = static_cast<int64_t>(y.size());
-  return 0;
-}
-
 int sz_resample_i16(const int16_t *x, int64_t n, int32_t fs_in, int32_t fs_out,
                     int16_t **out, int64_t *out_len) {
-  std::vector<int16_t> y = szr::resample_i16(x, size_t(n), fs_in, fs_out);
-  auto *mem = static_cast<int16_t *>(malloc(y.size() * sizeof(int16_t)));
-  if (!mem) return -1;
-  memcpy(mem, y.data(), y.size() * sizeof(int16_t));
-  *out = mem;
-  *out_len = static_cast<int64_t>(y.size());
-  return 0;
+  if (n < 0 || fs_in <= 0 || fs_out <= 0) {
+    // fs_out == 0 would build a zero-output plan whose overlap-add writes
+    // past an empty buffer (heap corruption); negative rates wrap the
+    // plan's size_t allocations.
+    return -2;
+  }
+  try {
+    std::vector<int16_t> y = szr::resample_i16(x, size_t(n), fs_in, fs_out);
+    // max(size,1): malloc(0) may return null, which would misreport an
+    // empty (valid) result as an allocation failure; skip the memcpy for
+    // the empty case (memcpy from a null vector data() is UB).
+    auto *mem = static_cast<int16_t *>(
+        malloc(std::max(y.size(), size_t(1)) * sizeof(int16_t)));
+    if (!mem) return -1;
+    if (!y.empty()) memcpy(mem, y.data(), y.size() * sizeof(int16_t));
+    *out = mem;
+    *out_len = static_cast<int64_t>(y.size());
+    return 0;
+  } catch (const std::exception &) {
+    return -3;  // bad_alloc on a huge-but-valid input: fail, don't abort
+  }
 }
 
-static void downmix_inplace(std::vector<int16_t> &samples, int channels) {
-  if (channels <= 1) return;
-  size_t frames = samples.size() / size_t(channels);
-  for (size_t i = 0; i < frames; i++) {
+static int64_t downmix_raw(int16_t *samples, int64_t len, int channels) {
+  // In-place on the decode buffer (output only shrinks): the previous
+  // copy-into-a-vector formulation duplicated every clip wholesale on the
+  // hot ingest path and doubled peak memory per worker thread.
+  if (channels <= 1) return len;
+  int64_t frames = len / channels;
+  for (int64_t i = 0; i < frames; i++) {
     int32_t sum = 0;
     for (int c = 0; c < channels; c++) sum += samples[i * channels + c];
     samples[i] = int16_t(sum / channels);  // C++ trunc division == Rust
   }
   // ragged tail (Rust chunks() yields it too)
-  size_t rem = samples.size() - frames * size_t(channels);
+  int64_t rem = len - frames * channels;
   if (rem) {
     int32_t sum = 0;
-    for (size_t i = frames * channels; i < samples.size(); i++) sum += samples[i];
+    for (int64_t i = frames * channels; i < len; i++) sum += samples[i];
     samples[frames] = int16_t(sum / int32_t(rem));
     frames += 1;
   }
-  samples.resize(frames);
+  return frames;
 }
 
 static void decode_one(const char *path, SzClip *clip) {
@@ -315,14 +326,22 @@ static void decode_one(const char *path, SzClip *clip) {
   bool is_mp3 = n >= 4 && strncasecmp(path + n - 4, ".mp3", 4) == 0;
   bool is_wav = n >= 4 && strncasecmp(path + n - 4, ".wav", 4) == 0;
   int rc;
-  if (is_mp3) {
-    rc = sz_decode_mp3(path, &clip->samples, &clip->len, &clip->rate,
+  try {
+    if (is_mp3) {
+      rc = sz_decode_mp3(path, &clip->samples, &clip->len, &clip->rate,
+                         &clip->channels);
+    } else if (is_wav) {
+      rc = sz_read_wav(path, &clip->samples, &clip->len, &clip->rate,
                        &clip->channels);
-  } else if (is_wav) {
-    rc = sz_read_wav(path, &clip->samples, &clip->len, &clip->rate,
-                     &clip->channels);
-  } else {
-    rc = -100;
+    } else {
+      rc = -100;
+    }
+  } catch (const std::exception &) {
+    // bad_alloc (e.g. a multi-GB decode under memory pressure) on a pool
+    // thread would std::terminate the whole process; mark THIS clip
+    // failed instead — the Python fallback's _safe() drops exactly one
+    // file for the same condition.
+    rc = -8;
   }
   clip->status = rc;
   if (rc != 0) {
@@ -359,6 +378,13 @@ int sz_batch_decode(const char **paths, int32_t n, int32_t threads,
 int sz_batch_ingest(const char **paths, int32_t n, int32_t threads,
                     int32_t target_rate, SzClip *out) {
   if (n <= 0) return 0;
+  if (target_rate <= 0) {
+    // target 0 would build a zero-output resampler plan whose overlap-add
+    // writes past an empty buffer (heap corruption); negative wraps the
+    // plan's size_t allocations.  The input-rate twin of this guard lives
+    // in sz_read_wav (-6).
+    return -1;
+  }
   if (threads <= 0) threads = std::thread::hardware_concurrency();
   if (threads <= 0) threads = 1;  // hardware_concurrency() may return 0
   if (threads > n) threads = n;
@@ -373,27 +399,38 @@ int sz_batch_ingest(const char **paths, int32_t n, int32_t threads,
         SzClip *clip = &out[i];
         decode_one(paths[i], clip);
         if (clip->status != 0) continue;
-        std::vector<int16_t> samples(clip->samples, clip->samples + clip->len);
-        free(clip->samples);
-        clip->samples = nullptr;
-        downmix_inplace(samples, clip->channels);
-        std::vector<int16_t> res =
-            szr::resample_i16(samples.data(), samples.size(), clip->rate,
-                              target_rate);
-        // max(size,1): malloc(0) may return null, which would misreport an
-        // empty (valid) clip as an allocation failure.
-        auto *mem = static_cast<int16_t *>(
-            malloc(std::max(res.size(), size_t(1)) * sizeof(int16_t)));
-        if (!mem) {
-          clip->status = -7;
+        try {
+          // Downmix in place on the decode buffer (it only shrinks), then
+          // resample straight from it — one clip copy instead of two.
+          int64_t mono =
+              downmix_raw(clip->samples, clip->len, clip->channels);
+          std::vector<int16_t> res = szr::resample_i16(
+              clip->samples, size_t(mono), clip->rate, target_rate);
+          free(clip->samples);
+          clip->samples = nullptr;
+          // max(size,1): malloc(0) may return null, which would misreport
+          // an empty (valid) clip as an allocation failure.
+          auto *mem = static_cast<int16_t *>(
+              malloc(std::max(res.size(), size_t(1)) * sizeof(int16_t)));
+          if (!mem) {
+            clip->status = -7;
+            clip->len = 0;
+            continue;
+          }
+          if (!res.empty())
+            memcpy(mem, res.data(), res.size() * sizeof(int16_t));
+          clip->samples = mem;
+          clip->len = static_cast<int64_t>(res.size());
+          clip->rate = target_rate;
+          clip->channels = 1;
+        } catch (const std::exception &) {
+          // bad_alloc in the resampler (huge clip under memory pressure)
+          // must fail THIS clip, not std::terminate the process.
+          free(clip->samples);
+          clip->samples = nullptr;
+          clip->status = -8;
           clip->len = 0;
-          continue;
         }
-        memcpy(mem, res.data(), res.size() * sizeof(int16_t));
-        clip->samples = mem;
-        clip->len = static_cast<int64_t>(res.size());
-        clip->rate = target_rate;
-        clip->channels = 1;
       }
     });
   }
@@ -401,6 +438,6 @@ int sz_batch_ingest(const char **paths, int32_t n, int32_t threads,
   return 0;
 }
 
-int sz_version() { return 1; }
+int sz_version() { return 2; }
 
 }  // extern "C"

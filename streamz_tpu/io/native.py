@@ -23,6 +23,12 @@ _SO_PATH = os.path.join(_NATIVE_DIR, "libstreamz_native.so")
 _lib = None
 _lib_lock = threading.Lock()
 _build_attempted = False
+_load_failed = False
+
+# Bumped whenever the C ABI changes (exports added/removed/reshaped); a
+# stale on-disk .so from an older checkout is rebuilt instead of crashing
+# the ctypes bindings with AttributeError.
+SZ_NATIVE_VERSION = 2
 
 
 class _SzClip(ctypes.Structure):
@@ -35,14 +41,15 @@ class _SzClip(ctypes.Structure):
     ]
 
 
-def _try_build() -> bool:
+def _try_build(force: bool = False) -> bool:
     global _build_attempted
-    if _build_attempted:
+    if _build_attempted and not force:
         return os.path.exists(_SO_PATH)
     _build_attempted = True
     try:
+        cmd = ["make", "-s", "-B"] if force else ["make", "-s"]
         subprocess.run(
-            ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+            cmd, cwd=_NATIVE_DIR, check=True,
             capture_output=True, timeout=120,
         )
     except Exception:
@@ -51,56 +58,77 @@ def _try_build() -> bool:
 
 
 def load() -> Optional[ctypes.CDLL]:
-    """The native library, building it on demand; None if unavailable."""
-    global _lib
+    """The native library, building it on demand; None if unavailable.
+
+    A stale ``libstreamz_native.so`` from an older checkout (missing a
+    newer export, or an older ``sz_version``) is rebuilt once with
+    ``make -B`` instead of crashing the binding — ``available()`` must
+    return False, never raise, so callers can fall back to pure Python.
+    """
+    global _lib, _load_failed
     with _lib_lock:
         if _lib is not None:
             return _lib
+        if _load_failed:
+            return None
         if not os.path.exists(_SO_PATH) and not _try_build():
+            _load_failed = True
             return None
-        try:
-            lib = ctypes.CDLL(_SO_PATH)
-        except OSError:
-            return None
-        lib.sz_decode_mp3.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.sz_read_wav.argtypes = lib.sz_decode_mp3.argtypes
-        lib.sz_write_wav.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int16),
-            ctypes.c_int64,
-            ctypes.c_int32,
-            ctypes.c_int16,
-        ]
-        lib.sz_batch_decode.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p),
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.POINTER(_SzClip),
-        ]
-        lib.sz_batch_ingest.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p),
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.POINTER(_SzClip),
-        ]
-        lib.sz_resample_i16.argtypes = [
-            ctypes.POINTER(ctypes.c_int16),
-            ctypes.c_int64,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.sz_free.argtypes = [ctypes.c_void_p]
-        _lib = lib
-        return lib
+        for attempt in range(2):
+            try:
+                lib = _bind(ctypes.CDLL(_SO_PATH))
+            except (OSError, AttributeError):
+                lib = None
+            if lib is not None and lib.sz_version() == SZ_NATIVE_VERSION:
+                _lib = lib
+                return lib
+            # stale/mismatched .so: force one rebuild, then give up
+            if attempt == 0 and not _try_build(force=True):
+                break
+        _load_failed = True
+        return None
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.sz_version.restype = ctypes.c_int32
+    lib.sz_decode_mp3.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.sz_read_wav.argtypes = lib.sz_decode_mp3.argtypes
+    lib.sz_write_wav.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int16,
+    ]
+    lib.sz_batch_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(_SzClip),
+    ]
+    lib.sz_batch_ingest.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(_SzClip),
+    ]
+    lib.sz_resample_i16.argtypes = [
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.sz_free.argtypes = [ctypes.c_void_p]
+    return lib
 
 
 def available() -> bool:
@@ -125,7 +153,7 @@ def decode_file(path: str) -> Optional[Tuple[np.ndarray, int, int]]:
     rate = ctypes.c_int32(0)
     ch = ctypes.c_int32(0)
     fn = lib.sz_decode_mp3 if path.lower().endswith(".mp3") else lib.sz_read_wav
-    rc = fn(path.encode(), ctypes.byref(out), ctypes.byref(n),
+    rc = fn(os.fsencode(path), ctypes.byref(out), ctypes.byref(n),
             ctypes.byref(rate), ctypes.byref(ch))
     if rc != 0:
         return None
@@ -144,7 +172,10 @@ def batch_decode(
     n = len(paths)
     if n == 0:
         return []
-    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    # os.fsencode, not str.encode: a surrogate-escaped (non-UTF-8)
+    # filename from os.listdir must fail only ITS clip, not raise
+    # UnicodeEncodeError for the whole batch.
+    c_paths = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
     clips = (_SzClip * n)()
     lib.sz_batch_decode(c_paths, n, threads, clips)
     return [_clip_to_numpy(lib, clips[i]) for i in range(n)]
@@ -158,13 +189,20 @@ def batch_ingest(
     Returns per-path (mono i16 at target_rate, target_rate, 1) or None.
     The resampler is the C++ twin of :mod:`streamz_tpu.dsp.resample`
     (bit-identical i16 output)."""
+    if target_rate <= 0:
+        # The C side rejects this too (a zero-output resampler plan would
+        # corrupt the heap); fail loudly here with a Python-level message.
+        raise ValueError(f"target_rate must be positive, got {target_rate}")
     lib = load()
     if lib is None:
         raise RuntimeError("native library unavailable")
     n = len(paths)
     if n == 0:
         return []
-    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    # os.fsencode, not str.encode: a surrogate-escaped (non-UTF-8)
+    # filename from os.listdir must fail only ITS clip, not raise
+    # UnicodeEncodeError for the whole batch.
+    c_paths = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
     clips = (_SzClip * n)()
     lib.sz_batch_ingest(c_paths, n, threads, target_rate, clips)
     return [_clip_to_numpy(lib, clips[i]) for i in range(n)]
@@ -197,7 +235,7 @@ def write_wav_native(path: str, samples: np.ndarray, rate: int = 44100) -> bool:
         return False
     pcm = np.ascontiguousarray(samples, dtype=np.int16)
     rc = lib.sz_write_wav(
-        path.encode(),
+        os.fsencode(path),
         pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         len(pcm), rate, 1,
     )

@@ -39,9 +39,27 @@ def read_wav(path: str) -> Tuple[np.ndarray, int, int]:
                 break
             cid, size = struct.unpack("<4sI", chunk_hdr)
             if cid == b"fmt ":
+                # Cap + full-read check mirror the native reader
+                # (streamz_native.cpp sz_read_wav): an absurd declared size
+                # is a malformed header, and trusting it would allocate
+                # gigabytes for a corrupt file.
+                if size > (1 << 20):
+                    raise WavError(f"{path}: absurd fmt chunk ({size} bytes)")
                 fmt = f.read(size)
+                if len(fmt) < size:
+                    raise WavError(f"{path}: truncated fmt chunk")
             elif cid == b"data":
                 data = f.read(size)
+                if len(data) < size:
+                    # A short read means the file ends before the declared
+                    # payload (truncated download).  The native reader
+                    # rejects it (-3); returning the partial samples here
+                    # would make the corpus depend on WHICH reader ran —
+                    # and the reference (hound) errors on it too.
+                    raise WavError(
+                        f"{path}: truncated data chunk "
+                        f"({len(data)}/{size} bytes)"
+                    )
             else:
                 f.seek(size, 1)
             if size % 2 == 1:  # RIFF chunks are word-aligned

@@ -118,3 +118,75 @@ def test_native_zero_data_chunk_matches_python(tmp_path):
     for res in native.batch_ingest([p, p32]):
         assert res is not None
         assert res[0].shape == (0,) and res[1] == 44100
+
+
+def _riff_wav_bytes(sr, data: bytes) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, (sr * 2) & 0xFFFFFFFF, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_native_and_python_agree_on_truncated_data(tmp_path):
+    """A data chunk whose file ends early is rejected by BOTH readers —
+    a silent partial read on one path would make the corpus depend on
+    whether libstreamz_native.so built (non-reproducible runs)."""
+    raw = _riff_wav_bytes(44100, b"\x01\x02" * 100)
+    p = str(tmp_path / "trunc.wav")
+    with open(p, "wb") as f:
+        f.write(raw[:-60])  # chop the payload, keep the declared size
+    assert native.decode_file(p) is None
+    with pytest.raises(wavio.WavError, match="truncated data"):
+        wavio.read_wav(p)
+
+
+def test_native_rejects_int32_overflow_sample_rate(tmp_path):
+    """A fuzzed fmt rate >= 2^31 would go negative through the int32 cast
+    and wrap the resampler plan's allocations — the reader must reject it
+    as malformed, and the ingest pool must survive the file."""
+    p = str(tmp_path / "hugerate.wav")
+    with open(p, "wb") as f:
+        f.write(_riff_wav_bytes(0x80000000, b"\x01\x02" * 64))
+    assert native.decode_file(p) is None
+    assert native.batch_ingest([p]) == [None]
+
+
+def test_native_batch_ingest_rejects_bad_target_rate(tmp_path):
+    """target_rate <= 0 is a caller bug: fail loudly (the C side would
+    otherwise build a zero-output resampler plan — heap corruption)."""
+    p = str(tmp_path / "ok.wav")
+    wavio.write_wav(p, np.zeros(1000, np.int16), 44100)
+    with pytest.raises(ValueError, match="target_rate"):
+        native.batch_ingest([p], target_rate=0)
+    with pytest.raises(ValueError, match="target_rate"):
+        native.batch_ingest([p], target_rate=-44100)
+
+
+def test_native_non_utf8_filename_fails_only_its_clip(tmp_path):
+    """A surrogate-escaped (non-UTF-8) filename must fail only ITS clip,
+    not raise UnicodeEncodeError for the whole batch (os.fsencode)."""
+    good = str(tmp_path / "good.wav")
+    wavio.write_wav(good, (np.sin(np.linspace(0, 50, 4000)) * 20000
+                           ).astype(np.int16), 44100)
+    badp = os.fsdecode(bytes(tmp_path) + b"/bad_\xff.wav")
+    with open(os.fsencode(badp), "wb") as f:
+        f.write(b"not a wav")
+    out = native.batch_ingest([good, badp])
+    assert out[0] is not None and out[1] is None
+
+
+def test_stale_library_version_falls_back_cleanly(monkeypatch):
+    """available() must return False — never raise — when the on-disk .so
+    does not match the expected ABI version even after a forced rebuild."""
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_failed", False)
+    monkeypatch.setattr(native, "SZ_NATIVE_VERSION", 999)
+    assert native.available() is False
+    # and the failure is cached, not retried per call
+    assert native.load() is None
+    # restore: a fresh load with the real version succeeds
+    monkeypatch.setattr(native, "SZ_NATIVE_VERSION", 2)
+    monkeypatch.setattr(native, "_load_failed", False)
+    assert native.available() is True
