@@ -194,7 +194,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         # reference's lenient scanner would ignore the flag and start a
         # training run — the one place leniency is a footgun.
         try:
-            print(__doc__.strip())
+            # __doc__ is None under python -OO (docstrings stripped): the
+            # flag hardened against footguns must not traceback there.
+            print((__doc__ or "usage: python -m streamz_tpu [flags] "
+                   "(full usage requires docstrings; run without -OO)"
+                   ).strip())
             sys.stdout.flush()
         except BrokenPipeError:  # `streamz --help | head` closed the pipe
             try:
@@ -343,22 +347,43 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     _trace_stack = contextlib.ExitStack()
     _trace_stack.enter_context(trace(profile_dir))
+    try:
+        return _run_main_body(
+            train_files, target_files, original_paths, eval_mode,
+            eval_split, conf_threshold, burn_in_limit, max_speakers,
+            force_retrain, encode_path, extractor, timer, profile, mesh,
+        )
+    finally:
+        # One exit path for the profiler trace: the previous four
+        # hand-placed close() calls leaked an active jax.profiler trace
+        # whenever the body raised — losing exactly the trace needed to
+        # debug the failure.
+        _trace_stack.close()
 
+
+def _run_main_body(
+    train_files, target_files, original_paths, eval_mode, eval_split,
+    conf_threshold, burn_in_limit, max_speakers, force_retrain, encode_path,
+    extractor, timer, profile, mesh,
+) -> int:
+    """The train/eval body of :func:`main` (split out so the profiler
+    trace and the device store release sit in real ``finally`` blocks)."""
     path_list = [p for p, _ in train_files]
     if eval_mode:
         path_list.extend(p for p, _ in target_files)
-    # keep_device: the downstream device consumer — the discovery loop
-    # (training mode) or the eval embedding batches — reuses the frontend's
-    # device outputs directly instead of re-uploading them.  Eval gathers
-    # only the eval targets' rows, so pin only those.
+    # Resolve the eval targets ONCE: the store-pin set below and the
+    # evaluated set must be the same list, or a drift between two calls
+    # silently pins the wrong clips (store misses losing the
+    # device-residency win).
+    targets = None
     store_paths = None
     if eval_mode:
-        store_paths = {
-            p
-            for p, _ in resolve_eval_targets(
-                train_files, target_files, eval_split
-            )
-        }
+        targets = resolve_eval_targets(train_files, target_files, eval_split)
+        # keep_device: the downstream device consumer — the discovery loop
+        # (training mode) or the eval embedding batches — reuses the
+        # frontend's device outputs directly instead of re-uploading them.
+        # Eval gathers only the eval targets' rows, so pin only those.
+        store_paths = {p for p, _ in targets}
     feature_map, device_store = build_feature_map(
         path_list, extractor, timer=timer, mesh=mesh, keep_device=True,
         store_paths=store_paths,
@@ -387,25 +412,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         # cache-WAV paths the feature map is keyed by.  The reference
         # re-loads the raw lists here (src/main.rs:525) and so silently
         # evaluates zero files for MP3 target lists — consciously fixed
-        # (QUIRKS.md).
-        targets = resolve_eval_targets(train_files, target_files, eval_split)
-        raw_train = fl.load_train_files(config.TRAIN_FILE_LIST)
-        targets_opt = [(p, c) for p, c in targets]
-        label_map = fl.build_label_map(raw_train, targets_opt)
-        norm_targets = fl.normalize_with_map(targets_opt, label_map)
+        # (QUIRKS.md).  `targets` is the SAME list the store pinned above
+        # (resolved once); precache rewrites paths, never labels, so the
+        # in-memory train_files carries the same label set the reference
+        # re-read from disk for build_label_map.
+        label_map = fl.build_label_map(train_files, targets)
+        norm_targets = fl.normalize_with_map(targets, label_map)
         if not os.path.exists(config.MODEL_PATH):
             print(
                 f"Model file {config.MODEL_PATH} not found. Please train first.",
                 file=sys.stderr,
             )
-            _trace_stack.close()  # stop an active profiler trace cleanly
             return 1
         print(f"Loading model from {config.MODEL_PATH}")
         try:
             net = checkpoint.load(config.MODEL_PATH)
         except Exception as e:
             print(f"Failed to load model: {e}", file=sys.stderr)
-            _trace_stack.close()
             return 1
         print(f"Model contains {len(net.embeddings)} saved embeddings")
         with timer.phase("eval"):
@@ -415,7 +438,6 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
         if device_store is not None:
             device_store.release()
-        _trace_stack.close()
         if profile:
             print(timer.report())
         return 0
@@ -506,11 +528,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
     if device_store is not None:
         device_store.release()  # free the HBM feature copies
-    _trace_stack.close()
     if profile:
         print(timer.report())
 
     updated = list(zip(original_paths, (c for _, c in train_files)))
+    # Multi-host: every process writes its OWN working directory's lists
+    # (the per-host layout the two-process e2e pins).  On a SHARED
+    # working directory the writes race, but they are atomic
+    # (filelists._atomic_write_text) and every process computes identical
+    # labels (SPMD + psum), so the race is last-writer-wins with
+    # identical content — never a torn file.
     fl.write_train_files(config.TRAIN_FILE_LIST, updated)
     fl.write_target_files(config.TARGET_FILE_LIST, train_files)
     print("Updated training file labels:")

@@ -51,14 +51,33 @@ def load_train_files(path: str) -> List[TrainEntry]:
     return entries
 
 
+def _atomic_write_text(path: str, text: str) -> None:
+    """temp file + rename in the target directory: a crash (or a second
+    process writing the same list — e.g. an unguarded multi-host run)
+    can never leave a half-truncated file that the next run loads as a
+    silently smaller corpus."""
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(prefix=".filelist-", suffix=".tmp", dir=d)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(text)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def write_train_files(path: str, files: Sequence[TrainEntry]) -> None:
     """Write back (path, optional-label) pairs (src/main.rs:66-79)."""
-    with open(path, "w", encoding="utf-8") as f:
-        for p, c in files:
-            if c is None:
-                f.write(f"{p}\n")
-            else:
-                f.write(f"{p},{c}\n")
+    lines = []
+    for p, c in files:
+        lines.append(f"{p}\n" if c is None else f"{p},{c}\n")
+    _atomic_write_text(path, "".join(lines))
 
 
 def load_target_files(path: str) -> List[Tuple[str, int]]:
@@ -84,10 +103,9 @@ def load_target_files(path: str) -> List[Tuple[str, int]]:
 
 def write_target_files(path: str, files: Sequence[TrainEntry]) -> None:
     """Write only the labeled entries (src/main.rs:81-89)."""
-    with open(path, "w", encoding="utf-8") as f:
-        for p, c in files:
-            if c is not None:
-                f.write(f"{p},{c}\n")
+    _atomic_write_text(
+        path, "".join(f"{p},{c}\n" for p, c in files if c is not None)
+    )
 
 
 def count_speakers(files: Sequence[TrainEntry]) -> int:

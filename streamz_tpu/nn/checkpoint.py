@@ -92,6 +92,18 @@ def save(net: SpeakerNet, path: str) -> None:
             np.savez(f, **arrays)
             f.flush()
             os.fsync(f.fileno())
+        # mkstemp creates 0600 and os.replace keeps that mode, which would
+        # silently strip group/other read from the checkpoint — breaking
+        # the hot-reload watcher when the serving daemon runs as a
+        # different user.  Preserve the existing file's mode, else the
+        # umask-derived default an open()-based writer would have used.
+        try:
+            mode = os.stat(path).st_mode & 0o777
+        except OSError:
+            um = os.umask(0)
+            os.umask(um)
+            mode = 0o666 & ~um
+        os.chmod(tmp, mode)
         os.replace(tmp, path)
     except BaseException:
         try:
@@ -179,9 +191,27 @@ def load(path: str) -> SpeakerNet:
     embeddings: List[Tuple[np.ndarray, float, float]] = []
     if "speaker_embeddings" in data:
         embeds = np.asarray(data["speaker_embeddings"], np.float32)
-        mean_sims = np.asarray(data["speaker_mean_sims"], np.float32).ravel()
-        std_sims = np.asarray(data["speaker_std_sims"], np.float32).ravel()
-        for i in range(embeds.shape[0]):
+        n_emb = embeds.shape[0]
+
+        def _sims(key: str) -> np.ndarray:
+            # Optional like every other non-core entry (the module
+            # contract): a foreign/older writer may omit the sims or store
+            # fewer rows than embeddings.  Missing values degrade to 0.0 —
+            # the adaptive gate then treats that speaker as uncalibrated
+            # (reject threshold mean-2*std == 0), instead of the whole
+            # checkpoint failing to load with KeyError/IndexError.
+            if key in data:
+                v = np.asarray(data[key], np.float32).ravel()
+                if v.size >= n_emb:
+                    return v
+                out = np.zeros(n_emb, np.float32)
+                out[: v.size] = v
+                return out
+            return np.zeros(n_emb, np.float32)
+
+        mean_sims = _sims("speaker_mean_sims")
+        std_sims = _sims("speaker_std_sims")
+        for i in range(n_emb):
             embeddings.append((embeds[i].copy(), float(mean_sims[i]), float(std_sims[i])))
 
     # Re-pad the live columns into the capacity-aligned TPU layout. The

@@ -328,3 +328,44 @@ def test_foreign_rust_writer_layout(tmp_path):
     np.testing.assert_array_equal(*(np.asarray(n.params["w3"])
                                     for n in (net, again)))
     assert again.file_lists == lists
+
+
+def test_save_preserves_existing_file_mode(tmp_path):
+    """Atomic save must not flip the checkpoint to mkstemp's 0600: the
+    hot-reload watcher may run as another user and needs the mode the
+    operator set (or the umask default for a fresh file)."""
+    net = SpeakerNet.new(output=2, seed=0)
+    path = str(tmp_path / "model.npz")
+    checkpoint.save(net, path)
+    assert os.stat(path).st_mode & 0o044, "fresh save lost read bits"
+    os.chmod(path, 0o664)
+    checkpoint.save(net, path)
+    assert os.stat(path).st_mode & 0o777 == 0o664
+
+
+def test_load_tolerates_missing_sims_entries(tmp_path):
+    """speaker_embeddings without speaker_mean/std_sims (foreign or
+    truncated writer) must load with 0.0 calibration, not KeyError."""
+    net = SpeakerNet.new(output=2, seed=0)
+    net.set_embeddings([
+        (np.ones(128, np.float32), 0.9, 0.1),
+        (np.ones(128, np.float32) * 2, 0.8, 0.2),
+    ])
+    path = str(tmp_path / "model.npz")
+    checkpoint.save(net, path)
+    # strip the sims entries, keep everything else
+    import zipfile
+
+    src = zipfile.ZipFile(path)
+    stripped = str(tmp_path / "stripped.npz")
+    with zipfile.ZipFile(stripped, "w") as out:
+        for name in src.namelist():
+            if "mean_sims" in name or "std_sims" in name:
+                continue
+            out.writestr(name, src.read(name))
+    src.close()
+    got = checkpoint.load(stripped)
+    assert len(got.embeddings) == 2
+    for emb, m, s in got.embeddings:
+        assert m == 0.0 and s == 0.0
+    np.testing.assert_array_equal(got.embeddings[0][0], np.ones(128))

@@ -108,3 +108,14 @@ def test_help_prints_usage_and_exits(capsys):
         out = capsys.readouterr().out
         assert "streamz [--threshold" in out
         assert "--serve" in out
+
+
+def test_help_survives_stripped_docstrings(monkeypatch, capsys):
+    """--help under python -OO: __doc__ is None there, and the one flag
+    hardened against footguns must not be the one that tracebacks."""
+    from streamz_tpu import cli
+
+    monkeypatch.setattr(cli, "__doc__", None)
+    assert cli.main(["--help"]) == 0
+    out = capsys.readouterr().out
+    assert "usage" in out.lower()
