@@ -47,6 +47,14 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     """A 1-D device mesh over the first ``n_devices`` local devices."""
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            # Silent truncation would hand back a smaller mesh than the
+            # caller's sharding/throughput math assumes (and let a typo
+            # like n_devices=80 'succeed').
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} devices are available"
+            )
         devs = devs[:n_devices]
     import numpy as np
 
@@ -73,10 +81,17 @@ def initialize_distributed(
 ) -> None:
     """Multi-host bootstrap over DCN (``jax.distributed.initialize``).
 
-    No-op when the job is single-process (the common case in tests and on a
-    single host); multi-host launchers pass coordinator/process info or rely
-    on the cluster environment's auto-detection.
+    No-op when the job is single-process (the common case in tests and on
+    a single host).  Multi-host launchers pass all three coordinator/
+    process flags; on a managed cluster whose environment jax can
+    auto-detect (SLURM, GKE, TPU pod metadata), set
+    ``STREAMZ_DIST_AUTO=1`` to opt into ``jax.distributed.initialize()``
+    with no args instead — auto-detection is NOT attempted by default
+    because probing cluster metadata on every plain single-host CLI run
+    costs startup time and can hang on half-configured environments.
     """
+    import os
+
     given = {
         "--coordinator": coordinator_address,
         "--num-processes": num_processes,
@@ -84,6 +99,12 @@ def initialize_distributed(
     }
     missing = [k for k, v in given.items() if v is None]
     if len(missing) == 3:
+        if os.environ.get("STREAMZ_DIST_AUTO", "0") == "1":
+            # Explicit opt-in: let jax detect the cluster environment.
+            # Failure here is a misconfigured cluster, not a single-
+            # process job — surfacing it beats every host silently
+            # training its own divergent model over local chips only.
+            jax.distributed.initialize()
         return  # single-process job: the common case
     if missing:
         # ANY partial config is a misconfigured launcher, not a
@@ -94,8 +115,8 @@ def initialize_distributed(
         present = [k for k, v in given.items() if v is not None]
         raise ValueError(
             f"{'/'.join(present)} given without {'/'.join(missing)}; "
-            "pass all three (or none, for cluster auto-detection via "
-            "jax.distributed.initialize() with no args)"
+            "pass all three (or STREAMZ_DIST_AUTO=1 with none, for "
+            "cluster auto-detection via jax.distributed.initialize())"
         )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

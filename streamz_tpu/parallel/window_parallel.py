@@ -118,8 +118,16 @@ def _pad_to_mesh(windows, mesh: Mesh):
     model-consistent) and yields an all-zero mask.
     """
     windows = np.asarray(windows, np.float32)
-    if windows.ndim < 2:
-        windows = windows.reshape(len(windows), -1 if len(windows) else 1)
+    if windows.ndim == 1:
+        # A bare [F] vector is ONE window's features; an empty input takes
+        # the model's feature width so the forward GEMM shapes stay
+        # consistent (reshape(len, -1) would instead reinterpret [60] as
+        # 60 one-feature windows and trace a garbage [60,1] GEMM).
+        windows = (
+            windows.reshape(1, -1)
+            if windows.size
+            else windows.reshape(0, config.FEATURE_SIZE)
+        )
     n, (padded,) = pad_rows_to_mesh(mesh, windows)
     valid = (np.arange(len(padded)) < n).astype(np.float32)
     return padded, valid
@@ -141,8 +149,12 @@ def vote_sums_sharded(net, windows, mesh: Mesh):
 
 def identify_speaker_sharded(net, windows, mesh: Mesh) -> int:
     """``identify_speaker`` with the window axis sharded across the mesh."""
-    if len(windows) == 0:
-        return 0  # src/lib.rs:1302 unwrap_or(0)
+    if len(windows) == 0 or net.num_speakers == 0:
+        # num_speakers == 0 is a loadable checkpoint state (model.py): the
+        # vote sums are then empty and argmax would raise where the
+        # unsharded identify_speaker returns 0 (src/lib.rs:1302
+        # unwrap_or(0)).
+        return 0
     return int(vote_sums_sharded(net, windows, mesh).argmax())
 
 
@@ -288,8 +300,6 @@ def _shard_pcm(samples, mesh: Mesh):
     device_put it block-sharded across the mesh.  Returns
     ``(pcm_sharded, n_win_host, wl)``; ``wl`` is bucketed to bound
     recompiles across clip lengths."""
-    import numpy as np
-
     from streamz_tpu.dsp.mfcc import _to_f32
 
     f32 = _to_f32(np.asarray(samples))
@@ -316,8 +326,6 @@ def mfcc_features_pcm_sharded(samples, mesh: Mesh):
     the mesh — bit-equal to :func:`streamz_tpu.dsp.mfcc.extract_features`.
 
     Returns ``[n_windows, 60]`` float32 (host)."""
-    import numpy as np
-
     pcm_s, n_win, wl = _shard_pcm(samples, mesh)
     if n_win == 0:
         return np.zeros((0, config.FEATURE_SIZE), np.float32)
@@ -331,8 +339,8 @@ def mfcc_features_pcm_sharded(samples, mesh: Mesh):
 def identify_speaker_pcm_sharded(net, samples, mesh: Mesh) -> int:
     """``identify_speaker`` (src/lib.rs:1285-1303) as ONE fused SPMD program:
     sharded frontend → forward → psum vote sums over ICI."""
-    import numpy as np
-
+    if net.num_speakers == 0:
+        return 0  # empty vote sums: argmax would raise (see the feats twin)
     pcm_s, n_win, wl = _shard_pcm(samples, mesh)
     if n_win == 0:
         return 0  # src/lib.rs:1302 unwrap_or(0)
@@ -346,8 +354,6 @@ def identify_speaker_pcm_sharded(net, samples, mesh: Mesh) -> int:
 def extract_embedding_pcm_sharded(net, samples, mesh: Mesh):
     """Mean ReLU-h2 clip embedding (src/lib.rs:1450-1471) as ONE fused SPMD
     program over the sharded frontend, L2-normalized on the host."""
-    import numpy as np
-
     from streamz_tpu.infer.embed import normalize
 
     pcm_s, n_win, wl = _shard_pcm(samples, mesh)

@@ -38,6 +38,13 @@ _CACHE_PATH = os.environ.get("STREAMZ_AUTOTUNE_CACHE", _default_cache_path())
 _memory: Dict[str, str] = {}
 
 
+def _cache_path() -> str:
+    """Resolve the cache path PER CALL: STREAMZ_AUTOTUNE_CACHE set after
+    import (a test isolating its probes, an app embedding the library)
+    must win over the value captured at import time."""
+    return os.environ.get("STREAMZ_AUTOTUNE_CACHE") or _CACHE_PATH
+
+
 def _disk_get(key: str) -> Optional[str]:
     """Return the cached choice for ``key`` (both the plain-string legacy
     form and the versioned ``{"choice", "candidates"}`` form)."""
@@ -49,7 +56,7 @@ def _disk_get(key: str) -> Optional[str]:
 
 def _disk_get_entry(key: str):
     try:
-        with open(_CACHE_PATH) as f:
+        with open(_cache_path()) as f:
             return json.load(f).get(key)
     except Exception:
         return None
@@ -64,7 +71,8 @@ def _disk_put(key: str, value) -> None:
     publishes via temp-file + ``os.replace`` (readers never observe torn
     JSON — ``_disk_get`` would silently fall back to the static default)."""
     try:
-        lock_path = _CACHE_PATH + ".lock"
+        path = _cache_path()
+        lock_path = path + ".lock"
         with open(lock_path, "w") as lock_f:
             try:
                 import fcntl
@@ -73,14 +81,24 @@ def _disk_put(key: str, value) -> None:
             except Exception:
                 pass  # no flock on this platform: still atomic via replace
             cached = {}
-            if os.path.exists(_CACHE_PATH):
-                with open(_CACHE_PATH) as f:
-                    cached = json.load(f)
+            if os.path.exists(path):
+                try:
+                    with open(path) as f:
+                        cached = json.load(f)
+                    if not isinstance(cached, dict):
+                        cached = {}
+                except Exception:
+                    # A corrupt cache (user edit, older crash) must not
+                    # permanently disable persistence: every write would
+                    # raise here BEFORE the dump, silently re-running the
+                    # multi-minute probe suite in every new process
+                    # forever.  Heal it with a fresh dict instead.
+                    cached = {}
             cached[key] = value
-            tmp = _CACHE_PATH + f".tmp.{os.getpid()}"
+            tmp = path + f".tmp.{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump(cached, f)
-            os.replace(tmp, _CACHE_PATH)
+            os.replace(tmp, path)
     except Exception:
         pass
 

@@ -198,3 +198,42 @@ def test_extractor_keeps_mesh_for_pallas_backend(monkeypatch):
     clips = [rng.normal(0, 3000, size=12000).astype(np.int16)]
     FeatureExtractor("pallas_v3").extract_batch(clips, mesh=mesh)
     assert seen["mesh"] is mesh
+
+
+def test_sharded_identify_zero_speakers_returns_zero():
+    """num_speakers == 0 is a loadable checkpoint state: the sharded
+    identify helpers must return 0 like the unsharded path (unwrap_or(0)),
+    not raise argmax-of-empty."""
+    from streamz_tpu import config
+
+    mesh = comm.make_mesh(8)
+    net = SpeakerNet.new(output=1, seed=0)
+    net.num_speakers = 0
+    wins = np.random.default_rng(0).normal(
+        size=(32, config.FEATURE_SIZE)).astype(np.float32)
+    assert wp.identify_speaker_sharded(net, wins, mesh) == 0
+    pcm = (np.random.default_rng(1).normal(0, 3000, size=20000)
+           ).astype(np.int16)
+    assert wp.identify_speaker_pcm_sharded(net, pcm, mesh) == 0
+
+
+def test_pad_to_mesh_handles_1d_and_empty():
+    """A bare [F] vector is ONE window; an empty input keeps the model's
+    feature width (reshape(len,-1) used to turn [60] into a garbage
+    [60,1] and [] into width-1 rows)."""
+    from streamz_tpu import config
+
+    mesh = comm.make_mesh(8)
+    one = np.arange(config.FEATURE_SIZE, dtype=np.float32)
+    padded, valid = wp._pad_to_mesh(one, mesh)
+    assert padded.shape[1] == config.FEATURE_SIZE and valid.sum() == 1
+    padded, valid = wp._pad_to_mesh([], mesh)
+    assert padded.shape[1] == config.FEATURE_SIZE and valid.sum() == 0
+    # and the public consumer works end-to-end on both
+    net = SpeakerNet.new(output=2, seed=0)
+    assert wp.identify_speaker_sharded(net, one, mesh) in (0, 1)
+
+
+def test_make_mesh_rejects_overrequest():
+    with pytest.raises(ValueError, match="only"):
+        comm.make_mesh(64)

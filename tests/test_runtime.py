@@ -261,3 +261,43 @@ def _device_kind():
     import jax
 
     return jax.devices()[0].device_kind
+
+
+def test_autotune_cache_heals_corrupt_file(tmp_path, monkeypatch):
+    """A corrupt cache file must not permanently disable persistence: the
+    next successful put rewrites a clean file (previously every write
+    raised at json.load before the dump, silently re-running every probe
+    in every new process forever)."""
+    import json
+
+    from streamz_tpu.runtime import autotune
+
+    path = str(tmp_path / "tune.json")
+    with open(path, "w") as f:
+        f.write("{ not json !!")
+    monkeypatch.delenv("STREAMZ_AUTOTUNE_CACHE", raising=False)
+    monkeypatch.setattr(autotune, "_CACHE_PATH", path)
+    autotune._disk_put("stage:dev", {"choice": "a", "candidates": ["a"]})
+    with open(path) as f:
+        data = json.load(f)
+    assert data["stage:dev"]["choice"] == "a"
+    # non-dict top level heals the same way
+    with open(path, "w") as f:
+        json.dump(["not", "a", "dict"], f)
+    autotune._disk_put("s2:dev", "b")
+    with open(path) as f:
+        assert json.load(f)["s2:dev"] == "b"
+
+
+def test_autotune_cache_env_set_after_import_wins(tmp_path, monkeypatch):
+    """STREAMZ_AUTOTUNE_CACHE set after the module was imported must
+    redirect reads AND writes (the path used to be captured at import)."""
+    from streamz_tpu.runtime import autotune
+
+    late = str(tmp_path / "late.json")
+    monkeypatch.setenv("STREAMZ_AUTOTUNE_CACHE", late)
+    autotune._disk_put("k:dev", "v")
+    assert autotune._disk_get("k:dev") == "v"
+    import os
+
+    assert os.path.exists(late)
