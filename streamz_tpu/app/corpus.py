@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
+from streamz_tpu import config
 from streamz_tpu.nn.model import SpeakerNet
 from streamz_tpu.parallel import comm, data_parallel as dp
 
@@ -38,7 +39,8 @@ def build_window_pool(
         xs.append(np.asarray(wins, np.float32))
         ys.append(np.full(len(wins), cls, np.int32))
     if not xs:
-        return np.zeros((0, 60), np.float32), np.zeros((0,), np.int32)
+        return (np.zeros((0, config.FEATURE_SIZE), np.float32),
+                np.zeros((0,), np.int32))
     return np.concatenate(xs), np.concatenate(ys)
 
 
@@ -62,12 +64,18 @@ def train_corpus(
     ``dropout`` reproduces the reference's input dropout (zero elements with
     prob p, no 1/(1-p) rescale, all-zero windows skipped from the batch —
     src/lib.rs:119-129, :607-609).  Masks are drawn host-side from the seeded
-    rng, so results are bit-independent of the device count.
+    rng for the UNPADDED pool only, so the rng stream (shuffles + masks)
+    is device-count-independent; trained params then match across device
+    counts up to psum reduction-order float noise.
     """
     mesh = mesh or comm.make_mesh()
     n_dev = mesh.devices.size
     if batch_size % n_dev:
         batch_size += n_dev - batch_size % n_dev
+
+    n = len(windows)
+    if n == 0:
+        return []  # before the autotune probe: nothing to train
 
     # Pick the train-step kernel by measurement before tracing the epoch
     # (a no-op off-TPU and on multi-host, where every host must trace the
@@ -76,9 +84,6 @@ def train_corpus(
 
     autotune_train_kernel()
 
-    n = len(windows)
-    if n == 0:
-        return []
     steps = max(1, -(-n // batch_size))
     n_pad = steps * batch_size
 
@@ -93,8 +98,15 @@ def train_corpus(
         x = windows[idx]
         w = (np.arange(n_pad) < n).astype(np.float32)
         if dropout > 0.0:
-            keep = rng.random(x.shape, dtype=np.float32) >= dropout
-            x = x * keep
+            # Draw the mask for the UNPADDED rows only: n_pad depends on
+            # the mesh-multiple batch rounding, so consuming draws for
+            # padding rows would advance the bit generator by a
+            # device-count-dependent amount — breaking the documented
+            # bit-invariance from epoch 2 on (the next permutation would
+            # differ across mesh sizes).  Padding rows carry w == 0, so
+            # leaving them un-dropped changes nothing.
+            keep = rng.random((n,) + x.shape[1:], dtype=np.float32) >= dropout
+            x[:n] = x[:n] * keep
             w = w * np.any(x != 0.0, axis=-1)  # all-zero windows skipped
         x = x.astype(np.float32).reshape(steps, batch_size, -1)
         y = labels[idx].reshape(steps, batch_size)

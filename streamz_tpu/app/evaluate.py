@@ -22,7 +22,6 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from streamz_tpu.infer.embed import extract_embedding_from_features, normalize
 from streamz_tpu.io import filelists as fl
 from streamz_tpu.nn.model import SpeakerNet
 
@@ -91,14 +90,20 @@ def evaluate(
         )
 
         sims = sims_by_path[path]
+        # Per-speaker work only under verbose: the f-string below is
+        # evaluated per (file, speaker), which at the 1000-speaker scale
+        # is millions of pure-Python formats the docstring promises are
+        # logging-only.  The decision itself is one argmax (first max ==
+        # the loop's strict-greater winner; > threshold on the max ==
+        # "any candidate exceeded it").
+        if verbose:
+            for sid in range(len(centroid_list)):
+                log(f"  -> Similarity to speaker {sid}: {float(sims[sid]):.6f}")
         best_id: Optional[int] = None
-        best_sim = -np.inf
-        for sid in range(len(centroid_list)):
-            sim = float(sims[sid])
-            log(f"  -> Similarity to speaker {sid}: {sim:.6f}")
-            if sim > threshold and sim > best_sim:
-                best_sim = sim
-                best_id = sid
+        if len(centroid_list):
+            cand = int(np.asarray(sims[: len(centroid_list)]).argmax())
+            if float(sims[cand]) > threshold:
+                best_id = cand
 
         if best_id == true_class:
             correct += 1

@@ -280,7 +280,12 @@ class StreamingIdentifier:
         ``encoding='ulaw'``/``'alaw'`` — expanded to exact i16 on host;
         the batched multi-stream server ships the bytes to the device
         instead, see :mod:`streamz_tpu.app.serve`)."""
-        assert not self._finalized, "stream already finalized"
+        if self._finalized:
+            # RuntimeError, not assert: under python -O the assert would
+            # vanish and a post-finalize feed would re-finalize the
+            # already-flushed lookahead frames (finalize never advances
+            # n_base), silently double-counting votes.
+            raise RuntimeError("stream already finalized")
         from streamz_tpu.dsp.mfcc import _to_f32
 
         if encoding is not None:

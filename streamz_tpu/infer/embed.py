@@ -119,6 +119,16 @@ def _batch_pooled(net: SpeakerNet, clips, mesh, kernel, store=None, keys=None) -
 
     for n_pad, idxs in buckets.items():
         lens = np.asarray([len(arrs[i]) for i in idxs], np.int32)
+        # Pad the CLIP axis to a power of two as well (n_valid = 0 rows
+        # are masked no-ops in both pooling kernels): the window axis was
+        # already bucketed, but a raw B = len(idxs) retraces and
+        # recompiles the kernel for every distinct clip count — seconds
+        # of compile per discovery round as the corpus grows, against the
+        # repo's static-shape rule.
+        B = len(idxs)
+        B_pad = config.next_pow2(B)
+        if B_pad > B:
+            lens = np.concatenate([lens, np.zeros(B_pad - B, np.int32)])
         batch_d = lens_d = None
         if store is not None and keys is not None:
             bucket_keys = [keys[i] for i in idxs]
@@ -131,7 +141,9 @@ def _batch_pooled(net: SpeakerNet, clips, mesh, kernel, store=None, keys=None) -
                 if batch_d is not None:
                     (lens_d,) = put_batch_sharded(mesh, lens_p)
             else:
-                batch_d, misses = store.gather_partial(bucket_keys, n_pad)
+                batch_d, misses = store.gather_partial(
+                    bucket_keys, n_pad, n_rows=B_pad,
+                )
                 if batch_d is not None:
                     lens_d = jnp.asarray(lens)
             if batch_d is not None and misses:
@@ -148,7 +160,7 @@ def _batch_pooled(net: SpeakerNet, clips, mesh, kernel, store=None, keys=None) -
                     rows_sharded=mesh is not None,
                 )
         if batch_d is None:
-            batch = np.zeros((len(idxs), n_pad, feat), np.float32)
+            batch = np.zeros((len(lens), n_pad, feat), np.float32)
             for row, i in enumerate(idxs):
                 batch[row, : len(arrs[i])] = arrs[i]
             batch_d, lens_d = _put_bucket(batch, lens, mesh)

@@ -263,3 +263,19 @@ def test_list_vote_gate_is_f32_at_threshold_boundary():
     probs = np.zeros((1, 3), np.float32)
     probs[0, 1] = np.float32(0.7)
     assert _list_from_probs(probs, 3, 0.7) == [1]
+
+
+def test_bucket_clip_axis_padded_to_pow2_bounds_compiles():
+    """The pooling kernels must not recompile for every distinct clip
+    count: 3 clips and 4 clips (same window bucket) share one padded
+    [4, W, F] program."""
+    from streamz_tpu.infer.embed import _fembed_mean_batch, batch_clip_embeddings
+
+    net = SpeakerNet.new(output=2, seed=0)
+    rng = np.random.default_rng(3)
+    mk = lambda: rng.normal(size=(10, 60)).astype(np.float32)
+    e3 = batch_clip_embeddings(net, [mk() for _ in range(3)])
+    before = _fembed_mean_batch._cache_size()
+    e4 = batch_clip_embeddings(net, [mk() for _ in range(4)])
+    assert _fembed_mean_batch._cache_size() == before
+    assert len(e3) == 3 and len(e4) == 4

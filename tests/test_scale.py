@@ -366,3 +366,27 @@ def test_corpus_soak_2k_files_store_eviction_and_determinism(tmp_path):
     # (graceful degradation must not balloon host memory).
     assert peak < 6 * 1024 * 1024, f"peak child RSS {peak} KiB"
     assert peak >= before  # the measurement actually covered the children
+
+
+def test_corpus_dropout_device_count_invariant():
+    """Dropout masks are drawn for the UNPADDED pool only, so the rng
+    stream (shuffles + masks) is identical across device counts; the
+    trained params then agree up to psum reduction-order float noise
+    (the draw used to cover n_pad rows, whose size depends on the
+    mesh-multiple batch rounding — the rng would then diverge on every
+    epoch after the first)."""
+    rng = np.random.default_rng(7)
+    dim = 16
+    x = rng.normal(size=(90, dim)).astype(np.float32)
+    y = rng.integers(0, 3, size=(90,)).astype(np.int32)
+    results = []
+    for nd in (2, 8):
+        net = SpeakerNet.new(input_size=dim, hidden1=32, hidden2=16,
+                             output=3, seed=5)
+        train_corpus(net, x, y, epochs=3, batch_size=40, lr=0.1,
+                     dropout=0.2, mesh=comm.make_mesh(nd), seed=11)
+        results.append({k: np.asarray(v) for k, v in net.params.items()})
+    for k in results[0]:
+        np.testing.assert_allclose(
+            results[0][k], results[1][k], rtol=0, atol=1e-6,
+        )

@@ -125,3 +125,16 @@ def test_example_runs(capsys):
         _sys.argv = old
     out = capsys.readouterr().out
     assert "Final:" in out
+
+
+def test_feed_after_finalize_raises():
+    """Post-finalize feed must raise even under python -O (a stripped
+    assert would re-finalize the flushed lookahead frames and silently
+    double-count votes)."""
+    net = SpeakerNet.new(output=2, seed=0)
+    s = StreamingIdentifier(net, threshold=0.0)
+    s.feed((np.random.default_rng(0).normal(0, 3000, size=12000)
+            ).astype(np.int16))
+    s.finalize()
+    with pytest.raises(RuntimeError, match="finalized"):
+        s.feed(np.zeros(400, np.int16))
