@@ -86,6 +86,10 @@ def load_and_resample_file(path: str) -> Tuple[str, np.ndarray]:
 def load_audio_samples(path: str) -> np.ndarray:
     """Extension-dispatched load with the MP3→WAV cache (src/lib.rs:448-488)."""
     if path.lower().endswith(".mp3"):
+        # Preserved quirk (like feature_cache_path's): the cache key is the
+        # STEM only (src/lib.rs:448-488 uses file_stem), so same-named MP3s
+        # in different directories share one cache entry — first writer
+        # wins.  Corpora relying on the cache must keep stems unique.
         cached = Path(config.WAV_CACHE_DIR) / f"{Path(path).stem}.wav"
         if cached.exists():
             return load_and_resample_file(str(cached))[1]
@@ -198,12 +202,22 @@ def precache_target_files(files: List[Tuple[str, int]]) -> None:
 # ---------------------------------------------------------------------------
 
 
+_FEATURE_DIRS_MADE: set = set()
+
+
 def feature_cache_path(path: str) -> Path:
     """``feature_cache/<path with slashes as underscores>.npy``.
 
     Preserved quirk: same-stem files in different directories collide
     only when the *full* path matches after separator replacement.
     """
-    os.makedirs(config.FEATURE_CACHE_DIR, exist_ok=True)
+    d = os.path.abspath(config.FEATURE_CACHE_DIR)
+    if d not in _FEATURE_DIRS_MADE:
+        # once per resolved directory (keyed absolute so a chdir between
+        # calls still creates the new cwd's cache dir): hot loops call
+        # this purely for .exists() checks, and an unconditional mkdir
+        # is a syscall per file.
+        os.makedirs(d, exist_ok=True)
+        _FEATURE_DIRS_MADE.add(d)
     sanitized = path.replace("/", "_").replace("\\", "_")
     return Path(config.FEATURE_CACHE_DIR) / f"{sanitized}.npy"

@@ -99,9 +99,19 @@ def load_mp3_samples(path: str) -> Tuple[np.ndarray, int, int]:
             raise Mp3Error("No frames decoded")
         # Lock the output format to s16 at the first frame's rate/channels —
         # the reference's "first frame fixes rate/channels" behavior
-        # (src/lib.rs:430-433).
-        lib.mpg123_format_none(handle)
-        lib.mpg123_format(handle, rate.value, channels.value, _MPG123_ENC_SIGNED_16)
+        # (src/lib.rs:430-433).  Check BOTH return codes: format_none has
+        # already cleared every allowed format, so a failed mpg123_format
+        # would otherwise surface later as an opaque read error instead
+        # of this clear message.
+        rc = lib.mpg123_format_none(handle)
+        rc2 = lib.mpg123_format(
+            handle, rate.value, channels.value, _MPG123_ENC_SIGNED_16
+        )
+        if rc != _MPG123_OK or rc2 != _MPG123_OK:
+            raise Mp3Error(
+                f"{path}: cannot lock s16 output at "
+                f"{rate.value} Hz x{channels.value} ({rc}/{rc2})"
+            )
 
         chunks = []
         buf = (ctypes.c_char * 65536)()
@@ -111,7 +121,9 @@ def load_mp3_samples(path: str) -> Tuple[np.ndarray, int, int]:
                 handle, buf, ctypes.sizeof(buf), ctypes.byref(done)
             )
             if done.value:
-                chunks.append(bytes(buf[: done.value]))
+                # slicing a c_char array already yields fresh bytes;
+                # bytes() again would double-copy every 64 KB chunk
+                chunks.append(buf[: done.value])
             if rc == _MPG123_DONE:
                 break
             if rc not in (_MPG123_OK, _MPG123_NEW_FORMAT):

@@ -39,14 +39,23 @@ from streamz_tpu import config
 from streamz_tpu.nn.model import SpeakerNet, round_capacity
 
 
+_HEX_DIGITS = set("0123456789abcdefABCDEF")
+
+
 def hex_to_bytes(s: str) -> bytes:
-    """Lenient hex parse (src/lib.rs:60-65): invalid byte pairs are skipped."""
+    """Lenient hex parse (src/lib.rs:60-65): invalid byte pairs are skipped.
+
+    Pair validity is checked per character, NOT via ``int(pair, 16)``:
+    Python's int() strips whitespace (``int(' f', 16) == 15``) where the
+    reference's ``u8::from_str_radix`` rejects it — a whitespace-bearing
+    override string must skip the same pairs the Rust binary skips, or
+    the derived 512-bit stego key diverges.
+    """
     out = bytearray()
     for i in range(0, len(s) - 1, 2):
-        try:
-            out.append(int(s[i : i + 2], 16))
-        except ValueError:
-            continue
+        pair = s[i : i + 2]
+        if pair[0] in _HEX_DIGITS and pair[1] in _HEX_DIGITS:
+            out.append(int(pair, 16))
     return bytes(out)
 
 
@@ -142,7 +151,7 @@ def _train_bits_loop(
     w3, b3, steps, done = jax.lax.while_loop(
         cond, body, (w3, b3, jnp.int32(0), bits_match(w3, b3))
     )
-    return w3, b3, steps
+    return w3, b3, steps, done
 
 
 def encode_file(path: str, *, max_epochs: int = config.STEGO_MAX_EPOCHS) -> SpeakerNet:
@@ -183,11 +192,20 @@ def encode_file(path: str, *, max_epochs: int = config.STEGO_MAX_EPOCHS) -> Spea
         target_bits.astype(np.uint8), _keystream(n_bits)
     ).astype(np.float32)
 
-    w3_j, b3_j, steps = _train_bits_loop(
+    w3_j, b3_j, steps, done = _train_bits_loop(
         jnp.asarray(w3), jnp.asarray(b3), jnp.asarray(h2),
         jnp.asarray(target_pad), jnp.int32(n_bits), config.STEGO_LR,
         max_epochs=int(max_epochs),
     )
+    if not bool(done):
+        # Surfacing this is load-bearing: a non-converged run used to
+        # print success and store weights whose decode returns garbage —
+        # the payload silently unrecoverable.
+        raise RuntimeError(
+            f"stego encoding of {path!r} did not converge within "
+            f"{int(max_epochs)} epochs ({n_bits} bits); raise max_epochs "
+            "or shrink the payload"
+        )
     print(f"Finished encoding {path} ({int(steps)} steps)")
 
     net = SpeakerNet.new(

@@ -114,3 +114,21 @@ def test_sha512_trigger(tmp_path, monkeypatch):
     finally:
         config.set_checksum_constant_override(config.CHECKSUM_CONSTANT)
         audio.CHECKSUM_TRIGGERED.clear()
+
+
+def test_encode_non_convergence_raises(tmp_path):
+    """A run that exhausts max_epochs without bit-exact convergence must
+    raise — it used to print success and store weights whose decode
+    returned garbage, silently losing the payload."""
+    src = tmp_path / "payload.bin"
+    src.write_bytes(b"hello stego world, this will not converge instantly")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        codec.encode_file(str(src), max_epochs=0)
+
+
+def test_hex_to_bytes_rejects_whitespace_pairs():
+    """int(' f', 16) would accept what Rust's from_str_radix rejects; the
+    derived stego key must skip the same pairs the reference skips."""
+    assert codec.hex_to_bytes("0a f") == b"\x0a"      # ' f' skipped
+    assert codec.hex_to_bytes(" a0b") == b"\x0b"       # ' a' skipped, '0b' kept
+    assert codec.hex_to_bytes("aabb") == b"\xaa\xbb"
