@@ -79,6 +79,16 @@ def pretrain_from_features(
     windows = np.asarray(windows, np.float32)
     if windows.ndim != 2 or len(windows) == 0:
         return 0.0
+    if 0 <= target_class < num_classes and target_class >= net.num_speakers:
+        # The logit mask blocks gradients to columns >= num_speakers, so a
+        # target there would silently train as a no-target pure-softmax
+        # update (the class can never be learned) while reporting
+        # -ln(1e-12) losses.  The caller must grow the net first.
+        raise ValueError(
+            f"target_class {target_class} is masked: net has "
+            f"{net.num_speakers} live speakers (grow with "
+            "add_output_class/ensure before training this class)"
+        )
     batch_size = max(1, int(batch_size))  # reference clamp (src/lib.rs:602)
     padded, n_valid = _pad_windows(windows, batch_size)
     tvec = _target_vec(net.capacity, target_class, num_classes)
@@ -114,12 +124,15 @@ def pretrain_network(
     """Raw-PCM trainer with fresh augmentation every epoch (src/lib.rs:348-397)."""
     extractor = extractor or FeatureExtractor()
     base_key = key if key is not None else _fresh_key()
-    samples = np.asarray(samples)
+    # One upload for all epochs: the clip is identical every iteration,
+    # and re-transferring multi-second PCM per epoch costs RTT+bandwidth
+    # per file through a tunneled device.
+    samples_j = jnp.asarray(np.asarray(samples), jnp.float32)
     total, count = 0.0, 0
     for e in range(int(epochs)):
         ekey = jax.random.fold_in(base_key, e)
         k_aug, k_train = jax.random.split(ekey)
-        aug = np.asarray(augment(k_aug, jnp.asarray(samples, jnp.float32)))
+        aug = np.asarray(augment(k_aug, samples_j))
         windows = extractor.extract(aug.astype(np.int16))
         if len(windows) == 0:
             continue

@@ -242,9 +242,13 @@ class SpeakerNet:
 
         Padding columns are re-drawn U(-0.5, 0.5) — zero-filling them would
         break the module invariant that revealing the next column via
-        ``add_output_class`` is distributionally a fresh random init."""
+        ``add_output_class`` is distributionally a fresh random init.
+        The buffer never SHRINKS below the current capacity: a prior
+        ``ensure_capacity`` pre-sized it so on-device class growth needs
+        no recompile, and capacity-sized companion state (seed/centroid
+        arrays) may already exist at that width."""
         n = int(b3.shape[0])
-        cap = round_capacity(n)
+        cap = round_capacity(max(n, self.capacity))
         rng = np.random.default_rng(self._growth_seed)
         self._growth_seed += 1
         w3_full = _uniform(rng, (w3.shape[0], cap))
@@ -304,8 +308,14 @@ class SpeakerNet:
         return np.asarray(forward_embedding(self.params, jnp.asarray(x, jnp.float32)))
 
     def forward_bits(self, x) -> np.ndarray:
-        """Sigmoid head on the full (unmasked) output layer (src/lib.rs:908-914)."""
-        return np.asarray(forward_bits(self.params, jnp.asarray(x, jnp.float32)))
+        """Sigmoid head on the live (unmasked) output columns
+        (src/lib.rs:908-914).  Sliced to ``num_speakers``: the reference's
+        output is exactly the trained bit width, while our w3 buffer is
+        capacity-padded with random init columns — returning those would
+        hand a consumer deriving payload length from the shape
+        ``capacity - n_bits`` phantom bits of garbage."""
+        out = np.asarray(forward_bits(self.params, jnp.asarray(x, jnp.float32)))
+        return out[..., : self.num_speakers]
 
     # -- in-place training steps (reference method surface,
     #    src/lib.rs:917-1060) -------------------------------------------------

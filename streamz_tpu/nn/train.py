@@ -32,9 +32,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from streamz_tpu.nn.model import Params, forward_logits
+from streamz_tpu.nn.model import Params, forward_logits, hidden_tanh
 
 
+@jax.jit
 def train_batch(
     params: Params,
     batch: jax.Array,
@@ -44,6 +45,10 @@ def train_batch(
     weights: jax.Array | None = None,
 ) -> Params:
     """One mean-gradient SGD step over a batch (src/lib.rs:1002-1060).
+
+    Jitted: the reference method surface (SpeakerNet.train/train_batch)
+    dispatches here per call, and an unjitted jax.grad would re-trace the
+    whole forward+backward every step.
 
     ``weights``: optional [B] 0/1 mask of samples included in the batch; the
     mean divides by the *included* count, and a fully-masked batch applies no
@@ -152,29 +157,9 @@ def train_on_windows_impl(
     def chunk_body(carry, inp):
         params, loss_sum, loss_cnt = carry
         batch, wmask = inp
-        tgt = jnp.broadcast_to(target_vec, (batch_size, capacity))
-
-        # One fused forward+backward: the surrogate sum drives the
-        # gradient (== reference delta) while the clamped reported loss
-        # rides along as aux — halves the per-chunk op count, which
-        # dominates this latency-bound inner loop.
-        def summed(p):
-            logits = forward_logits(p, batch, num_speakers)
-            lse = jax.nn.logsumexp(logits, axis=-1)
-            per = lse - jnp.sum(tgt * logits, axis=-1)
-            probs = jax.nn.softmax(logits, axis=-1)
-            report = -jnp.sum(
-                tgt * jnp.log(jnp.maximum(probs, 1e-12)), axis=-1
-            )
-            return jnp.sum(per * wmask), report
-
-        (_, losses), grads = jax.value_and_grad(summed, has_aux=True)(params)
-        loss_sum = loss_sum + jnp.sum(losses * wmask)
-        count = jnp.sum(wmask)
-        loss_cnt = loss_cnt + count
-        scale = jnp.where(count > 0, lr / jnp.maximum(count, 1.0), 0.0)
-        params = jax.tree_util.tree_map(
-            lambda p, g: p - scale * g, params, grads
+        params, loss_sum, loss_cnt = _chunk_update(
+            params, batch, wmask, target_vec, num_speakers, capacity,
+            batch_size, loss_sum, loss_cnt, lr,
         )
         return (params, loss_sum, loss_cnt), None
 
@@ -184,6 +169,41 @@ def train_on_windows_impl(
     )
     mean_loss = jnp.where(loss_cnt > 0, loss_sum / jnp.maximum(loss_cnt, 1.0), 0.0)
     return params, mean_loss
+
+
+def _chunk_update(
+    params, batch, wmask, target_vec, num_speakers, capacity, rows,
+    loss_sum, loss_cnt, lr, merge=None,
+):
+    """ONE copy of the chunk-update core shared by the single-device and
+    SPMD window-scan trainers (the Pallas kernel is its third, measured
+    twin — pinned against this by test_pallas_train).  One fused
+    forward+backward: the surrogate sum drives the gradient (== reference
+    delta) while the clamped reported loss rides along as aux — halves
+    the per-chunk op count, which dominates this latency-bound inner
+    loop.  ``merge`` combines (grads, loss, count) across devices before
+    the update (the SPMD psum); None is the single-device identity.
+    """
+    tgt = jnp.broadcast_to(target_vec, (rows, capacity))
+
+    def summed(p):
+        logits = forward_logits(p, batch, num_speakers)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        per = lse - jnp.sum(tgt * logits, axis=-1)
+        probs = jax.nn.softmax(logits, axis=-1)
+        report = -jnp.sum(
+            tgt * jnp.log(jnp.maximum(probs, 1e-12)), axis=-1
+        )
+        return jnp.sum(per * wmask), report
+
+    (_, losses), grads = jax.value_and_grad(summed, has_aux=True)(params)
+    loss_part = jnp.sum(losses * wmask)
+    count = jnp.sum(wmask)
+    if merge is not None:
+        grads, loss_part, count = merge((grads, loss_part, count))
+    scale = jnp.where(count > 0, lr / jnp.maximum(count, 1.0), 0.0)
+    params = jax.tree_util.tree_map(lambda p, g: p - scale * g, params, grads)
+    return params, loss_sum + loss_part, loss_cnt + count
 
 
 _train_on_windows_jit = partial(
@@ -256,27 +276,10 @@ def train_on_windows_sharded_impl(
         batch_full, wmask_full = inp
         batch = jax.lax.dynamic_slice_in_dim(batch_full, d * rows_per, rows_per)
         wmask = jax.lax.dynamic_slice_in_dim(wmask_full, d * rows_per, rows_per)
-        tgt = jnp.broadcast_to(target_vec, (rows_per, capacity))
-
-        def summed(p):
-            logits = forward_logits(p, batch, num_speakers)
-            lse = jax.nn.logsumexp(logits, axis=-1)
-            per = lse - jnp.sum(tgt * logits, axis=-1)
-            probs = jax.nn.softmax(logits, axis=-1)
-            report = -jnp.sum(
-                tgt * jnp.log(jnp.maximum(probs, 1e-12)), axis=-1
-            )
-            return jnp.sum(per * wmask), report
-
-        (_, losses), grads = jax.value_and_grad(summed, has_aux=True)(params)
-        grads, loss_part, count = jax.lax.psum(
-            (grads, jnp.sum(losses * wmask), jnp.sum(wmask)), axis
-        )
-        loss_sum = loss_sum + loss_part
-        loss_cnt = loss_cnt + count
-        scale = jnp.where(count > 0, lr / jnp.maximum(count, 1.0), 0.0)
-        params = jax.tree_util.tree_map(
-            lambda p, g: p - scale * g, params, grads
+        params, loss_sum, loss_cnt = _chunk_update(
+            params, batch, wmask, target_vec, num_speakers, capacity,
+            rows_per, loss_sum, loss_cnt, lr,
+            merge=lambda t: jax.lax.psum(t, axis),
         )
         return (params, loss_sum, loss_cnt), None
 
@@ -293,10 +296,12 @@ def train_on_windows_sharded_impl(
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
 def train_bits_step(
     params: Params, x: jax.Array, target: jax.Array, lr, n_live
 ) -> Params:
-    """Single-sample MSE+sigmoid SGD step on the live output columns.
+    """Single-sample MSE+sigmoid SGD step on the live output columns (jitted
+    — see train_batch).
 
     Reference delta chain: ``delta_out = (out - t) * out * (1 - out)``
     (src/lib.rs:926-927) — exactly the gradient of 0.5*||sigmoid(z) - t||^2,
@@ -307,8 +312,7 @@ def train_bits_step(
     """
 
     def loss(p):
-        h1 = jax.nn.relu(x @ p["w1"] + p["b1"])
-        h2 = jnp.tanh(h1 @ p["w2"] + p["b2"])
+        _, h2 = hidden_tanh(p, x)  # the SAME trunk forward_bits runs
         out = jax.nn.sigmoid(h2 @ p["w3"] + p["b3"])
         live = jnp.arange(out.shape[-1]) < n_live
         return 0.5 * jnp.sum(jnp.where(live, (out - target) ** 2, 0.0))

@@ -100,3 +100,16 @@ def test_batch_size_zero_clamped_like_reference():
     net1 = SpeakerNet.new(output=2, seed=0)
     loss1 = pretrain_from_features(net1, wins, 0, 2, 1, 0.05, 0.0, 1, key=key)
     assert np.isfinite(loss0) and loss0 == loss1  # identical to batch_size=1
+
+
+def test_pretrain_masked_target_class_raises():
+    """A target class at or beyond net.num_speakers trains as a silent
+    no-target update (the logit mask blocks its gradient) — the driver
+    must refuse instead."""
+    from streamz_tpu.nn.drivers import pretrain_from_features
+
+    net = SpeakerNet.new(output=1, seed=0)
+    wins = np.random.default_rng(0).normal(size=(8, 60)).astype(np.float32)
+    with pytest.raises(ValueError, match="masked"):
+        pretrain_from_features(net, wins, target_class=1, num_classes=2,
+                               epochs=1, lr=0.05, dropout=0.0, batch_size=8)

@@ -105,7 +105,10 @@ def test_reference_method_surface_train_and_save(tmp_path):
     net.train_batch(np.stack([x, -x]), [0.0, 1.0], 0.1)
     net.train_bits(x, np.ones(net.capacity), 0.5)
     bits = net.forward_bits(x)
-    assert bits.shape == (net.capacity,)
+    # Live width, not capacity: the reference's output layer IS exactly the
+    # trained size — capacity-padding columns are random init, and exposing
+    # them would hand shape-derived consumers phantom bits.
+    assert bits.shape == (net.num_speakers,)
     assert np.all((bits >= 0) & (bits <= 1))
 
     p = str(tmp_path / "m.npz")
@@ -143,3 +146,18 @@ def test_zero_speaker_forward_is_all_zero():
     np.testing.assert_array_equal(probs, np.zeros_like(probs))
     probs_k = np.asarray(forward_probs_pallas(net.params, x, 0))
     np.testing.assert_array_equal(probs_k, np.zeros_like(probs_k))
+
+
+def test_set_output_layer_never_shrinks_capacity():
+    """ensure_capacity pre-sizes the buffer so on-device growth never
+    recompiles; installing a smaller live layer must keep that width
+    (capacity-sized companion state may already exist)."""
+    net = SpeakerNet.new(input_size=4, hidden1=3, hidden2=2, output=1, seed=0)
+    net.ensure_capacity(512)
+    assert net.capacity >= 512
+    cap_before = net.capacity
+    net.set_output_layer(np.ones((2, 5), np.float32),
+                         np.arange(5, dtype=np.float32))
+    assert net.capacity == cap_before and net.num_speakers == 5
+    w3, b3 = net.output_layer()
+    np.testing.assert_allclose(b3, np.arange(5, dtype=np.float32))
