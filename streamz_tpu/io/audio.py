@@ -202,8 +202,6 @@ def precache_target_files(files: List[Tuple[str, int]]) -> None:
 # ---------------------------------------------------------------------------
 
 
-_FEATURE_DIRS_MADE: set = set()
-
 
 def feature_cache_path(path: str) -> Path:
     """``feature_cache/<path with slashes as underscores>.npy``.
@@ -211,13 +209,12 @@ def feature_cache_path(path: str) -> Path:
     Preserved quirk: same-stem files in different directories collide
     only when the *full* path matches after separator replacement.
     """
-    d = os.path.abspath(config.FEATURE_CACHE_DIR)
-    if d not in _FEATURE_DIRS_MADE:
-        # once per resolved directory (keyed absolute so a chdir between
-        # calls still creates the new cwd's cache dir): hot loops call
-        # this purely for .exists() checks, and an unconditional mkdir
-        # is a syscall per file.
-        os.makedirs(d, exist_ok=True)
-        _FEATURE_DIRS_MADE.add(d)
+    # Unconditional on purpose: a caller may delete the cache directory
+    # mid-process (tests do; an operator clearing the cache under a live
+    # run does too) and the next publish must recreate it — a memoized
+    # "already made" flag breaks exactly that (observed).  One mkdir
+    # syscall per call is noise next to the .exists() checks hot loops
+    # do here anyway.
+    os.makedirs(config.FEATURE_CACHE_DIR, exist_ok=True)
     sanitized = path.replace("/", "_").replace("\\", "_")
     return Path(config.FEATURE_CACHE_DIR) / f"{sanitized}.npy"
