@@ -109,7 +109,15 @@ def autotune_frontend(force: bool = False) -> str:
 def frontend_core(backend: str = "auto"):
     """Public accessor for a frontend implementation by backend name;
     'auto' resolves to the measured winner (see :func:`autotune_frontend`)."""
-    if backend not in _BACKENDS or backend == "numpy":
+    if backend == "numpy":
+        # Valid FeatureExtractor backend, but host-only: there is no
+        # device core to hand out — say so instead of "unknown".
+        raise ValueError(
+            "the 'numpy' backend is the host-side golden spec "
+            "(dsp/mfcc_ref.py) and has no device core; use "
+            "FeatureExtractor(backend='numpy') for host extraction"
+        )
+    if backend not in _BACKENDS:
         raise ValueError(f"unknown frontend backend {backend!r}")
     if backend == "auto":
         backend = autotune_frontend()
@@ -182,8 +190,6 @@ def save_cached_features(path: str, feats: np.ndarray) -> None:
     in the cache dir): a concurrent reader — another process
     training/evaluating the same corpus — must never observe a
     partially-written .npy."""
-    if not len(feats):
-        return
     import tempfile
 
     cache = audio.feature_cache_path(path)

@@ -39,12 +39,10 @@ def _constants():
     ct, st = melmod.dft_block_matrices()
     fb = melmod.mel_filterbank()
     dct = melmod.dct2_matrix()
-    import numpy as _np
-
     # One fused [400, 2*401] projection: the bottom-role bases are just
     # parity-signed copies (Cb = (-1)^k Ct), so each block needs a single
     # cos|sin GEMM — half the FLOPs of projecting both roles.
-    dft_top = _np.concatenate([ct, st], axis=1)
+    dft_top = np.concatenate([ct, st], axis=1)
     sign = melmod.bin_parity_sign()
     return (
         jnp.asarray(dft_top, jnp.float32),  # [400, 802]
@@ -248,10 +246,16 @@ class DeviceFeatureStore:
         hits, else None (the caller host-packs the whole batch).  See
         :meth:`gather_partial` for the contract; this wrapper exists for
         callers without a per-row fallback path."""
-        wins, missing = self.gather_partial(
+        # Pre-check misses with the pure-Python index scan: running the
+        # per-bucket gather programs and then discarding the assembled
+        # tensor on a single miss would waste every dispatch (and possibly
+        # a compile) on the all-or-nothing path.
+        if any(self._index.get(k) is None for k in keys):
+            return None
+        wins, _ = self.gather_partial(
             keys, w_pad, mesh=mesh, rows_sharded=rows_sharded, n_rows=n_rows
         )
-        return None if missing else wins
+        return wins
 
     def gather_partial(
         self, keys, w_pad: int, *, mesh=None, rows_sharded: bool = False,
@@ -450,8 +454,7 @@ def extract_features_batch(
     buckets: dict[int, list[int]] = {}
     for i, c in enumerate(f32):
         if shard_long:
-            n_win = (len(c) - config.WINDOW_SIZE) // config.HOP_SIZE + 1
-            if n_win >= LONG_CLIP_WINDOW_THRESHOLD:
+            if window_count_host(len(c)) >= LONG_CLIP_WINDOW_THRESHOLD:
                 out[i] = mfcc_features_pcm_sharded(c, mesh)
                 continue
         buckets.setdefault(_bucket_len(len(c)), []).append(i)
@@ -475,7 +478,11 @@ def extract_features_batch(
         else:
             feats_dev = core(jnp.asarray(batch), jnp.asarray(lens))
             feats = np.asarray(feats_dev)
-        n_wins = np.asarray(window_count(lens))
+        # Host arithmetic, NOT the device twin: window_count(lens) would
+        # add a blocking upload+compute+fetch round trip per bucket just
+        # to evaluate (n-800)//400+1 on a tiny int vector.
+        n_wins = np.asarray([window_count_host(int(n)) for n in lens],
+                            np.int32)
         if store is not None:
             store.add_bucket(feats_dev, list(idxs), n_wins)
         for row, i in enumerate(idxs):

@@ -23,6 +23,15 @@ non-44.1 kHz files therefore fail to load in the reference binary and are
 silently dropped by ``batch_resample`` (src/lib.rs:541-547).  This rebuild
 implements the documented capability ("Automatically resamples all audio to
 44.1 kHz", README.md:14) correctly by streaming chunks.
+
+Group delay (documented choice): like rubato's synchronous resampler, the
+anti-alias filter's ~(Nin-1)/2-sample group delay is NOT compensated —
+the output is shifted by ~12 ms of leading filter ramp-in and, because
+the length is truncated to ``len * fs_out // fs_in``, the same amount of
+clip tail is dropped.  Irrelevant to this application (features are
+windowed statistics over multi-second clips; all parity oracles and the
+bit-identical C++ twin share the convention), but callers doing
+sample-accurate alignment should compensate externally.
 """
 
 from __future__ import annotations
@@ -50,7 +59,7 @@ def _blackman_harris(n: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=32)
-def _plan(fs_in: int, fs_out: int, chunk: int = _DEFAULT_CHUNK) -> Tuple[int, int, Tuple[float, ...]]:
+def _plan(fs_in: int, fs_out: int, chunk: int = _DEFAULT_CHUNK) -> Tuple[int, int, np.ndarray]:
     """Compute (Nin, Nout, filter_spectrum) for a rate pair."""
     g = math.gcd(fs_in, fs_out)
     nin_unit = fs_in // g

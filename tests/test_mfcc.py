@@ -189,3 +189,25 @@ def test_feature_cache_torn_file_recovers(tmp_path, monkeypatch):
         if f.suffix == ".tmp"
     ]
     assert leftovers == []
+
+
+def test_zero_window_clip_features_are_cached(tmp_path, monkeypatch):
+    """A clip shorter than one window caches its (0, 60) feature array, so
+    later loads hit the cache instead of re-running load+extract on every
+    call forever (np.save/load round-trip empty arrays fine)."""
+    import os
+
+    from streamz_tpu.dsp.features import (
+        load_cached_features, save_cached_features,
+    )
+    from streamz_tpu.io import audio as io_audio, wav as wavio
+
+    monkeypatch.chdir(tmp_path)
+    p = "tiny.wav"
+    wavio.write_wav(p, np.zeros(100, np.int16), 44100)  # < one 800 window
+    feats = load_cached_features(p)
+    assert feats is not None and feats.shape[0] == 0
+    cache = io_audio.feature_cache_path(p)
+    assert cache.exists()
+    cached = np.load(cache)
+    assert cached.shape[0] == 0
