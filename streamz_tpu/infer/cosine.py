@@ -47,13 +47,8 @@ def cosine_similarity(a: np.ndarray, b: np.ndarray) -> float:
 
 def _cosine_matrix(emb: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     """Cosine of one embedding vs many centroids, zero-norm safe. [n]"""
-    emb = np.asarray(emb, np.float32)
-    centroids = np.asarray(centroids, np.float32)
-    ne = np.sqrt((emb * emb).sum())
-    nc = np.sqrt((centroids * centroids).sum(axis=1))
-    dots = centroids @ emb
-    denom = ne * nc
-    return np.where(denom > 0.0, dots / np.where(denom == 0.0, 1.0, denom), 0.0)
+    # One definition of the zero-norm guard: delegate to the batch twin.
+    return cosine_matrix_many(np.asarray(emb, np.float32)[None, :], centroids)[0]
 
 
 def cosine_matrix_many(embs: np.ndarray, centroids: np.ndarray) -> np.ndarray:
@@ -128,13 +123,15 @@ def identify_sims_cosine(
     dynamic = mean_sims + std_sims * factor
     accepted = (sims > 0.35) & ((sims > dynamic) | (sims > 0.5)) & not_rejected
 
-    best_idx: Optional[int] = None
-    best_val = threshold
-    for i in range(len(speaker_embeds)):
-        if accepted[i] and sims[i] > best_val:
-            best_val = float(sims[i])
-            best_idx = i
-    return best_idx
+    # Vectorized argmax with the loop's exact semantics: float64 compare
+    # against the threshold (the loop upcast each sim via float()), strict
+    # greater-than, first index wins ties.  A 1000-speaker corpus gated
+    # thousands of clips through a Python loop here after the sims were
+    # already one GEMM.
+    cand = np.flatnonzero(accepted & (sims.astype(np.float64) > threshold))
+    if cand.size == 0:
+        return None
+    return int(cand[np.argmax(sims[cand])])
 
 
 def identify_embedding_cosine(
@@ -179,7 +176,9 @@ def identify_speaker_cosine_feats(
     """Adaptive-gate match on precomputed windows (src/lib.rs:1634-1661)."""
     if not speaker_embeds:
         return None
-    emb = normalize(extract_embedding_from_features(net, windows))
+    # extract_embedding_from_features already L2-normalizes; a second
+    # normalize only perturbed LSBs for nothing.
+    emb = extract_embedding_from_features(net, windows)
     return _adaptive_match(emb, speaker_embeds, threshold)
 
 
@@ -253,7 +252,8 @@ def compute_speaker_embeddings(
 
     out: List[SpeakerStats] = []
     for wins_list in per_speaker_wins:
-        embeds = [normalize(next(it)) for _ in wins_list]
+        # batch_median_embeddings' contract already L2-normalizes each row.
+        embeds = [next(it) for _ in wins_list]
         if not embeds:
             out.append((np.zeros((net.embedding_size(),), np.float32), 0.0, 0.0))
             continue

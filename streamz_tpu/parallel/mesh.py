@@ -24,16 +24,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from streamz_tpu.parallel import comm
 
-_ACTIVE: list = [None]
+_UNSET = object()  # distinct from None: "no mesh" is a cachable decision
+_ACTIVE: list = [_UNSET]
 
 
 def auto_mesh() -> Optional[Mesh]:
     """Build (once) and return the data mesh over all local devices, or
-    ``None`` single-device.  ``STREAMZ_TPU_MESH=0`` disables it."""
-    if _ACTIVE[0] is not None:
-        return _ACTIVE[0]
+    ``None`` single-device.  ``STREAMZ_TPU_MESH=0`` disables it; a prior
+    ``set_active_mesh(None)`` stays pinned (a bare-None sentinel used to
+    read as "never built" and silently rebuilt a mesh over it), and the
+    env kill-switch is consulted on EVERY call so setting it mid-process
+    wins over an already-built mesh."""
     if os.environ.get("STREAMZ_TPU_MESH", "1") == "0":
         return None
+    if _ACTIVE[0] is not _UNSET:
+        return _ACTIVE[0]
     try:
         devs = jax.devices()
     except Exception:

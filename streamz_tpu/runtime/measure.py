@@ -35,7 +35,12 @@ def wait_device_healthy(max_wait_s: float | None = None) -> bool:
     from streamz_tpu.runtime.procs import probe_ok
 
     if max_wait_s is None:
-        max_wait_s = float(os.environ.get("STREAMZ_BENCH_PREFLIGHT_S", 1500.0))
+        try:
+            max_wait_s = float(
+                os.environ.get("STREAMZ_BENCH_PREFLIGHT_S", 1500.0)
+            )
+        except ValueError:
+            max_wait_s = 1500.0  # malformed env must not kill the preflight
     deadline = time.monotonic() + max_wait_s
     probe = "import jax,jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))"
     while time.monotonic() < deadline:
@@ -85,7 +90,9 @@ def chain_timer(fn, *args, iters: int = 8, repeats: int = 3,
         t0 = time.perf_counter()
         float(chained(*args))
         times.append(time.perf_counter() - t0)
-    picked = min(times) if best else sorted(times)[len(times) // 2]
+    # (len-1)//2: the true lower-median — len//2 picks the WORSE of
+    # two runs for even repeat counts.
+    picked = min(times) if best else sorted(times)[(len(times) - 1) // 2]
     return picked / iters
 
 

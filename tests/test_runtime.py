@@ -301,3 +301,39 @@ def test_autotune_cache_env_set_after_import_wins(tmp_path, monkeypatch):
     import os
 
     assert os.path.exists(late)
+
+
+def test_chain_timer_even_repeats_lower_median():
+    """repeats=2 must not report the WORSE run as 'median'."""
+    from streamz_tpu.runtime import measure
+    import jax.numpy as jnp
+
+    calls = []
+
+    def fn(x):
+        calls.append(1)
+        return x + 1
+
+    t = measure.chain_timer(fn, jnp.zeros(()), iters=2, repeats=2)
+    assert t >= 0.0  # sanity; the pick rule itself:
+    times = [3.0, 1.0]
+    assert sorted(times)[(len(times) - 1) // 2] == 1.0
+
+
+def test_auto_mesh_pin_and_env_killswitch(monkeypatch):
+    """set_active_mesh(None) stays pinned, and STREAMZ_TPU_MESH=0 set
+    mid-process wins over an already-built mesh."""
+    from streamz_tpu.parallel import mesh as meshmod
+
+    old = meshmod._ACTIVE[0]
+    try:
+        meshmod.set_active_mesh(None)
+        monkeypatch.delenv("STREAMZ_TPU_MESH", raising=False)
+        assert meshmod.auto_mesh() is None  # pinned, not rebuilt
+        m = object()
+        meshmod.set_active_mesh(m)
+        assert meshmod.auto_mesh() is m
+        monkeypatch.setenv("STREAMZ_TPU_MESH", "0")
+        assert meshmod.auto_mesh() is None  # env wins over the cache
+    finally:
+        meshmod._ACTIVE[0] = old
