@@ -598,7 +598,11 @@ def run_incremental_device(
     store = device_store
     if store is not None:
         store_ok = (
-            (sharded and store.mesh is mesh)
+            # Equality, not identity: current jax interns Mesh (equal
+            # meshes ARE one object) but that is an implementation detail
+            # — an equal-but-distinct Mesh must not silently drop the
+            # store and forfeit its measured ~43%-of-dispatch win.
+            (sharded and store.mesh == mesh)
             or (not sharded and store.mesh is None)
         )
         if not store_ok:

@@ -99,7 +99,11 @@ def _batch_pooled(net: SpeakerNet, clips, mesh, kernel, store=None, keys=None) -
     if not clips:
         return []
     if store is not None and keys is not None:
-        store_ok = (mesh is None and store.mesh is None) or store.mesh is mesh
+        store_ok = (
+            (mesh is None and store.mesh is None)
+            # equality, not identity (see device_loop's twin check)
+            or (mesh is not None and store.mesh == mesh)
+        )
         if not store_ok:
             store = None
     arrs = [np.asarray(c, np.float32) for c in clips]

@@ -35,6 +35,18 @@ import jax.numpy as jnp
 from streamz_tpu.nn.model import Params, forward_logits, hidden_tanh
 
 
+# VMEM bound for the fused Pallas trainers: w3 and its gradient
+# accumulator live in VMEM ([h2, capacity] f32 each, ~2 KB per class at
+# h2=256) plus per-row logits/probs/delta buffers — past ~2048 classes the
+# working set approaches the ~16 MB of VMEM and the kernel fails to
+# compile MID-RUN.  The autotune probes measure at capacity 128, so a
+# cached 'pallas' winner says nothing about huge-capacity runs (a
+# discovery pass over thousands of unlabeled files pre-sizes capacity to
+# file count); above this bound the XLA formulation is used regardless of
+# the cached choice.
+PALLAS_TRAIN_MAX_CAPACITY = 2048
+
+
 @jax.jit
 def train_batch(
     params: Params,
@@ -143,7 +155,10 @@ def train_on_windows_impl(
     chunks = dropped_all.reshape(epochs * n_chunks, batch_size, feat)
     masks = valid_all.reshape(epochs * n_chunks, batch_size)
 
-    if _resolve_backend("file_train", backend) == "pallas":
+    if (
+        _resolve_backend("file_train", backend) == "pallas"
+        and capacity <= PALLAS_TRAIN_MAX_CAPACITY
+    ):
         from streamz_tpu.nn.pallas_train import train_windows_pallas
 
         params, loss_sum, loss_cnt = train_windows_pallas(
@@ -486,13 +501,13 @@ def corpus_grads(
     data-parallel trainers (each device runs this on its shard and psums
     the results)."""
     resolved = resolve_train_backend(backend)
-    if resolved == "pallas":
+    capacity = params["b3"].shape[0]
+    if resolved == "pallas" and capacity <= PALLAS_TRAIN_MAX_CAPACITY:
         from streamz_tpu.nn.pallas_train import corpus_grads_pallas
 
         return corpus_grads_pallas(params, batch, labels, weights,
                                    num_speakers)
 
-    capacity = params["b3"].shape[0]
     target = jax.nn.one_hot(labels, capacity, dtype=jnp.float32)
     target = target * (labels < num_speakers)[:, None].astype(jnp.float32)
 

@@ -233,3 +233,31 @@ def test_train_on_windows_resolves_backend_at_call_time(monkeypatch):
     # trace time (a no-op passthrough); only the 'auto' resolutions matter —
     # one per CALL, not one per trace.
     assert [s for s in seen if s[1] == "auto"] == [("file_train", "auto")] * 2
+
+
+def test_pallas_backend_capped_at_vmem_capacity_bound():
+    """A capacity past PALLAS_TRAIN_MAX_CAPACITY must run the XLA scan even
+    when the resolved backend is 'pallas' — the fused kernel's VMEM
+    working set scales with capacity and would fail to compile MID-RUN
+    (the autotune probe only ever measured capacity 128)."""
+    import jax.numpy as jnp
+
+    from streamz_tpu.nn import train as T
+    from streamz_tpu.nn.model import SpeakerNet
+
+    net = SpeakerNet.new(input_size=60, hidden1=16, hidden2=8, output=2, seed=0)
+    net.ensure_capacity(T.PALLAS_TRAIN_MAX_CAPACITY + 1)
+    cap = net.params["b3"].shape[0]
+    assert cap > T.PALLAS_TRAIN_MAX_CAPACITY
+    wins = np.random.default_rng(0).normal(size=(8, 60)).astype(np.float32)
+    tvec = np.zeros((cap,), np.float32)
+    tvec[0] = 1.0
+    # backend='pallas' explicitly: must take the XLA path and succeed
+    # (on this CPU host the pallas path would run interpret-mode; the
+    # contract under test is the capacity gate, which is backend-global).
+    params, loss = T.train_on_windows(
+        net.params, jnp.asarray(wins), jnp.int32(8), jnp.asarray(tvec),
+        jnp.int32(2), jax.random.PRNGKey(0), jnp.float32(0.05),
+        jnp.float32(0.0), epochs=1, batch_size=8, backend="pallas",
+    )
+    assert float(loss) > 0.0
