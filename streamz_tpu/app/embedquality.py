@@ -18,12 +18,14 @@ def _report(items) -> None:
     print(f"Average mean similarity: {total / len(items):.4f}")
 
 
-def print_embedding_quality(net: SpeakerNet) -> None:
+def print_embedding_quality(net: SpeakerNet, extractor=None, mesh=None) -> None:
     if net.embeddings:
         print("Saved embeddings found in model.npz:")
         _report(net.embeddings)
         return
-    embeds = compute_speaker_embeddings(net)
+    # mesh: the recompute batches shard like every other application stage
+    # (mesh=None silently forfeited the sharded speedup on this one path).
+    embeds = compute_speaker_embeddings(net, extractor, mesh=mesh)
     if not embeds:
         print("No embeddings available to evaluate")
         return

@@ -294,7 +294,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
             return 1
         print(f"Loaded {config.MODEL_PATH} for embedding check")
-        print_embedding_quality(net)
+        print_embedding_quality(net, extractor, mesh=mesh)
         return 0
 
     if cluster_k is not None:

@@ -29,7 +29,7 @@ def _prob_sums(params, windows, num_speakers):
     return probs.sum(axis=0), probs
 
 
-def _windows_of(net: SpeakerNet, sample, extractor):
+def _windows_of(sample, extractor):
     from streamz_tpu.dsp.features import FeatureExtractor
 
     extractor = extractor or FeatureExtractor()
@@ -48,8 +48,11 @@ def _long_mesh(mesh, n_windows: int) -> bool:
 
 def _default_frontend(extractor) -> bool:
     """True when the fused PCM-sharded fast path (which computes features
-    with the XLA formulation) is faithful to the caller's extractor choice."""
-    return extractor is None or getattr(extractor, "backend", "auto") in (
+    with the XLA formulation) is faithful to the caller's extractor choice.
+    A duck-typed extractor WITHOUT a ``backend`` attribute must disable the
+    bypass — defaulting the missing attribute to 'auto' would silently
+    compute default MFCCs instead of whatever the caller's object does."""
+    return extractor is None or getattr(extractor, "backend", None) in (
         "auto", "jax",
     )
 
@@ -63,6 +66,8 @@ def identify_speaker(
     frontend → forward → psum vote sums over ICI
     (:func:`streamz_tpu.parallel.window_parallel.identify_speaker_pcm_sharded`).
     """
+    if not net.num_speakers:
+        return 0  # skip the device dispatch the result would ignore
     sample = np.asarray(sample)
     from streamz_tpu.dsp.mfcc import window_count_host
 
@@ -71,7 +76,7 @@ def identify_speaker(
         from streamz_tpu.parallel.window_parallel import identify_speaker_pcm_sharded
 
         return identify_speaker_pcm_sharded(net, sample, mesh)
-    windows = _windows_of(net, sample, extractor)
+    windows = _windows_of(sample, extractor)
     if len(windows) == 0:
         return 0
     sums, _ = _prob_sums(net.params, jnp.asarray(windows), net.num_speakers)
@@ -88,6 +93,11 @@ def identify_speaker_with_threshold_feats(
     if net.output_size() <= 1:
         return None  # single-speaker nets always answer "unknown" (:1316-1318)
     windows = np.asarray(windows, np.float32)
+    if windows.ndim == 1:
+        # a bare [F] vector is ONE window — matching the sharded twin's
+        # _pad_to_mesh; left 1-D it would reach _prob_sums as [F] and die
+        # on a 0-d slice.
+        windows = windows.reshape(1, -1)
     if len(windows) == 0:
         return None
     if _long_mesh(mesh, len(windows)):
@@ -108,7 +118,7 @@ def identify_speaker_with_threshold(
     """Thresholded voting on raw PCM (src/lib.rs:1307-1343)."""
     if net.output_size() <= 1:
         return None
-    windows = _windows_of(net, sample, extractor)
+    windows = _windows_of(sample, extractor)
     return identify_speaker_with_threshold_feats(net, windows, threshold, mesh=mesh)
 
 
@@ -121,7 +131,7 @@ def identify_speaker_list(
     threshold; speakers are returned sorted by descending vote count, ties in
     ascending id order (Rust's stable sort on count only).
     """
-    windows = _windows_of(net, sample, extractor)
+    windows = _windows_of(sample, extractor)
     if len(windows) == 0 or net.num_speakers == 0:
         return []
     _, probs = _prob_sums(net.params, jnp.asarray(windows), net.num_speakers)
@@ -188,7 +198,10 @@ def identify_speaker_list_batch(
     from streamz_tpu.dsp.features import FeatureExtractor
 
     extractor = extractor or FeatureExtractor()
-    wins = [extractor.extract(np.asarray(c)) for c in clips]
+    # Batched frontend too (one dispatch per length bucket, clip axis
+    # sharded over the mesh) — per-clip extract() would pay N frontend
+    # round trips while only the vote counting was batched.
+    wins = extractor.extract_batch([np.asarray(c) for c in clips], mesh=mesh)
     out: List[List[int]] = [[] for _ in clips]
     buckets: dict = {}
     feat = next((w.shape[1] for w in wins if len(w)), None)

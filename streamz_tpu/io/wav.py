@@ -49,6 +49,18 @@ def read_wav(path: str) -> Tuple[np.ndarray, int, int]:
                 if len(fmt) < size:
                     raise WavError(f"{path}: truncated fmt chunk")
             elif cid == b"data":
+                # Bound the read by what the file can actually hold BEFORE
+                # allocating: f.read(size) preallocates the declared size,
+                # so a corrupt header claiming 0xFFFFFFFF bytes would grab
+                # ~4 GiB before the truncation check could reject it.
+                import os as _os
+
+                remaining = _os.fstat(f.fileno()).st_size - f.tell()
+                if size > remaining:
+                    raise WavError(
+                        f"{path}: truncated data chunk (declares {size} "
+                        f"bytes, {remaining} remain)"
+                    )
                 data = f.read(size)
                 if len(data) < size:
                     # A short read means the file ends before the declared
@@ -98,6 +110,8 @@ def wav_spec(path: str) -> Tuple[int, int, int]:
                 raise WavError(f"{path}: missing fmt chunk")
             cid, size = struct.unpack("<4sI", chunk_hdr)
             if cid == b"fmt ":
+                if size > (1 << 20):  # same absurd-size guard as read_wav
+                    raise WavError(f"{path}: absurd fmt chunk ({size} bytes)")
                 fmt = f.read(size)
                 if len(fmt) < 16:
                     raise WavError(f"{path}: malformed fmt chunk")

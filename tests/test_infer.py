@@ -279,3 +279,29 @@ def test_bucket_clip_axis_padded_to_pow2_bounds_compiles():
     e4 = batch_clip_embeddings(net, [mk() for _ in range(4)])
     assert _fembed_mean_batch._cache_size() == before
     assert len(e3) == 3 and len(e4) == 4
+
+
+def test_identify_threshold_feats_accepts_1d_window():
+    """A bare [F] vector is ONE window on both branches of the API (the
+    sharded twin documents it; the plain path used to IndexError on the
+    0-d slice)."""
+    from streamz_tpu.infer.identify import identify_speaker_with_threshold_feats
+
+    net = SpeakerNet.new(output=3, seed=0)
+    one = np.random.default_rng(0).normal(size=(60,)).astype(np.float32)
+    got = identify_speaker_with_threshold_feats(net, one, 0.0)
+    assert got in (0, 1, 2)
+
+
+def test_ducktyped_extractor_disables_sharded_bypass():
+    """An extractor object without a `backend` attribute must NOT be
+    treated as frontend-default: the fused PCM-sharded fast path computes
+    default MFCCs and would silently ignore the caller's extractor."""
+    from streamz_tpu.infer.identify import _default_frontend
+
+    class Custom:
+        def extract(self, sample):
+            raise AssertionError("unused in this test")
+
+    assert _default_frontend(None) is True
+    assert _default_frontend(Custom()) is False
