@@ -261,21 +261,30 @@ def main() -> None:
     if exec_tflops > session_peak:
         session_peak = exec_tflops
         peak_source = "pipeline"
+    # Import once, outside both measurement blocks: an import-time
+    # failure used to surface in the second block as a NameError that had
+    # nothing to do with the ulaw path.
     try:
-        # Multi-stream serving: aggregate real-time factor at 64 slots
-        # (benchmarks/serve_bench.py has the full slot-count sweep).
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "benchmarks"))
         from serve_bench import bench_slots
-
-        serve_rtf = bench_slots(64, ticks=20)["aggregate_rtf"]
+    except Exception:
+        bench_slots = None
+    try:
+        # Multi-stream serving: aggregate real-time factor at 64 slots
+        # (benchmarks/serve_bench.py has the full slot-count sweep).
+        serve_rtf = (
+            bench_slots(64, ticks=20)["aggregate_rtf"] if bench_slots else None
+        )
     except Exception:
         serve_rtf = None
     try:
         # Same fleet on the G.711 mu-law wire (u8, decoded on device) —
         # half the i16 transfer, the knee of the serving curve.
-        serve_rtf_ulaw = bench_slots(64, ticks=20, wire="ulaw")[
-            "aggregate_rtf"]
+        serve_rtf_ulaw = (
+            bench_slots(64, ticks=20, wire="ulaw")["aggregate_rtf"]
+            if bench_slots else None
+        )
     except Exception:
         serve_rtf_ulaw = None
     print(

@@ -16,12 +16,13 @@ Usage: python benchmarks/serve_bench.py [slots ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_slots(n_streams: int, chunk_ms: float = 100.0, ticks: int = 30,
