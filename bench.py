@@ -207,6 +207,69 @@ def _bench_cpu_baseline(net, clip_seconds: float = 3.0, iters: int = 2):
     return n_win / elapsed
 
 
+def _norm_rate(parsed: dict):
+    """windows/s per session-peak-TFLOP — the cross-round comparable rate.
+
+    Dividing the headline by the same-session achievable MXU rate cancels
+    tunnel/session throttle (both numerator and denominator scale with it),
+    so what remains is kernel efficiency: executed-FLOPs-per-window and how
+    well the pipeline streams relative to the canonical GEMM.  Measured
+    r03/r04: 392.2 vs 392.7 k win/s/TF across sessions whose absolute rates
+    differed 15% — the stability that makes this a regression fence.
+    Caveat: when the pipeline itself sets the session peak
+    (session_peak_source == "pipeline"), a kernel slowdown is visible in
+    this ratio only once the pipeline falls below the canonical-GEMM probe.
+    """
+    try:
+        v = float(parsed["value"])
+        pk = float(parsed["session_peak_tflops"])
+    except (KeyError, TypeError, ValueError):
+        return None
+    return v / pk if v > 0 and pk > 0 else None
+
+
+def annotate_cross_round(result: dict, prior_dir=None,
+                         threshold: float = 0.85) -> dict:
+    """Self-attribution + regression fence for the bench JSON (VERDICT r4 #3).
+
+    Adds ``norm_win_per_s_per_tf`` (this run, throttle-normalized),
+    ``prior_norm_median`` over every committed ``BENCH_r*.json`` next to
+    this file, ``vs_prior_norm`` (this/median) and ``perf_flag``
+    ("ok" / "regression" when the normalized rate drops below
+    ``threshold``x the prior median / "no_prior" / "no_norm").  Mutates and
+    returns ``result`` so a reader of BENCH_rN.json alone can tell whether
+    the device, the host CPU leg, or the kernels moved.
+    """
+    import glob
+
+    if prior_dir is None:
+        prior_dir = os.path.dirname(os.path.abspath(__file__))
+    norm = _norm_rate(result)
+    result["norm_win_per_s_per_tf"] = round(norm, 1) if norm else None
+    priors = {}
+    for p in sorted(glob.glob(os.path.join(prior_dir, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        n = _norm_rate(parsed)
+        if n:
+            priors[os.path.basename(p)] = n
+    if not priors or not norm:
+        result["prior_norm_median"] = None
+        result["vs_prior_norm"] = None
+        result["perf_flag"] = "no_prior" if norm else "no_norm"
+        return result
+    vals = sorted(priors.values())
+    med = vals[len(vals) // 2]  # upper median; exactness is irrelevant here
+    ratio = norm / med
+    result["prior_norm_median"] = round(med, 1)
+    result["vs_prior_norm"] = round(ratio, 3)
+    result["perf_flag"] = "regression" if ratio < threshold else "ok"
+    return result
+
+
 # Shared wedge-proof preflight + canonical-GEMM peak probe: single
 # implementation in streamz_tpu/runtime/measure.py, used by every harness
 # (also benchmarks/gemm_probe.py, benchmarks/run_all.py).
@@ -267,33 +330,34 @@ def main() -> None:
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "benchmarks"))
-        from serve_bench import bench_slots
+        from serve_bench import bench_slots_interleaved
     except Exception:
-        bench_slots = None
+        bench_slots_interleaved = None
+    # Multi-stream serving at 64 slots, i16 and G.711 mu-law u8 wires
+    # measured on ONE fleet with the timing batches interleaved wire-wise,
+    # so a tunnel-degraded phase cannot land on a single wire and fake a
+    # wire effect (VERDICT r4 weak #2; benchmarks/serve_bench.py has the
+    # full slot-count sweep and the methodology note).
+    serve_rtf = serve_rtf_ulaw = None
     try:
-        # Multi-stream serving: aggregate real-time factor at 64 slots
-        # (benchmarks/serve_bench.py has the full slot-count sweep).
-        serve_rtf = (
-            bench_slots(64, ticks=20)["aggregate_rtf"] if bench_slots else None
-        )
+        if bench_slots_interleaved:
+            rows = bench_slots_interleaved(64, ticks=10, reps=2)
+            serve_rtf = rows["i16"]["aggregate_rtf"]
+            serve_rtf_ulaw = rows["ulaw"]["aggregate_rtf"]
     except Exception:
-        serve_rtf = None
-    try:
-        # Same fleet on the G.711 mu-law wire (u8, decoded on device) —
-        # half the i16 transfer, the knee of the serving curve.
-        serve_rtf_ulaw = (
-            bench_slots(64, ticks=20, wire="ulaw")["aggregate_rtf"]
-            if bench_slots else None
-        )
-    except Exception:
-        serve_rtf_ulaw = None
+        pass
     print(
         json.dumps(
-            {
+            annotate_cross_round({
                 "metric": "identify_pipeline_windows_per_sec",
                 "value": round(device_rate, 1),
                 "unit": "windows/s",
                 "vs_baseline": round(device_rate / cpu_rate, 2),
+                # The vs_baseline denominator, in the artifact itself: a
+                # reader of BENCH_rN.json alone can now tell whether the
+                # device or the (contended, 1-CPU) host leg moved when the
+                # ratio swings across rounds (VERDICT r4 weak #3).
+                "cpu_windows_per_sec": round(cpu_rate, 1),
                 "frontend": frontend_name,
                 "algo_tflops": round(algo_fps / 1e12, 2),
                 "mfu": round(algo_fps / peak, 4),
@@ -315,7 +379,7 @@ def main() -> None:
                 # the same fleet on the G.711 mu-law u8 wire.
                 "serve64_aggregate_rtf": serve_rtf,
                 "serve64_aggregate_rtf_ulaw": serve_rtf_ulaw,
-            }
+            })
         )
     )
 
@@ -368,7 +432,12 @@ def _supervise() -> int:
             err = (err + "\n[attempt timed out]").strip()
         found = _extract_json_line(out)
         if found:
-            print(found)
+            # Stamp how many attempts the artifact cost (VERDICT r4 #3):
+            # a rate recorded on attempt 3 of a wedging session reads very
+            # differently from a first-try success.
+            rec = json.loads(found)
+            rec["attempts"] = attempt
+            print(json.dumps(rec))
             return 0
         last_err = err or out
         # Per-attempt failure tail (VERDICT r3 #6): without it, a driver
