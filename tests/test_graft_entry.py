@@ -97,3 +97,23 @@ def test_dryrun_ambient_child_branch(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "ambient devices" in proc.stdout
+
+
+def test_dryrun_reports_per_program_and_names_failures(monkeypatch, capsys):
+    """VERDICT r4 #4: the gate executes the full multi-chip surface and a
+    red run names the failing program in both the tail and the exception."""
+    graft._dryrun_multichip_impl(8)
+    out = capsys.readouterr().out
+    assert "multichip programs:" in out
+    for prog in ("dp_train", "discovery_scan", "halo_frontend",
+                 "identify_psum", "serve_shard"):
+        assert f"{prog}=ok" in out, out
+
+    def boom(n):
+        raise ValueError("synthetic serve failure")
+
+    monkeypatch.setattr(graft, "_prog_serve_shard", boom)
+    with pytest.raises(RuntimeError, match="serve_shard"):
+        graft._dryrun_multichip_impl(8)
+    out = capsys.readouterr().out
+    assert "serve_shard=FAIL" in out and "dp_train=ok" in out
