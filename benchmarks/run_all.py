@@ -419,17 +419,44 @@ def bench_serve(slot_counts=(64, 256), wires=("i16", "ulaw")):
     """Multi-stream serving sweep into the mechanical ledger (VERDICT r3
     weak #6: serve numbers lived only in ROOFLINE prose).  Same measurement
     as benchmarks/serve_bench.py — the host loop and transfer are inside
-    the number on purpose."""
+    the number on purpose.  Wires are measured INTERLEAVED on one fleet
+    (VERDICT r4 weak #2): a tunnel-degraded phase samples both wires, so
+    the i16/u8 split is a wire effect, not session luck."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from serve_bench import bench_slots
+    from serve_bench import bench_slots_interleaved
 
     out = {}
-    for wire in wires:
-        for s in slot_counts:
-            r = bench_slots(int(s), ticks=20, wire=wire)
+    for s in slot_counts:
+        rows = bench_slots_interleaved(int(s), ticks=10, reps=3, wires=wires)
+        for wire, r in rows.items():
             out[f"serve{s}_{wire}_aggregate_rtf"] = r["aggregate_rtf"]
             out[f"serve{s}_{wire}_tick_ms"] = r["tick_ms"]
     return out
+
+
+def bench_daemon_section():
+    """The DEPLOYABLE serving surface: TCP daemon end-to-end over localhost
+    + the 2-process fleet, with per-verdict and per-tick p50/p95/p99
+    (VERDICT r4 #2).  The server child owns the device for the whole
+    measurement; this process runs only socket clients until the section
+    ends (run this section on its own — `run_all.py daemon` — so no other
+    section's in-process device client coexists with the child's)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import daemon_bench
+
+    out = daemon_bench.bench_daemon(n_streams=64)
+    out.update(daemon_bench.bench_fleet())
+    return out
+
+
+def bench_soak_section():
+    """60 s churn soak against the daemon subprocess: sustained open/close
+    rate, a mid-soak hot-reload, the server RSS leak fence and verdict p99
+    before/after the reload (VERDICT r4 #6)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import daemon_bench
+
+    return daemon_bench.bench_soak(duration_s=60.0)
 
 
 SECTIONS = {
@@ -442,6 +469,8 @@ SECTIONS = {
     "stego": bench_stego,
     "streaming": bench_streaming,
     "serve": bench_serve,
+    "daemon": bench_daemon_section,
+    "soak": bench_soak_section,
 }
 
 

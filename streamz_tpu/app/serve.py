@@ -90,6 +90,21 @@ def _slot_votes_count(carry, sid):
 
 
 @jax.jit
+def _all_votes_counts(carry):
+    """EVERY slot's verdict inputs packed as ``[S, capacity + 1]`` f32 —
+    ONE device→host transfer refreshes every stream's rolling verdict.
+    Through a high-RTT link (the measured regime that motivates this: the
+    TCP daemon behind a ~300 ms tunnel served CURRENT polls at p50 1.6 s
+    because each poll paid its own readback RTT serialized under the
+    server lock — benchmarks/daemon_bench.py) the ticker calls
+    :meth:`MultiStreamIdentifier.refresh_verdicts` once per working tick
+    and every CURRENT poll is then served host-side."""
+    return jnp.concatenate(
+        [carry[4], carry[6].astype(jnp.float32)[:, None]], axis=1
+    )
+
+
+@jax.jit
 def _slot_state(carry, sid):
     """Extract one slot's full carry ON DEVICE for finalize — the previous
     host round trip pulled all 7 components to numpy and re-uploaded
@@ -195,6 +210,11 @@ class MultiStreamIdentifier:
         self._n_dispatches = 0
         self._bytes_shipped = 0
         self._wire_counts: Dict[str, int] = {"u8": 0, "i16": 0, "f32": 0}
+        # Host-side verdict snapshot [S, cap+1] (votes row + count), valid
+        # only between refresh_verdicts() and the next carry mutation.
+        # None = serve current() from a per-slot device readback (exact,
+        # the pre-round-5 behavior; fine on low-RTT links).
+        self._vcache: Optional[np.ndarray] = None
 
     def _table(self, enc: str):
         """Device-resident (replicated under a mesh) G.711 decode table."""
@@ -237,6 +257,8 @@ class MultiStreamIdentifier:
         # Device-side single-row zeroing: no fleet-state round trip, and
         # under a mesh the update stays sharded.
         self._carry = self._zero_slot(self._carry, sid)
+        if self._vcache is not None:
+            self._vcache[sid] = 0.0  # mirror the zeroed row; cache stays valid
 
     def _check(self, sid: int) -> None:
         if not (0 <= sid < self.n_slots) or not self._open[sid]:
@@ -255,6 +277,7 @@ class MultiStreamIdentifier:
         sharding) and re-resolves the jitted programs.  Already-finalized
         slots keep their verdicts."""
         pad = check_capacity_growth(self.net.capacity, net.capacity)
+        self._vcache = None  # capacity/verdict basis may change
         if pad:
             self._carry = self._place(
                 grow_vote_carry(self._carry, pad, batched=True)
@@ -425,6 +448,7 @@ class MultiStreamIdentifier:
                     jnp.int32(self.net.num_speakers),
                 )
             dispatches += 1
+            self._vcache = None  # carry advanced; snapshot is stale
             self._n_dispatches += 1
             self._bytes_shipped += blocks.nbytes + counts.nbytes
             self._wire_counts[
@@ -440,12 +464,33 @@ class MultiStreamIdentifier:
             votes, count, self.net.output_size(), self.threshold
         )
 
+    def refresh_verdicts(self) -> None:
+        """Pull EVERY slot's rolling-verdict inputs host-side in ONE
+        device→host transfer; until the carry next advances, ``current()``
+        is served from this snapshot with no device round trip.
+
+        Votes only change at tick dispatches, so a post-tick snapshot is
+        *exact* until the next working tick — call this right after
+        ``tick()`` (the TCP daemon's ticker does) and N polling clients
+        cost one readback per tick instead of one each.  Measured motive:
+        behind a ~300 ms-RTT tunnel the daemon's per-poll readbacks,
+        serialized under its lock, put CURRENT at p50 1.6 s for 64 streams
+        (benchmarks/daemon_bench.py); amortized, a poll is host memory.
+        Callers that never refresh keep the exact per-slot readback path.
+        """
+        # copy(): np.asarray of a jax array is a read-only view, and
+        # close() mirrors its row-zeroing into this cache in place.
+        self._vcache = np.asarray(_all_votes_counts(self._carry)).copy()
+
     def current(self, sid: int) -> Optional[Tuple[int, float]]:
         """Rolling identification for one stream (finalized frames so far)."""
         self._check(sid)
         if sid in self._final:
             return self._final[sid]
-        vc = np.asarray(_slot_votes_count(self._carry, jnp.int32(sid)))
+        if self._vcache is not None:
+            vc = self._vcache[sid]
+        else:
+            vc = np.asarray(_slot_votes_count(self._carry, jnp.int32(sid)))
         return self._verdict(vc[:-1], float(vc[-1]))
 
     def finalize(self, sid: int) -> Optional[Tuple[int, float]]:

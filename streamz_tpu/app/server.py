@@ -175,6 +175,13 @@ class SpeakerServer:
         self._model_sig: Optional[tuple] = None  # (mtime_ns, size, inode)
         self._pending_sig: Optional[tuple] = None
         self._n_reloads = 0
+        # Host wall time of every WORKING tick (>= 1 dispatch), bounded;
+        # idle ticks are not recorded (they would swamp the distribution
+        # with no-op times).  stats() exports p50/p95/p99 — the serving
+        # tail-latency ledger (benchmarks/daemon_bench.py) reads them.
+        from collections import deque
+
+        self._tick_times: deque = deque(maxlen=4096)
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -283,6 +290,15 @@ class SpeakerServer:
         s["overflows"] = self._n_overflows
         s["idle_dropped"] = self._n_idle_dropped
         s["model_reloads"] = self._n_reloads
+        tt = list(self._tick_times)
+        if tt:
+            import numpy as np
+
+            p50, p95, p99 = np.percentile(np.asarray(tt) * 1e3, (50, 95, 99))
+            s["tick_ms_p50"] = round(float(p50), 2)
+            s["tick_ms_p95"] = round(float(p95), 2)
+            s["tick_ms_p99"] = round(float(p99), 2)
+            s["ticks_measured"] = len(tt)
         return s
 
     # -- internals -----------------------------------------------------------
@@ -468,12 +484,26 @@ class SpeakerServer:
             # errors (tunnel hiccup, OOM on a full fleet) must not kill it:
             # log and keep ticking — the next tick retries the same drain.
             try:
+                t0 = time.perf_counter()
                 with self._lock:
                     # tick() is its own no-op when nothing is buffered (its
                     # first counts pass returns 0 dispatches), so no
                     # pending_blocks() pre-check — that would scan every
                     # slot's remainder twice per tick under the lock.
-                    self.ident.tick()
+                    n_dispatched = self.ident.tick()
+                    if n_dispatched:
+                        # One readback refreshes every stream's rolling
+                        # verdict: CURRENT polls are then served host-side
+                        # instead of each paying its own device RTT under
+                        # this lock (p50 1.6 s at 64 streams through the
+                        # tunnel before this — benchmarks/daemon_bench.py).
+                        self.ident.refresh_verdicts()
+                if n_dispatched:
+                    # Host wall time of a working tick: lock wait + drain +
+                    # dispatch + the verdict-snapshot readback.  Client-side
+                    # verdict latency is the end-to-end number; this one
+                    # attributes it between the tick and the transport.
+                    self._tick_times.append(time.perf_counter() - t0)
             except Exception as e:
                 print(f"[serve] tick failed, retrying next tick: {e}")
             now = time.monotonic()

@@ -671,3 +671,37 @@ def test_mesh_padding_slots_not_admitted(net):
     assert st["n_streams"] == 5 and st["n_slots"] == 8
     srv.close(sids[0])
     assert srv.open() == 0  # released slot is reusable
+
+
+def test_refresh_verdicts_snapshot_parity(net):
+    """current() served from the one-readback snapshot (refresh_verdicts,
+    the high-RTT daemon path) must equal the exact per-slot readback, track
+    invalidation on every carry advance, and mirror close()'s row zeroing."""
+    srv = MultiStreamIdentifier(net, n_streams=3, threshold=0.0)
+    a, b = srv.open(), srv.open()
+    rng = np.random.default_rng(11)
+    srv.feed(a, rng.normal(0, 3000, size=44100).astype(np.int16))
+    srv.feed(b, rng.normal(0, 1500, size=22050).astype(np.int16))
+    srv.tick()
+    assert srv._vcache is None  # dispatches invalidate
+    exact = {sid: srv.current(sid) for sid in (a, b)}  # device readbacks
+    srv.refresh_verdicts()
+    assert srv._vcache is not None
+    for sid in (a, b):
+        got = srv.current(sid)  # served host-side
+        assert (got is None) == (exact[sid] is None)
+        if got is not None:
+            assert got[0] == exact[sid][0]
+            np.testing.assert_allclose(got[1], exact[sid][1], rtol=1e-6)
+    # Carry advance invalidates the snapshot.
+    srv.feed(a, rng.normal(0, 3000, size=4410).astype(np.int16))
+    srv.tick()
+    assert srv._vcache is None
+    # close() under a valid snapshot zeroes the row: a recycled slot must
+    # never serve the previous stream's verdict from the cache.
+    srv.refresh_verdicts()
+    assert srv.current(a) is not None
+    srv.close(a)
+    a2 = srv.open()
+    assert a2 == a
+    assert srv.current(a2) is None

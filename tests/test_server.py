@@ -558,3 +558,194 @@ def test_client_converts_linear_pcm_onto_narrow_wires(net, server):
     assert lin.tolist() == [32767, -32768, 16384]
     lin = StreamClient._linear_i16(np.array([70000, -70000], np.int32))
     assert lin.tolist() == [32767, -32768]
+
+
+def test_stats_report_tick_latency_percentiles(net, server):
+    """The serving tail-latency ledger (VERDICT r4 #2): after working
+    ticks, STATS carries p50/p95/p99 of working-tick wall time; idle ticks
+    are excluded (the count tracks dispatches, not wall-clock polls)."""
+    with StreamClient("127.0.0.1", server.port) as c:
+        for seed in range(3):
+            c.feed(_clip(seed=seed, seconds=0.3))
+            c.current()
+        s = c.stats()
+    assert s["ticks_measured"] >= 1
+    assert 0 < s["tick_ms_p50"] <= s["tick_ms_p95"] <= s["tick_ms_p99"]
+    # Bounded memory: the deque caps the sample window.
+    assert s["ticks_measured"] <= 4096
+
+
+def test_corrupt_checkpoint_dropin_never_takes_down_serving(net, tmp_path):
+    """VERDICT r4 #7, watcher half: hostile/corrupt files dropped over the
+    watched checkpoint while streams are live must be skipped cleanly —
+    the daemon keeps serving on the old model, and a subsequent GOOD
+    checkpoint still hot-swaps."""
+    path = str(tmp_path / "model.npz")
+    checkpoint.save(net, path)
+    srv = SpeakerServer(
+        net, port=0, n_streams=2, threshold=0.0, tick_interval=0.005,
+        watch_model=path, watch_interval=0.02,
+    )
+    srv.start()
+    try:
+        with StreamClient("127.0.0.1", srv.port) as c:
+            clip = _clip(seed=9)
+            c.feed(clip[: len(clip) // 3])
+            with open(path, "rb") as f:
+                good_blob = f.read()
+            rng = np.random.default_rng(3)
+            corruptions = [
+                good_blob[: len(good_blob) // 2],        # truncated zip
+                b"\x00" * 1024,                           # not a zip at all
+                bytes(
+                    b ^ (1 << int(rng.integers(0, 8)))
+                    if i in set(rng.integers(0, len(good_blob), 40)) else b
+                    for i, b in enumerate(good_blob)
+                ),                                        # bit-flipped
+            ]
+            for i, blob in enumerate(corruptions):
+                time.sleep(0.05)
+                with open(path, "wb") as f:
+                    f.write(blob)
+                os.utime(path)
+                time.sleep(0.15)  # several watch polls see the bad file
+                # Still serving on the OLD model: feeds and verdicts work.
+                c.feed(clip[len(clip) // 3 :][: 4410])
+                assert c.current() is not None or True  # no protocol error
+                assert c.stats()["model_reloads"] == 0, f"corruption {i}"
+            # A good checkpoint afterwards still swaps in.
+            grown = SpeakerNet.new(output=5, seed=0)
+            grown.add_output_class()
+            time.sleep(0.05)
+            checkpoint.save(grown, path)
+            os.utime(path)
+            deadline = time.monotonic() + 30
+            while time.monotonic() < deadline:
+                if c.stats().get("model_reloads", 0) >= 1:
+                    break
+                time.sleep(0.02)
+            assert c.stats()["model_reloads"] >= 1
+            assert c.finalize() is not None
+    finally:
+        srv.stop()
+
+
+def _vm_rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return float(line.split()[1]) / 1024.0
+    return 0.0
+
+
+@pytest.mark.slow
+def test_daemon_soak_churn_reaping_reload_rollback(net, tmp_path):
+    """Serving soak under churn (VERDICT r4 #6) — the serving analogue of
+    the corpus soak in test_scale.py: ~90 s of open/close churn at
+    capacity with idle reaping active, one mid-soak hot-reload and one
+    rollback, asserting zero slot leakage, bounded RSS growth, and a
+    verdict-latency p99 that stays in band across the reloads."""
+    path = str(tmp_path / "model.npz")
+    checkpoint.save(net, path)
+    with open(path, "rb") as f:
+        original_blob = f.read()
+    srv = SpeakerServer(
+        net, port=0, n_streams=6, threshold=0.0, tick_interval=0.005,
+        watch_model=path, watch_interval=0.05, idle_timeout=0.5,
+    )
+    srv.start()
+    duration = 90.0
+    t_end = time.monotonic() + duration
+    opens = [0]
+    lat_pre, lat_post = [], []
+    errors = []
+    stop = threading.Event()
+
+    def churn(seed):
+        rng = np.random.default_rng(seed)
+        while not stop.is_set() and time.monotonic() < t_end:
+            try:
+                with StreamClient("127.0.0.1", srv.port, timeout=60) as c:
+                    opens[0] += 1
+                    clip = rng.normal(
+                        0, 3000, size=int(44100 * rng.uniform(0.2, 0.6))
+                    ).astype(np.int16)
+                    c.feed(clip)
+                    t0 = time.perf_counter()
+                    c.current()
+                    dt = time.perf_counter() - t0
+                    (lat_pre if time.monotonic() < t_end - duration / 2
+                     else lat_post).append(dt)
+                    if rng.random() < 0.5:
+                        c.finalize()
+            except (RuntimeError, BrokenPipeError, ConnectionError, OSError):
+                # Expected churn outcomes: at-capacity rejection (ERROR
+                # frame, or the server already closed the socket so the
+                # next write breaks the pipe) and idle-reap racing a feed.
+                pass
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+    def idler():
+        # Silent connections: idle_timeout must reap them, releasing slots.
+        while not stop.is_set() and time.monotonic() < t_end:
+            try:
+                c = StreamClient("127.0.0.1", srv.port, timeout=60)
+                time.sleep(1.2)  # > idle_timeout: server reaps
+                c.close()
+            except Exception:
+                time.sleep(0.2)
+
+    threads = [
+        threading.Thread(target=churn, args=(s,)) for s in range(4)
+    ] + [threading.Thread(target=idler)]
+    for t in threads:
+        t.start()
+    rss_quarter = None
+    reloaded = rolled_back = False
+    try:
+        while time.monotonic() < t_end:
+            elapsed = duration - (t_end - time.monotonic())
+            if rss_quarter is None and elapsed > duration / 4:
+                rss_quarter = _vm_rss_mb()
+            if not reloaded and elapsed > duration / 3:
+                grown = SpeakerNet.new(output=5, seed=0)
+                grown.add_output_class()
+                checkpoint.save(grown, path)
+                os.utime(path)
+                reloaded = True
+            if not rolled_back and elapsed > 2 * duration / 3:
+                # Rollback: an mv-style drop-in of the ORIGINAL bytes (the
+                # stat-signature watcher must catch the inode change).
+                tmp2 = path + ".roll"
+                with open(tmp2, "wb") as f:
+                    f.write(original_blob)
+                os.replace(tmp2, path)
+                rolled_back = True
+            time.sleep(0.25)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+    try:
+        s = srv.stats()
+        assert not errors, errors[:5]
+        assert opens[0] > 50, f"churn too slow to be a soak: {opens[0]} opens"
+        assert s["idle_dropped"] >= 1, s
+        assert s["model_reloads"] >= 2, s  # the grow AND the rollback
+        # Zero slot leakage: with every client gone, all slots free again.
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and any(srv.ident._open):
+            time.sleep(0.1)
+        assert not any(srv.ident._open), srv.ident._open
+        assert srv.stats()["connections"] == 0
+        # Bounded RSS: no monotone leak across ~thousands of slot cycles.
+        rss_end = _vm_rss_mb()
+        assert rss_end < rss_quarter * 1.3 + 200, (rss_quarter, rss_end)
+        # p99 stability across the reload+rollback (generous band: this
+        # box has one contended CPU).
+        p99_pre = float(np.percentile(lat_pre, 99))
+        p99_post = float(np.percentile(lat_post, 99))
+        assert p99_post < 10 * p99_pre + 0.25, (p99_pre, p99_post)
+    finally:
+        srv.stop()
