@@ -113,11 +113,34 @@ def save(net: SpeakerNet, path: str) -> None:
         raise
 
 
+# Per-entry decompressed-size cap: a hostile "model.npz" must fail with a
+# clean ValueError, not OOM the serving daemon that hot-reloads it (a zip
+# entry's compressed form can be ~1000x smaller than what it inflates to).
+# 4 GiB leaves ~8x headroom over the largest legitimate checkpoint measured
+# (the 64 KiB-stego net's ~0.5 GB output layer, benchmarks/report.json).
+_MAX_ENTRY_BYTES = int(
+    os.environ.get("STREAMZ_CHECKPOINT_MAX_ENTRY_BYTES", 4 << 30)
+)
+
+
 def _read_npz_raw(path: str) -> Dict[str, np.ndarray]:
-    """Read an npz whose entries may or may not carry a ``.npy`` extension."""
+    """Read an npz whose entries may or may not carry a ``.npy`` extension.
+
+    Hostile inputs (truncated zips, bit flips, pickle smuggling, zip
+    bombs, absolute/traversal entry names) raise cleanly — entries are
+    only ever decoded in memory with ``allow_pickle=False``, never
+    extracted to disk, and a decompressed-size cap rejects bombs before
+    allocation (``tests/test_checkpoint.py`` fuzzes this contract)."""
     out: Dict[str, np.ndarray] = {}
     with zipfile.ZipFile(path, "r") as zf:
-        for name in zf.namelist():
+        for info in zf.infolist():
+            if info.file_size > _MAX_ENTRY_BYTES:
+                raise ValueError(
+                    f"checkpoint entry {info.filename!r} inflates to "
+                    f"{info.file_size} bytes (cap {_MAX_ENTRY_BYTES}; "
+                    "override via STREAMZ_CHECKPOINT_MAX_ENTRY_BYTES)"
+                )
+            name = info.filename
             key = name[:-4] if name.endswith(".npy") else name
             with zf.open(name) as f:
                 out[key] = np.load(io.BytesIO(f.read()), allow_pickle=False)
@@ -125,12 +148,29 @@ def _read_npz_raw(path: str) -> Dict[str, np.ndarray]:
 
 
 def load(path: str) -> SpeakerNet:
-    """Deserialize ``model.npz`` (src/lib.rs:1132-1281)."""
+    """Deserialize ``model.npz`` (src/lib.rs:1132-1281).
+
+    Raise-or-load contract: a malformed file (truncated, bit-flipped,
+    wrong dtypes/shapes, missing core entries) raises a clean Python
+    exception BEFORE any state is built — load() constructs a fresh net
+    from scratch, so a failed load can never partially apply (what the
+    serving daemon's hot-reload watcher relies on, ``app/server.py``)."""
     data = _read_npz_raw(path)
     w1 = np.asarray(data["w1"], np.float32)
     b1 = np.asarray(data["b1"], np.float32)
     w2 = np.asarray(data["w2"], np.float32)
     b2 = np.asarray(data["b2"], np.float32)
+    # Core-schema consistency: a wrong-shaped checkpoint must fail HERE
+    # with a message, not mid-serve on a later dispatch.
+    if w1.ndim != 2 or w2.ndim != 2 or b1.ndim != 1 or b2.ndim != 1 or (
+        w1.shape[1] != b1.shape[0]
+        or w2.shape[0] != w1.shape[1]
+        or w2.shape[1] != b2.shape[0]
+    ):
+        raise ValueError(
+            "inconsistent core weight shapes: "
+            f"w1{w1.shape} b1{b1.shape} w2{w2.shape} b2{b2.shape}"
+        )
     sample_rate = int(np.asarray(data["sample_rate"]).ravel()[0])
     bits = int(np.asarray(data["bits"]).ravel()[0])
 
