@@ -20,9 +20,15 @@ jit-fused pipeline (Pallas/XLA frontend + batched forward + on-device vote
 sums) in windows/s; ``vs_baseline`` is the speedup over the CPU spec.
 Extra keys on the same line: ``frontend`` (the measured-winner backend,
 benchmarks/ROOFLINE.md), ``algo_tflops``/``mfu`` (algorithmic FLOP/s and
-its fraction of bf16 peak — the MFU convention) and ``hw_util`` (executed
+its fraction of bf16 peak — the MFU convention), ``hw_util`` (executed
 FLOP/s incl. padding and multi-pass bf16 emulation, over the same peak —
-what the MXU actually streams).
+what the MXU actually streams), and the self-attribution set (VERDICT
+r4 #3): ``cpu_windows_per_sec`` (the vs_baseline denominator),
+``norm_win_per_s_per_tf`` / ``prior_norm_median`` / ``vs_prior_norm`` /
+``perf_flag`` (throttle-normalized rate fenced against every committed
+``BENCH_r*.json`` — see :func:`annotate_cross_round`), and ``attempts``
+(stamped by the supervisor).  Serve rows are measured wire-interleaved
+(``serve_bench.bench_slots_interleaved``).
 """
 
 from __future__ import annotations
