@@ -103,10 +103,17 @@ def _run_phase(clients, frames: dict, wire: str, duration_s: float,
                feeds_per_probe: int, chunk_ms: float):
     """One timed phase: every stream loops F feeds + 1 CURRENT round trip.
 
-    Returns (verdict-acknowledged audio seconds, latency samples, wall s).
+    Returns (verdict-acknowledged audio seconds, latency samples, wall s,
+    client error count).  A sticky FEED error (e.g. backlog overflow)
+    must not silently kill a worker — a wire losing workers mid-phase
+    would reintroduce exactly the asymmetric-degradation artifact the
+    interleaved methodology exists to prevent — so errors are counted,
+    surfaced in the row, and the stream keeps going (a dead transport
+    retires only its own worker).
     """
     lat = [[] for _ in clients]
     fed = [0] * len(clients)
+    errs = [0] * len(clients)
     frame = frames[wire]
     start = time.perf_counter()
     stop_at = start + duration_s
@@ -114,12 +121,18 @@ def _run_phase(clients, frames: dict, wire: str, duration_s: float,
     def work(i):
         c = clients[i]
         while time.perf_counter() < stop_at:
-            for _ in range(feeds_per_probe):
-                c.sock.sendall(frame)
-            t0 = time.perf_counter()
-            c.current()
-            lat[i].append(time.perf_counter() - t0)
-            fed[i] += feeds_per_probe  # counted only after the round trip
+            try:
+                for _ in range(feeds_per_probe):
+                    c.sock.sendall(frame)
+                t0 = time.perf_counter()
+                c.current()
+                lat[i].append(time.perf_counter() - t0)
+                fed[i] += feeds_per_probe  # counted after the round trip
+            except (ConnectionError, OSError):
+                errs[i] += 1
+                return  # transport gone: only this worker retires
+            except RuntimeError:
+                errs[i] += 1  # sticky FEED error; the stream stays usable
 
     threads = [
         threading.Thread(target=work, args=(i,)) for i in range(len(clients))
@@ -130,7 +143,7 @@ def _run_phase(clients, frames: dict, wire: str, duration_s: float,
         t.join()
     wall = time.perf_counter() - start
     audio_s = sum(fed) * chunk_ms / 1000.0
-    return audio_s, [x for run in lat for x in run], wall
+    return audio_s, [x for run in lat for x in run], wall, sum(errs)
 
 
 def _pcts(samples):
@@ -147,6 +160,10 @@ def _wire_rows(prefix: str, agg: dict, out: dict) -> None:
             out[f"{prefix}_{w}_verdict_ms_p50"] = p50
             out[f"{prefix}_{w}_verdict_ms_p95"] = p95
             out[f"{prefix}_{w}_verdict_ms_p99"] = p99
+        if a.get("errors"):
+            # Nonzero means this wire's row is suspect (lost workers /
+            # backlog overflows) — never silently folded into the RTF.
+            out[f"{prefix}_{w}_client_errors"] = a["errors"]
 
 
 def bench_daemon(n_streams: int = 64, phase_s: float = 6.0, reps: int = 2,
@@ -170,18 +187,25 @@ def bench_daemon(n_streams: int = 64, phase_s: float = 6.0, reps: int = 2,
             StreamClient(host, port, timeout=600.0) for _ in range(n_streams)
         ]
         # Warm both wires' dispatch shapes (first feeds compile server-side;
-        # the persistent compile cache makes repeats cheap).
+        # the persistent compile cache makes repeats cheap), then reset the
+        # server's tick-latency window so compile-length warm ticks cannot
+        # contaminate the steady-state p95/p99 this row reports.
         for w in WIRES:
             _run_phase(clients, frames, w, warm_s, feeds_per_probe, chunk_ms)
-        agg = {w: {"audio": 0.0, "wall": 0.0, "lat": []} for w in WIRES}
+        clients[0].stats(reset_ticks=True)
+        agg = {
+            w: {"audio": 0.0, "wall": 0.0, "lat": [], "errors": 0}
+            for w in WIRES
+        }
         for _ in range(reps):
             for w in WIRES:  # interleaved: both wires see the same phases
-                audio, lat, wall = _run_phase(
+                audio, lat, wall, errors = _run_phase(
                     clients, frames, w, phase_s, feeds_per_probe, chunk_ms
                 )
                 agg[w]["audio"] += audio
                 agg[w]["wall"] += wall
                 agg[w]["lat"] += lat
+                agg[w]["errors"] += errors
         _wire_rows(f"daemon{n_streams}", agg, out)
         stats = clients[0].stats()
         for k in ("tick_ms_p50", "tick_ms_p95", "tick_ms_p99",
@@ -227,15 +251,19 @@ def bench_fleet(n_servers: int = 2, n_streams: int = 8, phase_s: float = 4.0,
         clients = [fc._client(f) for f in fids]
         for w in WIRES:
             _run_phase(clients, frames, w, 1.0, feeds_per_probe, chunk_ms)
-        agg = {w: {"audio": 0.0, "wall": 0.0, "lat": []} for w in WIRES}
+        agg = {
+            w: {"audio": 0.0, "wall": 0.0, "lat": [], "errors": 0}
+            for w in WIRES
+        }
         for _ in range(reps):
             for w in WIRES:
-                audio, lat, wall = _run_phase(
+                audio, lat, wall, errors = _run_phase(
                     clients, frames, w, phase_s, feeds_per_probe, chunk_ms
                 )
                 agg[w]["audio"] += audio
                 agg[w]["wall"] += wall
                 agg[w]["lat"] += lat
+                agg[w]["errors"] += errors
         _wire_rows(f"fleet{n_servers}x{n_streams}", agg, out)
         assert fc.finalize(fids[0]) is not None
     finally:

@@ -507,7 +507,15 @@ def main(sections=None):
         # small magnitudes (seconds, ratios), coarse for windows/s-scale.
         return round(v, 1) if abs(v) >= 10 else round(v, 4)
 
-    names = sections or list(SECTIONS)
+    # daemon/soak require the server SUBPROCESS to be the sole device
+    # owner; by the time the default sweep reaches them, this process has
+    # long since initialized its own device client (every in-process
+    # section plus the per-section device tag below), which violates the
+    # single-owner tunnel.  They are therefore opt-in only:
+    # `run_all.py daemon soak` in a fresh process.
+    names = sections or [
+        n for n in SECTIONS if n not in ("daemon", "soak")
+    ]
     for name in names:
         # Merge + write AFTER EVERY section: a failure in section k must
         # not discard the tens of minutes of measurements sections

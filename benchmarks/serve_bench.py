@@ -133,23 +133,35 @@ def bench_slots_interleaved(n_streams: int, chunk_ms: float = 100.0,
 
 def main():
     args = sys.argv[1:]
-    wire = "i16"
+    wire = None
+    wires = None
     interleave = False
     while args and args[0].startswith("--"):
         if args[0].startswith("--wire="):
             wire = args.pop(0).split("=", 1)[1]
+        elif args[0].startswith("--wires="):
+            wires = tuple(args.pop(0).split("=", 1)[1].split(","))
         elif args[0] == "--interleaved":
             interleave = True
             args.pop(0)
         else:
             raise SystemExit(f"unknown flag {args[0]!r}")
+    if interleave and wire is not None:
+        # Refusing beats silently measuring the default pair under the
+        # user's requested-wire label.
+        raise SystemExit("--interleaved takes --wires=a,b (not --wire=)")
+    if not interleave and wires is not None:
+        raise SystemExit("--wires= only applies with --interleaved")
     slot_counts = [int(a) for a in args] or [16, 64, 256]
     for s in slot_counts:
         if interleave:
-            for row in bench_slots_interleaved(s).values():
+            rows = bench_slots_interleaved(
+                s, **({"wires": wires} if wires else {})
+            )
+            for row in rows.values():
                 print(row)
         else:
-            print(bench_slots(s, wire=wire))
+            print(bench_slots(s, wire=wire or "i16"))
 
 
 if __name__ == "__main__":

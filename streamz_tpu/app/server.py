@@ -43,7 +43,9 @@ Wire protocol (all integers little-endian)::
                      request/response pairing strict)
       0x02 CURRENT   -> VERDICT(final=0) over frames finalized so far
       0x03 FINALIZE  -> VERDICT(final=1), exact offline parity
-      0x04 STATS     -> STATS json
+      0x04 STATS     -> STATS json; with payload ``reset-ticks`` the
+                     server also starts a fresh tick-latency window
+                     after reporting (bench warm-up separation)
 
     server -> client
       0x81 VERDICT   payload = speaker:i32 (-1 = none) + confidence:f32
@@ -460,9 +462,14 @@ class SpeakerServer:
                 return
             self._send_verdict(conn, res, final=opcode == OP_FINALIZE)
         elif opcode == OP_STATS:
-            send_frame(
-                conn, OP_STATS_REPLY, json.dumps(self.stats()).encode()
-            )
+            reply = json.dumps(self.stats()).encode()
+            if payload == b"reset-ticks":
+                # Start a fresh tick-latency window AFTER reporting: the
+                # bench harness separates warm-up/compile ticks (seconds
+                # for the first dispatch per wire) from the steady-state
+                # tail this way (benchmarks/daemon_bench.py).
+                self._tick_times.clear()
+            send_frame(conn, OP_STATS_REPLY, reply)
         else:
             raise ValueError(f"unknown opcode 0x{opcode:02x}")
 
@@ -668,8 +675,10 @@ class StreamClient:
     def finalize(self):
         return self._verdict(OP_FINALIZE)[0]
 
-    def stats(self) -> Dict[str, object]:
-        send_frame(self.sock, OP_STATS)
+    def stats(self, reset_ticks: bool = False) -> Dict[str, object]:
+        send_frame(
+            self.sock, OP_STATS, b"reset-ticks" if reset_ticks else b""
+        )
         frame = recv_frame(self.sock)
         if frame is None:
             raise ConnectionError("server closed the connection")

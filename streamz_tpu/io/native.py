@@ -38,6 +38,14 @@ def source_dir():
 
 
 def _so_path():
+    """The shared library to load: an already-built .so in any candidate
+    dir wins (a deployment may ship ONLY the built artifact, sources
+    pruned — that must keep the fast path); else the source dir's build
+    target; None when neither exists anywhere."""
+    for d in _CANDIDATE_DIRS:
+        p = os.path.join(d, "libstreamz_native.so")
+        if os.path.exists(p):
+            return p
     d = source_dir()
     return os.path.join(d, "libstreamz_native.so") if d else None
 
@@ -65,22 +73,25 @@ class _SzClip(ctypes.Structure):
 
 
 def _try_build(force: bool = False) -> bool:
+    """Build the .so from sources (when any exist); True iff the SOURCE
+    directory's build target exists afterwards."""
     global _build_attempted
-    so = _so_path()
-    if so is None:
+    d = source_dir()
+    if d is None:
         return False
+    target = os.path.join(d, "libstreamz_native.so")
     if _build_attempted and not force:
-        return os.path.exists(so)
+        return os.path.exists(target)
     _build_attempted = True
     try:
         cmd = ["make", "-s", "-B"] if force else ["make", "-s"]
         subprocess.run(
-            cmd, cwd=source_dir(), check=True,
+            cmd, cwd=d, check=True,
             capture_output=True, timeout=120,
         )
     except Exception:
         return False
-    return os.path.exists(so)
+    return os.path.exists(target)
 
 
 def _warn_unavailable() -> None:
@@ -97,11 +108,16 @@ def _warn_unavailable() -> None:
     import warnings
 
     d = source_dir()
-    why = (
-        f"the C++ build failed in {d!r} (is g++/make installed?)"
-        if d else
-        f"no native sources found in any of {list(_CANDIDATE_DIRS)!r}"
-    )
+    if d:
+        why = f"the C++ build failed in {d!r} (is g++/make installed?)"
+    elif _so_path():
+        why = (
+            f"only a stale/incompatible libstreamz_native.so was found "
+            f"(ABI version != {SZ_NATIVE_VERSION}) and no sources exist to "
+            f"rebuild it (searched {list(_CANDIDATE_DIRS)!r})"
+        )
+    else:
+        why = f"no native sources found in any of {list(_CANDIDATE_DIRS)!r}"
     warnings.warn(
         "streamz_tpu: native ingest layer unavailable — " + why +
         "; falling back to pure-Python ingest (identical results, much "
@@ -126,22 +142,40 @@ def load() -> Optional[ctypes.CDLL]:
             return _lib
         if _load_failed:
             return None
-        so = _so_path()
-        if so is None or (not os.path.exists(so) and not _try_build()):
-            _load_failed = True
-            _warn_unavailable()
-            return None
-        for attempt in range(2):
+
+        def _existing_sos():
+            return [
+                p for p in (
+                    os.path.join(d, "libstreamz_native.so")
+                    for d in _CANDIDATE_DIRS
+                ) if os.path.exists(p)
+            ]
+
+        def _bind_ok(so):
             try:
                 lib = _bind(ctypes.CDLL(so))
             except (OSError, AttributeError):
-                lib = None
-            if lib is not None and lib.sz_version() == SZ_NATIVE_VERSION:
+                return None
+            return lib if lib.sz_version() == SZ_NATIVE_VERSION else None
+
+        if not _existing_sos():
+            _try_build()
+        for so in _existing_sos():
+            lib = _bind_ok(so)
+            if lib is not None:
                 _lib = lib
                 return lib
-            # stale/mismatched .so: force one rebuild, then give up
-            if attempt == 0 and not _try_build(force=True):
-                break
+        # Every existing .so is stale/unloadable: force ONE rebuild (needs
+        # sources) and prefer the freshly built artifact over any stale
+        # prebuilt one found earlier in the candidate order.
+        if _try_build(force=True):
+            d = source_dir()
+            built = os.path.join(d, "libstreamz_native.so") if d else None
+            for so in ([built] if built else []) + _existing_sos():
+                lib = _bind_ok(so)
+                if lib is not None:
+                    _lib = lib
+                    return lib
         _load_failed = True
         _warn_unavailable()
         return None

@@ -113,14 +113,29 @@ def save(net: SpeakerNet, path: str) -> None:
         raise
 
 
-# Per-entry decompressed-size cap: a hostile "model.npz" must fail with a
-# clean ValueError, not OOM the serving daemon that hot-reloads it (a zip
-# entry's compressed form can be ~1000x smaller than what it inflates to).
-# 4 GiB leaves ~8x headroom over the largest legitimate checkpoint measured
-# (the 64 KiB-stego net's ~0.5 GB output layer, benchmarks/report.json).
-_MAX_ENTRY_BYTES = int(
-    os.environ.get("STREAMZ_CHECKPOINT_MAX_ENTRY_BYTES", 4 << 30)
-)
+# Decompressed-size caps: a hostile "model.npz" must fail with a clean
+# ValueError, not OOM the serving daemon that hot-reloads it (a zip
+# entry's compressed form can be ~1000x smaller than what it inflates to,
+# and MANY small-on-disk entries can sum past any per-entry cap).  The
+# 4 GiB per-entry default leaves ~8x headroom over the largest legitimate
+# checkpoint measured (the 64 KiB-stego net's ~0.5 GB output layer,
+# benchmarks/report.json); the TOTAL budget is 2x that.
+_DEFAULT_MAX_ENTRY_BYTES = 4 << 30
+
+
+def _max_entry_bytes() -> int:
+    """Read the override at CALL time (a long-running daemon operator must
+    be able to set it before a retry, per the error message's own advice);
+    a malformed value raises a ValueError naming the variable."""
+    raw = os.environ.get("STREAMZ_CHECKPOINT_MAX_ENTRY_BYTES")
+    if raw is None:
+        return _DEFAULT_MAX_ENTRY_BYTES
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"STREAMZ_CHECKPOINT_MAX_ENTRY_BYTES={raw!r} is not an integer"
+        ) from None
 
 
 def _read_npz_raw(path: str) -> Dict[str, np.ndarray]:
@@ -129,16 +144,26 @@ def _read_npz_raw(path: str) -> Dict[str, np.ndarray]:
     Hostile inputs (truncated zips, bit flips, pickle smuggling, zip
     bombs, absolute/traversal entry names) raise cleanly — entries are
     only ever decoded in memory with ``allow_pickle=False``, never
-    extracted to disk, and a decompressed-size cap rejects bombs before
-    allocation (``tests/test_checkpoint.py`` fuzzes this contract)."""
+    extracted to disk, and per-entry AND cumulative decompressed-size
+    caps reject bombs before allocation (``tests/test_checkpoint.py``
+    fuzzes this contract)."""
     out: Dict[str, np.ndarray] = {}
+    cap = _max_entry_bytes()
+    total = 0
     with zipfile.ZipFile(path, "r") as zf:
         for info in zf.infolist():
-            if info.file_size > _MAX_ENTRY_BYTES:
+            if info.file_size > cap:
                 raise ValueError(
                     f"checkpoint entry {info.filename!r} inflates to "
-                    f"{info.file_size} bytes (cap {_MAX_ENTRY_BYTES}; "
-                    "override via STREAMZ_CHECKPOINT_MAX_ENTRY_BYTES)"
+                    f"{info.file_size} bytes (cap {cap}; override via "
+                    "STREAMZ_CHECKPOINT_MAX_ENTRY_BYTES)"
+                )
+            total += info.file_size
+            if total > 2 * cap:
+                raise ValueError(
+                    f"checkpoint inflates to {total}+ bytes across entries "
+                    f"(total cap {2 * cap}; override via "
+                    "STREAMZ_CHECKPOINT_MAX_ENTRY_BYTES)"
                 )
             name = info.filename
             key = name[:-4] if name.endswith(".npy") else name
@@ -216,6 +241,15 @@ def load(path: str) -> SpeakerNet:
 
     if "num_speakers" in data:
         outputs = int(np.asarray(data["num_speakers"]).ravel()[0])
+        # The scalar steers allocation loops below (file_lists, the
+        # [hidden2, round_capacity(outputs)] padding matrix): a hostile
+        # value like 2**62 would hang/OOM the daemon's hot-reload ticker.
+        # 1 M speakers is ~100x the largest corpus this stack has been
+        # soaked at and keeps worst-case allocation ~1 GB.
+        if not 0 <= outputs <= 1_000_000:
+            raise ValueError(
+                f"num_speakers={outputs} outside the sane range [0, 1e6]"
+            )
     else:
         outputs = num_outputs  # src/lib.rs:1227-1233
 

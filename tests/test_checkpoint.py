@@ -521,7 +521,7 @@ def test_fuzz_pickle_smuggling_rejected(tmp_path):
 def test_fuzz_zip_bomb_rejected(tmp_path, monkeypatch):
     import pytest
 
-    monkeypatch.setattr(checkpoint, "_MAX_ENTRY_BYTES", 1 << 20)
+    monkeypatch.setenv("STREAMZ_CHECKPOINT_MAX_ENTRY_BYTES", str(1 << 20))
     blob = _ckpt_bytes(tmp_path)
     big = _rewrite_entry(blob, "w1", np.zeros((1 << 19,), np.float32))  # 2 MiB
     p = str(tmp_path / "bomb.npz")
@@ -529,3 +529,59 @@ def test_fuzz_zip_bomb_rejected(tmp_path, monkeypatch):
         f.write(big)
     with pytest.raises(ValueError, match="inflates"):
         checkpoint.load(p)
+
+
+def test_fuzz_hostile_num_speakers_rejected(tmp_path):
+    """A tiny num_speakers entry steering huge allocation loops (the
+    hot-reload ticker would hang/OOM) must fail with a clean ValueError."""
+    import pytest
+
+    blob = _ckpt_bytes(tmp_path)
+    for bad in (np.array([2 ** 62], np.int64), np.array([-3], np.int64),
+                np.array([10_000_000], np.int64)):
+        p = str(tmp_path / "ns.npz")
+        with open(p, "wb") as f:
+            f.write(_rewrite_entry(blob, "num_speakers", bad))
+        with pytest.raises(ValueError, match="sane range"):
+            checkpoint.load(p)
+
+
+def test_fuzz_multi_entry_zip_bomb_rejected(tmp_path, monkeypatch):
+    """Many under-the-per-entry-cap entries summing past the total budget
+    must be rejected before cumulative allocation."""
+    import pytest
+
+    monkeypatch.setenv("STREAMZ_CHECKPOINT_MAX_ENTRY_BYTES", str(1 << 20))
+    blob = _ckpt_bytes(tmp_path)
+    src = zipfile.ZipFile(io.BytesIO(blob))
+    out = io.BytesIO()
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((200_000,), np.float32), allow_pickle=False)  # 0.8 MB
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as dst:
+        for name in src.namelist():
+            dst.writestr(name, src.read(name))
+        for i in range(8):  # 8 x 0.8 MB > 2 x 1 MB total budget
+            dst.writestr(f"junk_{i}.npy", buf.getvalue())
+    p = str(tmp_path / "multibomb.npz")
+    with open(p, "wb") as f:
+        f.write(out.getvalue())
+    with pytest.raises(ValueError, match="across entries"):
+        checkpoint.load(p)
+
+
+def test_entry_cap_env_read_at_call_time(tmp_path, monkeypatch):
+    """The override must take effect without re-importing the module (the
+    error message tells a live daemon operator to set it), and a malformed
+    value must raise an error naming the variable."""
+    import pytest
+
+    path = str(tmp_path / "m.npz")
+    checkpoint.save(_small_net(), path)
+    monkeypatch.setenv("STREAMZ_CHECKPOINT_MAX_ENTRY_BYTES", "8")
+    with pytest.raises(ValueError, match="inflates"):
+        checkpoint.load(path)
+    monkeypatch.setenv("STREAMZ_CHECKPOINT_MAX_ENTRY_BYTES", "4GB")
+    with pytest.raises(ValueError, match="STREAMZ_CHECKPOINT_MAX_ENTRY"):
+        checkpoint.load(path)
+    monkeypatch.delenv("STREAMZ_CHECKPOINT_MAX_ENTRY_BYTES")
+    assert isinstance(checkpoint.load(path), SpeakerNet)

@@ -119,3 +119,27 @@ def test_help_survives_stripped_docstrings(monkeypatch, capsys):
     assert cli.main(["--help"]) == 0
     out = capsys.readouterr().out
     assert "usage" in out.lower()
+
+
+def test_serve_bench_flag_conflicts_rejected(monkeypatch):
+    """--interleaved with --wire= must refuse instead of silently
+    measuring the default wire pair under the user's label."""
+    import os
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(repo, "benchmarks"))
+    try:
+        import serve_bench
+    finally:
+        _sys.path.pop(0)
+    monkeypatch.setattr(
+        _sys, "argv", ["serve_bench.py", "--wire=f32", "--interleaved", "4"]
+    )
+    with pytest.raises(SystemExit, match="wires"):
+        serve_bench.main()
+    monkeypatch.setattr(
+        _sys, "argv", ["serve_bench.py", "--wires=i16,ulaw", "4"]
+    )
+    with pytest.raises(SystemExit, match="interleaved"):
+        serve_bench.main()

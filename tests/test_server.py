@@ -609,9 +609,12 @@ def test_corrupt_checkpoint_dropin_never_takes_down_serving(net, tmp_path):
                     f.write(blob)
                 os.utime(path)
                 time.sleep(0.15)  # several watch polls see the bad file
-                # Still serving on the OLD model: feeds and verdicts work.
+                # Still serving on the OLD model: feeds and verdicts work
+                # (threshold=0 and the stream has processed audio, so a
+                # live verdict must exist — None here would mean the
+                # corrupt drop-in actually broke serving).
                 c.feed(clip[len(clip) // 3 :][: 4410])
-                assert c.current() is not None or True  # no protocol error
+                assert c.current() is not None, f"corruption {i}"
                 assert c.stats()["model_reloads"] == 0, f"corruption {i}"
             # A good checkpoint afterwards still swaps in.
             grown = SpeakerNet.new(output=5, seed=0)

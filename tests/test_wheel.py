@@ -117,3 +117,31 @@ def test_wheel_install_keeps_native_layer(tmp_path):
         import json as _json
 
         assert _json.loads(proc.stdout)["decoded"] > 0
+
+
+def test_prebuilt_so_without_sources_still_loads(tmp_path, monkeypatch):
+    """A deployment may ship ONLY the built .so (sources pruned); the
+    loader must use it rather than falling back to pure-Python with a
+    misleading 'no sources found' warning."""
+    import shutil
+
+    from streamz_tpu.io import native
+
+    built = os.path.join(REPO, "native", "libstreamz_native.so")
+    if not os.path.exists(built):
+        assert native.available()  # builds it in-tree
+    so_only = tmp_path / "deploy"
+    so_only.mkdir()
+    shutil.copy2(built, so_only / "libstreamz_native.so")
+
+    monkeypatch.setattr(native, "_CANDIDATE_DIRS", (str(so_only),))
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_failed", False)
+    monkeypatch.setattr(native, "_warned_fallback", False)
+    monkeypatch.setattr(native, "_build_attempted", False)
+    assert native.source_dir() is None  # genuinely no sources
+    assert native.available()
+    clip = native.resample_i16_native(
+        np.arange(-500, 500, dtype=np.int16), 22050, 44100
+    )
+    assert clip is not None and clip.size > 0
