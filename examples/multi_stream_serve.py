@@ -106,6 +106,12 @@ def main():
         srv.tick()
         ticks += 1
         if ticks % 10 == 0:
+            # One readback refreshes every stream's rolling verdict; the
+            # current() polls below are then host memory — on a high-RTT
+            # link this is the difference between N RTTs and one per poll
+            # round (the TCP daemon does the same after every working
+            # tick; benchmarks/daemon_bench.py measured it 10.7x).
+            srv.refresh_verdicts()
             row = ", ".join(
                 f"s{sid}:{v[0]}@{v[1]:.2f}" if (v := srv.current(sid)) else f"s{sid}:?"
                 for sid in sids[: min(n, 6)]
