@@ -568,8 +568,14 @@ def test_stats_report_tick_latency_percentiles(net, server):
         for seed in range(3):
             c.feed(_clip(seed=seed, seconds=0.3))
             c.current()
+        # The ticker runs on its own thread: under a contended CPU the
+        # first WORKING tick may land after our feeds return, so poll.
+        deadline = time.monotonic() + 30
         s = c.stats()
-    assert s["ticks_measured"] >= 1
+        while "ticks_measured" not in s and time.monotonic() < deadline:
+            time.sleep(0.05)
+            s = c.stats()
+    assert s["ticks_measured"] >= 1, s
     assert 0 < s["tick_ms_p50"] <= s["tick_ms_p95"] <= s["tick_ms_p99"]
     # Bounded memory: the deque caps the sample window.
     assert s["ticks_measured"] <= 4096
