@@ -176,3 +176,36 @@ def test_fence_catches_the_round4_mismatch():
 def test_fence_rejects_prospective_artifact_naming():
     v = check_text("Next round `BENCH_r99.json` will show 50 M win/s.", {4: {}})
     assert v and "prospective" in v[0]
+
+
+def test_suite_counts_in_ledgers_match_reality():
+    """PARITY/ROADMAP/MIGRATION quote suite/test counts; they must equal
+    the live collection (the 'keep the ledgers exact' discipline,
+    mechanized).  Collection runs in a subprocess so this test sees the
+    same set the user's `pytest tests/` would."""
+    import re
+    import subprocess
+    import sys
+
+    n_suites = len(glob.glob(os.path.join(ROOT, "tests", "test_*.py")))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q",
+         "-p", "no:cacheprovider"],
+        capture_output=True, text=True, timeout=300, cwd=ROOT,
+    )
+    m = re.search(r"(\d+) tests collected", proc.stdout)
+    assert m, proc.stdout[-2000:]
+    n_tests = int(m.group(1))
+
+    checks = [
+        ("PARITY.md", rf"\({n_suites} suites, {n_tests} tests\)"),
+        ("ROADMAP.md", rf"tests \({n_tests} passing\)"),
+        ("MIGRATION.md", rf"{n_tests} tests / {n_suites} suites"),
+    ]
+    for rel, pattern in checks:
+        with open(os.path.join(ROOT, rel), encoding="utf-8") as f:
+            text = f.read()
+        assert re.search(pattern, text), (
+            f"{rel} does not carry the live counts "
+            f"({n_suites} suites / {n_tests} tests): update the ledger"
+        )
