@@ -705,3 +705,32 @@ def test_refresh_verdicts_snapshot_parity(net):
     a2 = srv.open()
     assert a2 == a
     assert srv.current(a2) is None
+
+
+def test_refresh_verdicts_under_mesh_matches_readback(net):
+    """The one-transfer verdict snapshot must gather correctly from a
+    slot-SHARDED carry: snapshot-served current() equals the per-slot
+    device readback on every open slot of a meshed fleet."""
+    from streamz_tpu.parallel import comm
+
+    mesh = comm.make_mesh(8)
+    srv = MultiStreamIdentifier(net, n_streams=5, threshold=0.0, mesh=mesh)
+    rng = np.random.default_rng(21)
+    sids = [srv.open() for _ in range(3)]
+    for i, sid in enumerate(sids):
+        srv.feed(
+            sid,
+            rng.normal(0, 1000 * (i + 1), size=22050 * (i + 1)).astype(
+                np.int16
+            ),
+        )
+    srv.tick()
+    exact = {sid: srv.current(sid) for sid in sids}  # per-slot readbacks
+    srv.refresh_verdicts()
+    assert srv._vcache is not None and srv._vcache.shape[0] == srv.n_slots
+    for sid in sids:
+        got = srv.current(sid)
+        assert (got is None) == (exact[sid] is None)
+        if got is not None:
+            assert got[0] == exact[sid][0]
+            np.testing.assert_allclose(got[1], exact[sid][1], rtol=1e-6)
