@@ -193,6 +193,13 @@ def test_suite_counts_in_ledgers_match_reality():
          "-p", "no:cacheprovider"],
         capture_output=True, text=True, timeout=300, cwd=ROOT,
     )
+    # A partial collection failure still prints a (reduced) "N tests
+    # collected, 1 error" line — distinguish a broken environment from
+    # genuine ledger drift before comparing any counts.
+    assert proc.returncode == 0, (
+        f"collection itself failed (rc={proc.returncode}):\n"
+        + proc.stdout[-2000:] + proc.stderr[-500:]
+    )
     m = re.search(r"(\d+) tests collected", proc.stdout)
     assert m, proc.stdout[-2000:]
     n_tests = int(m.group(1))
