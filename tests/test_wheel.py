@@ -118,6 +118,18 @@ def test_wheel_install_keeps_native_layer(tmp_path):
 
         assert _json.loads(proc.stdout)["decoded"] > 0
 
+    # The installed CLI runs too: both the console script the wheel
+    # installs and `python -m streamz_tpu`, from a directory that is NOT
+    # the repo (so the wheel is the only provider).
+    for cmd in ([str(venv_dir / "bin" / "streamz"), "--help"],
+                [vpy, "-m", "streamz_tpu", "--help"]):
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=120, env=env,
+            cwd=str(tmp_path),
+        )
+        assert proc.returncode == 0, (cmd, proc.stdout + proc.stderr)
+        assert "usage" in proc.stdout.lower(), (cmd, proc.stdout)
+
 
 def test_prebuilt_so_without_sources_still_loads(tmp_path, monkeypatch):
     """A deployment may ship ONLY the built .so (sources pruned); the
